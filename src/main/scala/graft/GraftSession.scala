@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for session config shared by Verify / Bench / tests.
+  *
+  * Design notes (100 TB target):
+  *   - ANSI off: the reference's `sum` wraps int64 overflow
+  *     (two's-complement accumulation, bearly_ext.cc:69-74); Spark 4
+  *     defaults ANSI on which would throw instead. Pinned off here and
+  *     documented in SURVEY.md §4.2.
+  *   - AQE on: runtime coalescing of shuffle partitions + skew-join
+  *     splitting is what makes the same plans survive 100x data growth
+  *     without hand-tuning `spark.sql.shuffle.partitions` per query.
+  *   - UTC everywhere so timestamp results are cluster-independent.
+  */
+object GraftSession {
+
+  /** Apply graft's standard config to a builder. On a real cluster the
+    * same knobs apply; only `master` and memory sizing change.
+    */
+  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
+    b.master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read as Long nanos and convert in EventOps (exact —
+      // going through double would lose precision above 2^53 ns).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.driver.host", "127.0.0.1")
+
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = configure(SparkSession.builder(), cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,266 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Bearly
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is a deterministic DataFrame (total ORDER BY,
+  * rounded derived doubles) so it hash-matches its `oracleSql` twin
+  * run by DuckDB over the same parquet tables. Entries without an
+  * oracle (approx / not SQL-expressible) get the driver's rows-only
+  * check and are pinned by ScalaTest golden/property specs instead.
+  */
 object SparkEntry {
+
+  private def t(name: String)(implicit spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    implicit val dir: String = "/root/testdata/sf0.001"
+    Relational.revenueByRegionYear(t("region"), t("nation"), t("customer"), t("orders"), t("lineitem"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference parity (SURVEY §2.1) ---
+    "bearly_sum_lineitem" -> ((s, d) => Bearly.sum(Tables.lineitem(s, d))),
+    "bearly_produce_array" -> ((s, _) =>
+      Bearly.produceArray(s).orderBy(org.apache.spark.sql.functions.col("awesome_numbers").asc_nulls_first)),
+    "bearly_produce_stream" -> ((s, _) =>
+      Bearly.produceStream(s).orderBy(org.apache.spark.sql.functions.col("column0").asc_nulls_first)),
+    // --- relational pack (SURVEY §2.2 taxonomy) ---
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q3_top_revenue" -> ((s, d) =>
+      Relational.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_filter_pushdown" -> ((s, d) => Relational.highQtyReturns(Tables.lineitem(s, d))),
+    "q_semi_join" -> ((s, d) =>
+      Relational.customersWithOpenOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_anti_join" -> ((s, d) =>
+      Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_window_topk" -> ((s, d) => Relational.topOrdersPerPriority(Tables.orders(s, d))),
+    "q_distinct" -> ((s, d) => Relational.distinctFlagStatus(Tables.lineitem(s, d))),
+    "q_except" -> ((s, d) => Relational.exceptCustkeys(Tables.orders(s, d))),
+    "q_intersect" -> ((s, d) => Relational.intersectCustkeys(Tables.orders(s, d))),
+    "q_rollup" -> ((s, d) => Relational.rollupQuantities(Tables.lineitem(s, d))),
+    "q_cube" -> ((s, d) => Relational.cubeOrderCounts(Tables.orders(s, d))),
+    "q_scalar_funcs" -> ((s, d) => Relational.partScalarFuncs(Tables.part(s, d))),
+    "q_orders_by_month" -> ((s, d) => Relational.ordersByMonth(Tables.orders(s, d))),
+    "q_star_join_region_year" -> ((s, d) =>
+      Relational.revenueByRegionYear(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // --- event ops ---
+    "ev_props_stats" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
+    "ev_asof_last_view" -> ((s, d) => EventOps.lastViewBeforePurchase(Tables.events(s, d))),
+    "ev_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
+    "ev_hourly_counts" -> ((s, d) => EventOps.hourlyCounts(Tables.events(s, d))),
+    // --- dedup ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_exact_stats" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // --- similarity search ---
+    "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "sim_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2, nBits = 4)),
+    // --- text analysis ---
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "text_quality_by_source" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d))),
+    "text_lang_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    // --- multimodal ---
+    "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
+    "mm_decode_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(Tables.documents(s, d)).toDF().orderBy("doc_id")),
+    "mm_sample_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (approx / non-relational
+    * ops) fall back to the driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "bearly_sum_lineitem" ->
+      """SELECT CAST(coalesce(sum(l_orderkey),0) AS BIGINT) AS l_orderkey,
+        |       CAST(coalesce(sum(l_partkey),0) AS BIGINT) AS l_partkey,
+        |       CAST(coalesce(sum(l_suppkey),0) AS BIGINT) AS l_suppkey
+        |FROM lineitem""".stripMargin,
+    "bearly_produce_array" ->
+      """SELECT CAST(c0 AS BIGINT) AS awesome_numbers
+        |FROM (VALUES (42),(555),(NULL)) AS t(c0)
+        |ORDER BY awesome_numbers NULLS FIRST""".stripMargin,
+    "bearly_produce_stream" ->
+      """SELECT CAST(c0 AS INTEGER) AS column0, CAST(c1 AS BIGINT) AS column1
+        |FROM (VALUES (42,555),(84,1110),(NULL,NULL)) AS t(c0,c1)
+        |ORDER BY column0 NULLS FIRST""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity),2) AS sum_qty,
+        |       round(sum(l_extendedprice),2) AS sum_base_price,
+        |       round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |       round(avg(l_quantity),4) AS avg_qty,
+        |       round(avg(l_discount),4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY 1,2,3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) sub
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1,2""",
+    "q_except" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O') sub
+        |ORDER BY custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O') sub
+        |ORDER BY custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_type) AS type_upper, substr(p_name,1,8) AS name_prefix,
+        |       CAST(length(p_name) AS INTEGER) AS name_len,
+        |       p_brand || '#' || p_type AS brand_type,
+        |       round(p_retailprice*1.1,2) AS bumped_price,
+        |       CAST(p_size % 7 AS INTEGER) AS size_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_orders_by_month" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |       count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_star_join_region_year" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey
+        |     JOIN nation ON c_nationkey = n_nationkey
+        |     JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_props_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(coalesce(sum(k),0) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |      FROM events) sub
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_asof_last_view" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT p.event_id, p.user_id, p.ts_us, max(v.ts_us) AS last_view_us
+        |FROM e p LEFT JOIN e v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts_us <= p.ts_us
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1,2,3 ORDER BY 1""".stripMargin,
+    "ev_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_hourly_counts" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        |       event_type, count(*) AS n, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |     s AS (SELECT qid, cid, round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        |           FROM q CROSS JOIN c WHERE qid <> cid),
+        |     r AS (SELECT qid, cid, cos_sim,
+        |                  CAST(row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, cid) AS INTEGER) AS rnk
+        |           FROM s)
+        |SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_exact_stats" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+        |FROM documents""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS INTEGER) AS n_chars_calc,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_tokens,
+        |       CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS INTEGER) AS n_the,
+        |       round((length(text) - length(replace(text, 'the', '')))
+        |             / (3.0 * greatest(length(text), 1)), 6) AS the_density
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprints" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(coalesce(sum(n_chars),0) AS BIGINT) AS total_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       round(avg(len(string_split(text, ' '))), 4) AS avg_words
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_payload_stats" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst sees a real
+  * file scan: filters and column pruning from downstream operators are
+  * pushed into the parquet reader (visible as PushedFilters/ReadSchema
+  * in `.explain("formatted")`). At 100 TB these tables would be
+  * partitioned directories; the loader API is unchanged.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact, canonicalized,
+  * MinHash/LSH near-dup, SimHash, n-gram Jaccard.
+  *
+  * Scale design:
+  *   - exact / canonical dedup: hash-groupBy on a digest — one
+  *     shuffle keyed by the digest, map-side combine, no text
+  *     comparison after the hash.
+  *   - MinHash: explode distinct shingles → groupBy(doc_id) with one
+  *     `min` aggregate per hash function. Partial aggregation means
+  *     the shuffle carries docs × numHashes longs, not shingles; the
+  *     per-row expressions are all codegen'd built-ins (xxhash64,
+  *     pmod) — no interpreted higher-order functions on the hot path.
+  *   - LSH banding: candidate pairs come from joining on
+  *     (band_idx, band_hash) buckets, so comparison work is
+  *     Σ bucket² instead of n² — the standard near-dup shape for
+  *     corpus-scale dedup.
+  *   - SimHash: 64-bit fingerprint via per-bit vote sums in one
+  *     explode + groupBy — same partial-agg shape as MinHash.
+  *
+  * All hash seeds are compile-time deterministic (splitmix64) so
+  * signatures are reproducible across runs, partitionings, clusters.
+  */
+object Dedup {
+
+  /** Exact dedup by full-text digest: groups, keeps the smallest
+    * doc_id as representative, reports multiplicity.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Exact dedup counts — total vs distinct (the "how much would
+    * dedup save" report).
+    */
+  def exactStats(documents: DataFrame): DataFrame =
+    documents.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+
+  /** k-word shingles from a *materialized* words-array column. The
+    * lambda only references the bound array (cheap); callers must
+    * materialize `split` into its own projection first — inlining the
+    * split here would re-evaluate it per element under interpreted
+    * higher-order-function eval.
+    */
+  private[graft] def shinglesFromWords(words: Column, k: Int): Column =
+    when(size(words) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - k),
+        i => array_join(slice(words, i + 1, lit(k)), " ")))
+
+  /** Convenience for tests / small inputs: shingles straight from a
+    * text column.
+    */
+  private[graft] def wordShingles(text: Column, k: Int): Column =
+    shinglesFromWords(split(text, " ", -1), k)
+
+  /** (doc_id, shingle) rows — distinct shingles per doc, via two
+    * projection stages (words, then shingles) so each array is
+    * computed once per row, then an explode. Docs shorter than k
+    * words keep one null-shingle row (explode_outer) so they survive
+    * to the signature stage.
+    */
+  private[graft] def explodedShingles(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
+      .select(col("doc_id"), array_distinct(shinglesFromWords(col("words"), k)).as("shingles"))
+      .select(col("doc_id"), col("shingles"), explode_outer(col("shingles")).as("sh"))
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val MersenneP = 2305843009213693951L // 2^61 - 1
+
+  /** MinHash signature: for hash i, min over the doc's distinct
+    * shingles of (a_i * xxhash64(shingle) + b_i) mod (2^61-1).
+    * One explode + one groupBy(doc_id) with numHashes `min` columns;
+    * shuffle volume is docs × numHashes longs thanks to map-side
+    * partial aggregation. Empty docs get the sentinel p for every
+    * hash.
+    */
+  def minhashSignatures(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 32): DataFrame = {
+    val p = MersenneP
+    val hashed = explodedShingles(documents, shingleK)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"), col("sh").isNull.as("empty"))
+    val minCols = (0 until numHashes).map { i =>
+      val a = (splitmix64(2L * i) & Long.MaxValue) % (p - 1) + 1
+      val b = (splitmix64(2L * i + 1) & Long.MaxValue) % p
+      min(when(col("empty"), lit(p)).otherwise(pmod(col("h") * a + b, lit(p)))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
+  }
+
+  /** LSH banding over MinHash signatures → candidate near-dup pairs →
+    * signature-agreement estimate of Jaccard.
+    *
+    * bands × rowsPerBand = numHashes. Docs sharing any band bucket are
+    * candidates; the self-join is on (band_idx, band_hash) so work is
+    * proportional to Σ bucket², not n². Output: pairs with estimated
+    * Jaccard ≥ `threshold`.
+    */
+  def minhashNearDups(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(documents, shingleK, numHashes)
+    val banded = sigs.select(col("doc_id"), col("signature"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_idx"),
+          xxhash64(array_join(transform(
+            slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ",")).as("band_hash")))).as("band"))
+      .select(col("doc_id"), col("signature"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("signature").as("sig_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bEq => bEq))
+          .cast("double") / numHashes, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 64-bit fingerprint = sign of per-bit vote sums over
+    * token hashes. Near-identical texts agree on almost all bits.
+    * Explode + groupBy(doc_id) → map-side partial sums of 64 vote
+    * counters, one narrow shuffle regardless of corpus size.
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteCols = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val fp = (0 until 64).map { bit =>
+      when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing ≥1 shingle: explode
+    * distinct shingles, self-join on the shingle (blocking — no full
+    * crossJoin), count intersections, Jaccard from |A|+|B|-|A∩B|.
+    */
+  def ngramJaccardPairs(documents: DataFrame, shingleK: Int = 5, threshold: Double = 0.2): DataFrame = {
+    val exploded = explodedShingles(documents, shingleK)
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("sh"))
+    val a = exploded.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+    val b = exploded.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+    a.join(b, "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+}

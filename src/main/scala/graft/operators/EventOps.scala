@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-log operators: JSON prop extraction, as-of join,
+  * sessionization. The `events` table is the batch twin of the
+  * streaming path in [[graft.streaming.EventStreams]].
+  *
+  * Timestamps: the parquet stores nanosecond timestamps, which Spark
+  * reads as Long nanos under `spark.sql.legacy.parquet.nanosAsLong`
+  * (Spark's TimestampType is µs). All operators normalize to epoch
+  * microseconds (`ts_us: Long`) up front — integer `div`, never
+  * double division, since epoch-nanos exceed 2^53 — and all outputs
+  * expose ts_us so results are engine- and timezone-independent.
+  */
+object EventOps {
+
+  /** Normalize the `ts` column to epoch µs as `ts_us`, accepting
+    * either Long nanos (parquet NANOS under the legacy flag) or a
+    * proper TimestampType (tests, other sources).
+    */
+  private[graft] def withTsUs(events: DataFrame): DataFrame = {
+    val tsUs: Column = events.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts"))
+    }
+    events.withColumn("ts_us", tsUs)
+  }
+
+  /** Parse the JSON `props` payload and aggregate per event type.
+    * Uses `regexp_extract` (codegen'd) rather than a JSON UDF; for
+    * richer payloads `from_json` with an explicit schema is the
+    * scale path (still codegen-friendly, no Python/Scala closures).
+    */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        coalesce(sum("k"), lit(0L)).as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** As-of join, self-join flavor: for every `purchase` event, the
+    * most recent `view` event timestamp (µs) by the same user at or
+    * before the purchase.
+    *
+    * Spark has no built-in as-of join; the scalable shape is NOT a
+    * range join (O(n·m) per user) but union + sort within user
+    * partitions + `last(ignoreNulls)` running window — a single
+    * shuffle on user_id, linear work per partition, no blow-up on
+    * users with many events. This is the standard "merge as-of"
+    * re-expressed declaratively so it survives 100 TB event logs.
+    */
+  def lastViewBeforePurchase(events: DataFrame): DataFrame = {
+    val e = withTsUs(events)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        lit(null).cast("long").as("event_id"), col("ts_us").as("view_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id"), lit(null).cast("long").as("view_us"))
+    // views sort before purchases on ts ties so "at or before"
+    // includes same-instant views.
+    val tagged = views.unionByName(purchases)
+      .withColumn("is_purchase", when(col("event_id").isNotNull, 1).otherwise(0))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("is_purchase"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view_us", last(col("view_us"), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_view_us"))
+      .orderBy("event_id")
+  }
+
+  /** Sessionization: split each user's event stream on gaps >
+    * `gapMinutes`, emit per-session stats. One shuffle on user_id;
+    * both windows share the same partitioning so Catalyst plans a
+    * single Exchange + Sort reused by lag and running-sum.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTsUs(events)
+      .select(col("user_id"), col("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Tumbling-window aggregation (batch twin of the streaming query):
+    * events per hour per type. Hour bucketing via integer div on
+    * epoch µs — identical to date_trunc('hour') in UTC.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000
+    withTsUs(events)
+      .groupBy(
+        (expr(s"ts_us div $hourUs") * hourUs).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour_us", "event_type")
+  }
+}

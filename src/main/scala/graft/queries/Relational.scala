@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator pack: grouped aggregation, multi-way joins,
+  * semi/anti joins, window top-k, distinct, set ops, rollup, scalar
+  * and date functions — the standard-taxonomy categories from
+  * SURVEY.md §2.2, each expressed declaratively so Catalyst plans
+  * them (pushdown, pruning, partial aggs, broadcast joins, AQE).
+  *
+  * Determinism contract: every query ends in a total ORDER BY (unique
+  * tiebreak) and rounds derived doubles, so results hash-match the
+  * DuckDB oracle regardless of partitioning / parallelism.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary. Scale: map-side partial
+    * aggregation on (returnflag, linestatus) — 6 groups — so the
+    * shuffle carries ~6 rows per partition regardless of input size.
+    * The shipdate filter and 7-column projection are pushed into the
+    * parquet scan.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: 3-way join, grouped revenue, top 10.
+    * Scale: customer (filtered) is tiny relative to lineitem →
+    * explicitly broadcast; orders⋈lineitem is the one real shuffle,
+    * on the join key both sides already share. The final top-10 is a
+    * TakeOrderedAndProject (per-partition heap + driver merge), not a
+    * global sort.
+    */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp") &&
+        col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Filter + projection; both reach the parquet scan (PushedFilters /
+    * ReadSchema in explain). At 100 TB this is the difference between
+    * reading 2 columns' pages of matching row-groups and reading
+    * everything.
+    */
+  def highQtyReturns(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Left-semi join: customers holding at least one open ('P') order.
+    * Semi joins ship only the key column and stop at first match — at
+    * scale, prefer this over join+distinct.
+    */
+  def customersWithOpenOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with no orders at all. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Window top-k per group: 3 priciest orders per priority class.
+    * row_number over a partitioned window = one shuffle on the
+    * partition key; with k≪group size a per-group bounded heap
+    * (Aggregator) would cut shuffle volume further — documented
+    * trade-off, window form keeps it declarative/codegen'd.
+    */
+  def topOrdersPerPriority(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Distinct over a low-cardinality pair — partial-aggregate form
+    * (map-side dedup before shuffle), not a global sort.
+    */
+  def distinctFlagStatus(lineitem: DataFrame): DataFrame =
+    lineitem.select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Set op EXCEPT: customers with finished but no open orders. */
+  def exceptCustkeys(orders: DataFrame): DataFrame = {
+    val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    f.except(o).orderBy("custkey")
+  }
+
+  /** Set op INTERSECT: customers with both finished and open orders. */
+  def intersectCustkeys(orders: DataFrame): DataFrame = {
+    val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    f.intersect(o).orderBy("custkey")
+  }
+
+  /** ROLLUP grouping sets: per (flag,status), per flag, grand total.
+    * Spark expands rollup into a single Expand + aggregate — one pass
+    * over the data, not one pass per grouping set.
+    */
+  def rollupQuantities(lineitem: DataFrame): DataFrame =
+    lineitem.rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE grouping sets over orders. */
+  def cubeOrderCounts(orders: DataFrame): DataFrame =
+    orders.cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Scalar function pack (string/math) — all codegen'd built-ins,
+    * no UDFs, so the whole projection stays in one WholeStageCodegen.
+    */
+  def partScalarFuncs(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_type")).as("type_upper"),
+      substring(col("p_name"), 1, 8).as("name_prefix"),
+      length(col("p_name")).as("name_len"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      round(col("p_retailprice") * 1.1, 2).as("bumped_price"),
+      (col("p_size") % 7).as("size_mod"))
+      .orderBy("p_partkey")
+
+  /** Date dimension aggregation: orders per year/month. */
+  def ordersByMonth(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_year", "o_month")
+
+  /** Multi-way star join through the full dimension chain with an
+    * aggregate per (region, year). Small dims (customer, nation,
+    * region) broadcast — nation/region stay tiny at any scale.
+    * lineitem⋈orders is the one genuine shuffle (both fact-sized at
+    * 100 TB — never broadcast orders); pre-projecting orders to 3
+    * columns keeps the shuffled bytes minimal, and AQE converts to a
+    * skew-aware sort-merge if a key is hot.
+    */
+  def revenueByRegionYear(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("r_name", "o_year")
+}

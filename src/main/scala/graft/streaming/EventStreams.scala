@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * ([[graft.operators.EventOps]]): tumbling-window aggregation with
+  * watermarks, session windows, and custom per-key state via
+  * mapGroupsWithState.
+  *
+  * Input contract: a streaming DataFrame with at least
+  * (ts: Timestamp, user_id: Long, event_type: String, value: Double).
+  * Watermarks bound state: late events beyond the watermark are
+  * dropped, so state size is O(active windows × keys), not O(stream
+  * length) — the property that lets these run for months on a real
+  * cluster.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts per event_type, 2h watermark for late
+    * data. Output matches EventOps.hourlyCounts modulo completeness
+    * (append mode emits a window only once its watermark passes).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user — the streaming twin of
+    * EventOps.sessionize, using Spark's native session_window (state
+    * is merged ranges per user, bounded by the watermark).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via
+    * mapGroupsWithState — the escape hatch for stateful logic the
+    * built-in windows can't express. NoTimeout here (finite totals);
+    * a production deployment with unbounded keys would use
+    * EventTimeTimeout + a watermark so abandoned keys expire instead
+    * of leaking state. (ProcessingTimeTimeout schedules recurring
+    * empty trigger batches — it also never lets processAllAvailable
+    * drain in tests.)
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(userId, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: wire a streaming query to an in-memory sink for
+    * tests/demos. Caller stops the query.
+    */
+  def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()) =
+    df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(d).collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("exactStats counts dupes") {
+    val d = docs(1L -> "t", 2L -> "t", 3L -> "u", 4L -> "t")
+    val r = Dedup.exactStats(d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 2L, 2L))
+  }
+
+  test("wordShingles produces k-grams; short text → empty") {
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = d.select(Dedup.wordShingles(col("text"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(short.select(Dedup.wordShingles(col("text"), 3).as("s"))
+      .collect().head.getSeq[String](0).isEmpty)
+  }
+
+  test("minhash: identical texts → identical signatures, est_jaccard 1.0") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> (1 to 40).map(i => s"z$i").mkString(" "))
+    val sigs = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.minhashNearDups(d).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash: signatures deterministic across runs/partitioning") {
+    val d = docs((1L, (1 to 60).map(i => s"tok$i").mkString(" ")))
+    val s1 = Dedup.minhashSignatures(d).collect().head.getSeq[Long](1)
+    val s2 = Dedup.minhashSignatures(d.repartition(7)).collect().head.getSeq[Long](1)
+    assert(s1 == s2)
+  }
+
+  test("minhash approximates true jaccard on overlapping texts") {
+    // 50 shingles shared prefix, distinct tails → J ≈ shared/(total)
+    val common = (1 to 50).map(i => s"c$i").mkString(" ")
+    val d = docs(
+      1L -> (common + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      2L -> (common + " " + (1 to 10).map(i => s"b$i").mkString(" ")))
+    val pairs = Dedup.minhashNearDups(d, threshold = 0.1).collect()
+    assert(pairs.length == 1)
+    val est = pairs.head.getDouble(2)
+    assert(est > 0.4 && est < 0.95, s"estimated jaccard $est out of plausible band")
+  }
+
+  test("simhash: identical → equal; disjoint vocab → different") {
+    val t1 = (1 to 50).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> t1, 2L -> t1, 3L -> (1 to 50).map(i => s"q$i").mkString(" "))
+    val hs = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val d = docs(
+      1L -> "a b c d e f",   // shingles(3): {abc,bcd,cde,def} n=4
+      2L -> "a b c d e g")   // {abc,bcd,cde,deg} n=4, inter=3, union=5
+    val out = Dedup.ngramJaccardPairs(d, shingleK = 3, threshold = 0.1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 2L, 3L))
+    assert(math.abs(r.getDouble(3) - 0.6) < 1e-9)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def us(s: String) = ts(s).getTime * 1000L
+
+  private def ev(rows: (Long, String, Long, String)*) =
+    rows.toDF("event_id", "ts_str", "user_id", "event_type")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id", "event_type")
+
+  test("as-of join: latest view at or before each purchase, per user") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 7L, "view"),
+      (2L, "2024-01-01 10:05:00", 7L, "view"),
+      (3L, "2024-01-01 10:07:00", 7L, "purchase"),
+      (4L, "2024-01-01 10:10:00", 7L, "view"),
+      (5L, "2024-01-01 09:00:00", 8L, "purchase"), // no prior view
+      (6L, "2024-01-01 11:00:00", 8L, "view"),
+      (7L, "2024-01-01 12:00:00", 8L, "purchase"))
+    val out = EventOps.lastViewBeforePurchase(events).collect()
+    val m = out.map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(m(3L) == Some(us("2024-01-01 10:05:00")))
+    assert(m(5L) == None)
+    assert(m(7L) == Some(us("2024-01-01 11:00:00")))
+  }
+
+  test("as-of join: view at exact purchase instant counts") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:00:00", 1L, "purchase"))
+    val out = EventOps.lastViewBeforePurchase(events).collect()
+    assert(out.head.getLong(3) == us("2024-01-01 10:00:00"))
+  }
+
+  test("sessionize splits on >30min gaps") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:10:00", 1L, "click"),
+      (3L, "2024-01-01 11:00:00", 1L, "view"),  // 50min gap → new session
+      (4L, "2024-01-01 11:20:00", 1L, "view"),
+      (5L, "2024-01-01 09:00:00", 2L, "view"))
+    val out = EventOps.sessionize(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("propsStats parses k and aggregates per type") {
+    val events = Seq(
+      (1L, "click", """{"k": 5}"""),
+      (2L, "click", """{"k": -2}"""),
+      (3L, "view", """{"other": 1}"""))
+      .toDF("event_id", "event_type", "props")
+    val out = EventOps.propsStats(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("click") == (2L, 3L))
+    assert(out("view") == (1L, 0L))
+  }
+}

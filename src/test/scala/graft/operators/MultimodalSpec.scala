@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "hello world", "src0"),
+    (1L, "abc", "src1"),
+    (2L, "some video-ish payload bytes here", "src2"))
+    .toDF("doc_id", "text", "source")
+
+  test("asMedia: payload bytes are UTF-8 of text; meta is queryable without payload") {
+    val m = Multimodal.asMedia(docs)
+    val r = m.filter(col("doc_id") === 0).select("payload", "meta.media_type", "meta.n_bytes")
+      .collect().head
+    assert(new String(r.getAs[Array[Byte]](0), "UTF-8") == "hello world")
+    assert(r.getString(1) == "image")
+    assert(r.getInt(2) == 11)
+    // media_type fan-out is doc_id % 3
+    val types = m.select(col("doc_id"), col("meta.media_type")).collect()
+      .map(r2 => r2.getLong(0) -> r2.getString(1)).toMap
+    assert(types == Map(0L -> "image", 1L -> "audio", 2L -> "video"))
+  }
+
+  test("decodeFeatures: deterministic stub features, one per record") {
+    val out1 = Multimodal.decodeFeatures(docs).collect().sortBy(_.doc_id)
+    val out2 = Multimodal.decodeFeatures(docs.repartition(3)).collect().sortBy(_.doc_id)
+    assert(out1.toSeq == out2.toSeq)
+    assert(out1.length == 3)
+    assert(out1.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
+    // only video rows get multi-frame counts
+    assert(out1.filter(_.media_type != "video").forall(_.n_frames == 1))
+  }
+
+  test("sampleFrames: only video payloads, stride sampling") {
+    val out = Multimodal.sampleFrames(docs, stride = 4).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    val text = "some video-ish payload bytes here"
+    assert(out.head.getInt(1) == (text.length + 3) / 4)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine: known vectors") {
+    val d = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 2.0), Seq(2.0, 4.0)))
+      .toDF("a", "b")
+    val out = d.select(Similarity.cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 0.0) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("codegen CosineSimilarity matches the higher-order-function formulation bit-for-bit") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val paired = e.select(col("vec_id"), col("v"))
+      .crossJoin(e.select(col("vec_id").as("id2"), col("v").as("v2")))
+      .filter(col("vec_id") < col("id2")).limit(200)
+    val diffs = paired.select(
+      Similarity.cosine(col("v"), col("v2")).as("hof"),
+      graft.functions.VectorFunctions.cosineSim(col("v"), col("v2")).as("cg"))
+      .filter(col("hof") =!= col("cg")).count()
+    assert(diffs == 0L)
+  }
+
+  test("bruteForceTopK: identical vector ranks first") {
+    val v1 = Seq.tabulate(64)(i => math.sin(i).toFloat)
+    val v2 = Seq.tabulate(64)(i => math.cos(i * 2).toFloat)
+    val d = emb(0L -> v1, 10L -> v1, 11L -> v2, 12L -> v2.map(x => (-x)))
+    val out = Similarity.bruteForceTopK(d, k = 3, nQueries = 1).collect()
+    assert(out.length == 3)
+    // rank 1 must be the duplicate of the query vector
+    assert(out.head.getLong(2) == 10L)
+    assert(out.head.getDouble(3) == 1.0)
+  }
+
+  test("ivfTopK achieves reasonable recall vs brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.bruteForceTopK(e, k = 5, nQueries = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.ivfTopK(e, k = 5, nQueries = 5, nCells = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low (nProbe=4/8 cells)")
+    // probing all cells must recover brute force exactly
+    val full = Similarity.ivfTopK(e, k = 5, nQueries = 5, nCells = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact)
+  }
+
+  test("cosineNearDupPairs finds planted near-duplicates") {
+    val base = Seq.tabulate(64)(i => (math.sin(i * 1.7) * 10).toFloat)
+    val nearDup = base.updated(0, base(0) + 0.01f)
+    val noise = Seq.tabulate(64)(i => (math.cos(i * 3.1) * 10).toFloat)
+    val d = emb(1L -> base, 2L -> nearDup, 3L -> noise)
+    val out = Similarity.cosineNearDupPairs(d, threshold = 0.99, nBits = 4).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+}
