@@ -53,11 +53,17 @@ object SparkEntry {
     "q_star_join_region_year" -> ((s, d) =>
       Relational.revenueByRegionYear(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_union_all" -> ((s, d) => Relational.unionAllOrders(Tables.orders(s, d))),
+    "q_percentiles" -> ((s, d) => Relational.pricePercentiles(Tables.orders(s, d))),
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinctStats(Tables.lineitem(s, d))),
+    "q_udaf_weighted_avg" -> ((s, d) => Relational.weightedAvgDiscount(Tables.lineitem(s, d))),
     // --- event ops ---
     "ev_props_stats" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
     "ev_asof_last_view" -> ((s, d) => EventOps.lastViewBeforePurchase(Tables.events(s, d))),
     "ev_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "ev_hourly_counts" -> ((s, d) => EventOps.hourlyCounts(Tables.events(s, d))),
+    "ev_by_segment" -> ((s, d) =>
+      EventOps.eventsBySegment(Tables.events(s, d), Tables.customer(s, d))),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
@@ -180,6 +186,30 @@ object SparkEntry {
         |     JOIN customer ON o_custkey = c_custkey
         |     JOIN nation ON c_nationkey = n_nationkey
         |     JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_union_all" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderpriority AS bucket FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority AS bucket FROM orders
+        |  WHERE o_orderpriority = '2-HIGH') sub
+        |ORDER BY o_orderkey, bucket""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_by_segment" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "ev_props_stats" ->
       """SELECT event_type, count(*) AS n_events,

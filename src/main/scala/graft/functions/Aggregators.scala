@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregators (the UDAF surface of the engine).
+  *
+  * These compose with groupBy().agg() via `functions.udaf(...)` and
+  * run as proper partial aggregates: `reduce` map-side, `merge`
+  * across partitions — the same two-phase shape Catalyst gives
+  * built-ins, so they scale like `sum` does (no collect, no
+  * per-group materialization beyond the buffer).
+  */
+object Aggregators {
+
+  /** Weighted mean: Σ(x·w) / Σ(w). Buffer is two doubles — constant
+    * size per group regardless of input rows.
+    */
+  object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
+    override def zero: (Double, Double) = (0.0, 0.0)
+    override def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
+      (b._1 + in._1 * in._2, b._2 + in._2)
+    override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Double, Double)): Double =
+      if (b._2 == 0.0) Double.NaN else b._1 / b._2
+    override def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Bounded top-k: keeps the k largest values per group in the
+    * buffer (size ≤ k), so per-group shuffle volume is O(k) instead
+    * of the O(group) a sort-based window top-k pays. The alternative
+    * to `row_number().over(window) <= k` when k ≪ group size at
+    * 100 TB.
+    */
+  class TopK(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+    override def zero: Seq[Double] = Vector.empty
+    override def reduce(b: Seq[Double], x: Double): Seq[Double] = insert(b, x)
+    override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      b.foldLeft(a)(insert)
+    override def finish(b: Seq[Double]): Seq[Double] = b
+    private def insert(b: Seq[Double], x: Double): Seq[Double] = {
+      if (b.size < k) (b :+ x).sorted(Ordering[Double].reverse)
+      else if (x > b.last) (b.init :+ x).sorted(Ordering[Double].reverse)
+      else b
+    }
+    override def bufferEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
+  }
+}

@@ -101,6 +101,18 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Dimension enrichment: events joined to the customer dimension
+    * (user_id is a customer key) — broadcast the dim, so the event
+    * log never shuffles; aggregate per (segment, event_type).
+    */
+  def eventsBySegment(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+
   /** Tumbling-window aggregation (batch twin of the streaming query):
     * events per hour per type. Hour bucketing via integer div on
     * epoch µs — identical to date_trunc('hour') in UTC.

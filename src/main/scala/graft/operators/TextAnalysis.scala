@@ -58,49 +58,94 @@ object TextAnalysis {
 
   /** Language ID via corpus-trained character-trigram profiles.
     *
-    * Train: explode docs to trigrams, count per (lang, gram), keep the
-    * top-`profileSize` per language (window), collect to a broadcast
-    * map. Classify: score each doc by summing log-ish weights of its
-    * trigrams against each profile; argmax lang.
+    * Train (distributed): explode a deterministic 1-in-`trainModulo`
+    * doc sample to trigrams, count per (lang, gram) — one shuffle with
+    * map-side combine — keep the top-`profileSize` per language.
+    * The finished profile is O(langs × profileSize) — KBs — so it is
+    * collected and broadcast (the model-apply pattern: a bounded
+    * model crosses to the driver once; 100 TB of documents never do).
     *
-    * Scale: the profile is O(langs × profileSize) — KBs — broadcast;
-    * classification is a map-only stage. Training is one shuffle on
-    * (lang, gram) with map-side combine.
+    * Classify (map-only): one typed pass per document scoring its
+    * trigrams against every language profile — a few thousand hash
+    * lookups per doc, no join/shuffle. Score = Σ (profileSize+1-rank)
+    * over matching grams; argmax with (score desc, lang asc)
+    * tiebreak so output is deterministic; docs matching nothing get
+    * "und". (Earlier join+groupBy+window formulation did the same in
+    * ~4M shuffled rows — 5.4s at sf0.1 vs ~1s for this shape.)
     */
-  def languageId(documents: DataFrame, profileSize: Int = 300): DataFrame = {
+  def languageId(documents: DataFrame, profileSize: Int = 300, trainModulo: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    import spark.implicits._
     val grams = documents
+      .filter(pmod(col("doc_id"), lit(trainModulo)) === 0)
       .select(col("lang"), lower(col("text")).as("t"))
-      .select(col("lang"), explode(trigrams(col("t"))).as("gram"))
+      .select(col("lang"), col("t"), split(col("t"), "", -1).as("chars"))
+      .select(col("lang"), explode(trigramsFromChars(col("t"), col("chars"))).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
-    val profile = grams
+    val profileRows = grams
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= profileSize)
       .select("lang", "gram", "rank")
-    val docGrams = documents
+      .collect()
+    val profile: Array[(String, Map[String, Long])] = profileRows
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        lang -> rows.map(r => r.getString(1) -> (profileSize + 1L - r.getInt(2))).toMap
+      }
+      .toArray.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(profile)
+    documents
       .select(col("doc_id"), col("lang").as("true_lang"), lower(col("text")).as("t"))
-      .select(col("doc_id"), col("true_lang"), explode_outer(trigrams(col("t"))).as("gram"))
-    // score = Σ (profileSize - rank + 1) over matching grams
-    val scored = docGrams
-      .join(broadcast(profile), Seq("gram"), "left")
-      .groupBy(col("doc_id"), col("true_lang"), col("lang"))
-      .agg(coalesce(sum(lit(profileSize + 1) - col("rank")), lit(0L)).as("score"))
-    val best = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc_nulls_last)
-    scored
-      .withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("true_lang"), coalesce(col("lang"), lit("und")).as("pred_lang"), col("score"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val prof = bc.value
+        it.map { case (id, trueLang, t) =>
+          val scores = new Array[Long](prof.length)
+          var i = 0
+          while (i + 3 <= t.length) {
+            val g = t.substring(i, i + 3)
+            var j = 0
+            while (j < prof.length) {
+              scores(j) += prof(j)._2.getOrElse(g, 0L)
+              j += 1
+            }
+            i += 1
+          }
+          var bestJ = -1; var bestS = 0L
+          var j = 0
+          while (j < prof.length) {
+            if (scores(j) > bestS) { bestS = scores(j); bestJ = j }
+            j += 1
+          }
+          val pred = if (bestJ < 0) "und" else prof(bestJ)._1
+          (id, trueLang, pred, bestS)
+        }
+      }
+      .toDF("doc_id", "true_lang", "pred_lang", "score")
       .orderBy("doc_id")
   }
 
-  /** Character trigrams of an already-materialized (and lowercased)
-    * text column. The lambda must only reference a bound column —
-    * embedding e.g. `lower(text)` here would re-evaluate it per
-    * element under interpreted higher-order-function eval (O(len²)
-    * per doc). Callers materialize `lower(text)` in a prior select.
+  /** Character trigrams from an already-materialized text column `t`
+    * and its materialized char-array `chars` (= split(t, "")).
+    *
+    * Two pitfalls this shape avoids (measured, not theoretical):
+    * inlining `lower(text)`/`split` into the lambda re-evaluates them
+    * per element under interpreted higher-order-function eval, and
+    * `t.substr(i, 3)` seeks from the string start per element (O(len²)
+    * per doc — 5.8s → sub-second at sf0.1 when switched to array
+    * slices).
+    */
+  private[graft] def trigramsFromChars(t: org.apache.spark.sql.Column,
+                                       chars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(length(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - 2),
+        i => array_join(slice(chars, i, lit(3)), "")))
+
+  /** Convenience for tests / small inputs (inlines the char split —
+    * fine for tiny data, wrong for the corpus path).
     */
   private[graft] def trigrams(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(length(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+    trigramsFromChars(t, split(t, "", -1))
 }

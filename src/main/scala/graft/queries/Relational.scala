@@ -161,6 +161,55 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("o_year", "o_month")
 
+  /** UNION ALL of two branch selections (bag semantics — no dedup
+    * shuffle, unlike EXCEPT/INTERSECT).
+    */
+  def unionAllOrders(orders: DataFrame): DataFrame = {
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority").as("bucket"))
+    val high = orders.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_orderkey"), col("o_orderpriority").as("bucket"))
+    urgent.union(high).orderBy("o_orderkey", "bucket")
+  }
+
+  /** Exact percentiles per group (median & p90 of order totals).
+    * Spark's `percentile` is the exact interpolated quantile —
+    * matches DuckDB quantile_cont. Exact percentiles need the full
+    * group sorted; at 100 TB prefer approx_percentile (t-digest,
+    * mergeable sketch) unless exactness is contractual — both are
+    * exposed here ([[approxDistinctStats]] shows the sketch side).
+    */
+  def pricePercentiles(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Sketch-based distinct counts (HyperLogLog++): mergeable,
+    * constant memory — the 100 TB answer to COUNT(DISTINCT). No SQL
+    * oracle (sketch estimates are engine-specific); ScalaTest pins
+    * the estimate within rsd of the exact count.
+    */
+  def approxDistinctStats(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+      count(lit(1)).as("n_rows"))
+
+  /** Custom-UDAF query: weighted average discount (weight =
+    * quantity) per return flag via the typed
+    * [[graft.functions.Aggregators.WeightedMean]] Aggregator.
+    */
+  def weightedAvgDiscount(lineitem: DataFrame): DataFrame = {
+    val wavg = udaf(graft.functions.Aggregators.WeightedMean)
+    lineitem.groupBy("l_returnflag")
+      .agg(round(wavg(col("l_discount"), col("l_quantity")), 6).as("wavg_discount"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Multi-way star join through the full dimension chain with an
     * aggregate per (region, year). Small dims (customer, nation,
     * region) broadcast — nation/region stay tiny at any scale.

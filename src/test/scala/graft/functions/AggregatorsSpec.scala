@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WeightedMean matches sum(x*w)/sum(w)") {
+    val df = Seq((1.0, 2.0, "a"), (3.0, 1.0, "a"), (10.0, 4.0, "b"))
+      .toDF("x", "w", "g")
+    val wavg = udaf(Aggregators.WeightedMean)
+    val out = df.groupBy("g").agg(wavg(col("x"), col("w")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 5.0 / 3.0) < 1e-12)
+    assert(out("b") == 10.0)
+  }
+
+  test("WeightedMean: zero total weight → NaN") {
+    val df = Seq((1.0, 0.0)).toDF("x", "w")
+    val wavg = udaf(Aggregators.WeightedMean)
+    assert(df.agg(wavg(col("x"), col("w"))).collect().head.getDouble(0).isNaN)
+  }
+
+  test("TopK keeps the k largest, merging across partitions") {
+    val vals = (1 to 100).map(_.toDouble)
+    val df = vals.toDF("v").repartition(7)
+    val top3 = udaf(new Aggregators.TopK(3))
+    val out = df.agg(top3(col("v")).as("t")).collect().head.getSeq[Double](0)
+    assert(out == Seq(100.0, 99.0, 98.0))
+  }
+
+  test("TopK agrees with window row_number top-k per group") {
+    val orders = Tables.orders(spark, sf0001)
+    val top3 = udaf(new Aggregators.TopK(3))
+    val viaAgg = orders.groupBy("o_orderpriority")
+      .agg(top3(col("o_totalprice")).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val viaWindow = graft.queries.Relational.topOrdersPerPriority(orders, 3)
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq }
+    assert(viaAgg == viaWindow)
+  }
+
+  test("approx_count_distinct within rsd of exact") {
+    val li = Tables.lineitem(spark, sf0001)
+    val r = graft.queries.Relational.approxDistinctStats(li).collect().head
+    val exact = li.select(countDistinct(col("l_orderkey"))).collect().head.getLong(0)
+    assert(math.abs(r.getLong(0) - exact).toDouble / exact < 0.05)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the scale properties the scaladocs claim —
+  * pushdown reaching the parquet scan, broadcast joins where
+  * intended — verified against the actual optimized plans, so a
+  * regression in plan shape fails CI, not just a benchmark.
+  */
+class RelationalSpec extends SparkSpec {
+
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("filter+projection are pushed into the parquet scan") {
+    val plan = formattedPlan(Relational.highQtyReturns(Tables.lineitem(spark, sf0001)))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(l_quantity,45.0)"), s"no pushed filter in:\n$plan")
+    // pruned read schema: only the 4 selected columns survive to the scan
+    assert(plan.contains("l_orderkey") && !plan.contains("l_shipdate"),
+      "column pruning failed — scan reads unselected columns")
+  }
+
+  test("star join broadcasts dims and keeps one shuffle for the fact join") {
+    val plan = formattedPlan(Relational.revenueByRegionYear(
+      Tables.region(spark, sf0001), Tables.nation(spark, sf0001),
+      Tables.customer(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001)))
+    assert(plan.contains("BroadcastHashJoin"), "dims not broadcast")
+  }
+
+  test("pricing summary uses partial aggregation (map-side combine)") {
+    val plan = formattedPlan(Relational.pricingSummary(Tables.lineitem(spark, sf0001)))
+    assert(plan.contains("HashAggregate"), "no hash aggregate")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial/final split")
+  }
+
+  test("whole-stage codegen covers the scan→aggregate pipeline") {
+    val df = Relational.pricingSummary(Tables.lineitem(spark, sf0001))
+    df.collect() // AQE finalizes the physical plan only on execution
+    // '*(n)' prefixes mark WholeStageCodegen stages in the compact form
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter") || plan.contains("WholeStageCodegen"),
+      s"scan→filter pipeline not codegen'd:\n$plan")
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("*(2) HashAggregate"),
+      s"aggregate not codegen'd:\n$plan")
+  }
+
+  test("queries are deterministic: repeated runs give identical rows") {
+    val q = SparkEntryLike.sample
+    val a = q(spark, sf0001).collect().toSeq
+    val b = q(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
+
+  private object SparkEntryLike {
+    val sample: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, d) => Relational.topRevenueOrders(
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
+  }
+}
