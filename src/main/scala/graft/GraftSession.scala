@@ -36,6 +36,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.driver.host", "127.0.0.1")
+      // custom planner strategy (native as-of join) + SQL functions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = configure(SparkSession.builder(), cores).getOrCreate()

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.plans.AsOfJoinPlan
+import org.apache.spark.sql.{DataFrame, GraftSqlShim}
+
+/** User-facing facade for the native as-of join
+  * ([[graft.plans.AsOfJoinPlan]] — see there for semantics and the
+  * scale story). Requires the session to carry
+  * [[graft.GraftExtensions]] (GraftSession does).
+  */
+object AsOf {
+
+  /** Backward as-of join: each left row gains the right row with the
+    * greatest `rightTime <= leftTime` among right rows whose
+    * `rightKey` equals the left row's `leftKey` (right columns null
+    * when no such row). Right columns keep their names — alias
+    * upstream on collisions.
+    */
+  def join(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    val lPlan = GraftSqlShim.analyzedPlan(left)
+    val rPlan = GraftSqlShim.analyzedPlan(right)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val plan = AsOfJoinPlan(
+      lPlan, rPlan,
+      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime))
+    GraftSqlShim.ofRows(spark, plan)
+  }
+}

@@ -78,6 +78,23 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Same as-of semantics as [[lastViewBeforePurchase]] but through
+    * the native [[graft.plans.AsOfJoinPlan]] operator (one co-
+    * partitioned sorted merge instead of union+window). Differential
+    * spec asserts equality; both hash-match the same DuckDB oracle.
+    */
+  def lastViewBeforePurchaseNative(events: DataFrame): DataFrame = {
+    val e = withTsUs(events)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_us").as("view_us"))
+    AsOf.join(purchases, views, "user_id", "v_user", "ts_us", "view_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("view_us").as("last_view_us"))
+      .orderBy("event_id")
+  }
+
   /** Sessionization: split each user's event stream on gaps >
     * `gapMinutes`, emit per-session stats. One shuffle on user_id;
     * both windows share the same partitioning so Catalyst plans a
