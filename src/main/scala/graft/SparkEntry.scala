@@ -54,6 +54,9 @@ object SparkEntry {
       Relational.revenueByRegionYear(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_union_all" -> ((s, d) => Relational.unionAllOrders(Tables.orders(s, d))),
+    "q_range_join" -> ((s, d) =>
+      Relational.shippedWithin90Days(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Relational.pricePercentiles(Tables.orders(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctStats(Tables.lineitem(s, d))),
     "q_udaf_weighted_avg" -> ((s, d) => Relational.weightedAvgDiscount(Tables.lineitem(s, d))),
@@ -196,6 +199,21 @@ object SparkEntry {
         |  SELECT o_orderkey, o_orderpriority AS bucket FROM orders
         |  WHERE o_orderpriority = '2-HIGH') sub
         |ORDER BY o_orderkey, bucket""".stripMargin,
+    "q_range_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(avg((epoch_us(CAST(l_shipdate AS TIMESTAMP))
+        |                  - epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+        |                 / (86400.0 * 1000000)), 4) AS avg_lag_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

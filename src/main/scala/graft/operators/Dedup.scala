@@ -130,16 +130,17 @@ object Dedup {
       col("doc_id").as("doc_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_b"), col("signature").as("sig_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+    // score before dedup: the estimate is identical for every banded
+    // copy of a pair, so the dedup shuffle carries 3 scalar columns
+    // instead of two numHashes-long signature arrays
+    a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .dropDuplicates("doc_a", "doc_b")
-    pairs
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bEq => bEq))
           .cast("double") / numHashes, 6))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 

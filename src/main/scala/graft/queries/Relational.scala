@@ -161,6 +161,35 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("o_year", "o_month")
 
+  /** Range join: lineitems shipped within 90 days of their order's
+    * date. Planned as an equi-join on the key with the range as a
+    * post-join filter — the scalable shape (pure range joins without
+    * an equi key degenerate to broadcast-NLJ; always anchor on a key).
+    */
+  def shippedWithin90Days(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(avg(
+        (unix_micros(col("l_shipdate").cast("timestamp"))
+          - unix_micros(col("o_orderdate").cast("timestamp"))) / (86400.0 * 1000000)
+      ), 4).as("avg_lag_days"))
+      .orderBy("l_returnflag")
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): totals per
+    * (status), per (priority), and grand total in one pass (single
+    * Expand + aggregate).
+    */
+  def orderGroupingSets(orders: DataFrame): DataFrame =
+    orders.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** UNION ALL of two branch selections (bag semantics — no dedup
     * shuffle, unlike EXCEPT/INTERSECT).
     */
