@@ -68,6 +68,7 @@ object SparkEntry {
     "ev_hourly_counts" -> ((s, d) => EventOps.hourlyCounts(Tables.events(s, d))),
     "ev_by_segment" -> ((s, d) =>
       EventOps.eventsBySegment(Tables.events(s, d), Tables.customer(s, d))),
+    "ev_hour_pivot" -> ((s, d) => EventOps.hourOfDayPivot(Tables.events(s, d))),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
@@ -84,6 +85,7 @@ object SparkEntry {
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "text_quality_by_source" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d))),
     "text_lang_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    "text_top_words" -> ((s, d) => TextAnalysis.topWords(Tables.documents(s, d))),
     // --- multimodal ---
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) =>
@@ -230,6 +232,19 @@ object SparkEntry {
         |       round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_hour_pivot" ->
+      """SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INTEGER) AS hour_of_day,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_top_words" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE length(word) > 0
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "ev_props_stats" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(coalesce(sum(k),0) AS BIGINT) AS sum_k,

@@ -118,6 +118,20 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Pivot: event counts per hour-of-day × event_type (explicit value
+    * list so the output schema is static — required for both
+    * determinism and sane planning; never pivot on unbounded
+    * cardinality at scale).
+    */
+  def hourOfDayPivot(events: DataFrame): DataFrame =
+    withTsUs(events)
+      .withColumn("hour_of_day", (expr("ts_us div 3600000000") % 24).cast("int"))
+      .groupBy("hour_of_day")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("hour_of_day")
+
   /** Dimension enrichment: events joined to the customer dimension
     * (user_id is a customer key) — broadcast the dim, so the event
     * log never shuffles; aggregate per (segment, event_type).

@@ -56,6 +56,19 @@ object TextAnalysis {
         round(avg(size(split(col("text"), " ", -1))), 4).as("avg_words"))
       .orderBy("source")
 
+  /** Corpus word frequencies: explode (generator surface) + count +
+    * top-n. Map-side combine keeps the shuffle at vocabulary size,
+    * not token count.
+    */
+  def topWords(documents: DataFrame, n: Int = 20): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(n)
+
   /** Language ID via corpus-trained character-trigram profiles.
     *
     * Train (distributed): explode a deterministic 1-in-`trainModulo`
