@@ -163,6 +163,41 @@ object Dedup {
     votes.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDist`.
+    *
+    * Pigeonhole banding: split the 64-bit fingerprint into
+    * `maxDist + 1` bands — any pair within maxDist bits must agree on
+    * at least one full band, so candidates come from equality joins
+    * on (band_idx, band_bits) and the exact Hamming check
+    * (`bit_count(xor)`, codegen'd) runs only within buckets. Work is
+    * Σ bucket², never n².
+    */
+  def simhashNearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val bandBits = 64 / nBands
+    val sigs = simhash(documents)
+    val bandStructs = (0 until nBands).map { bIdx =>
+      struct(lit(bIdx).as("band_idx"),
+        shiftrightunsigned(col("simhash"), bIdx * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("band_bits"))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"))
+    val a = banded.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle: explode
     * distinct shingles, self-join on the shingle (blocking — no full
     * crossJoin), count intersections, Jaccard from |A|+|B|-|A∩B|.

@@ -76,6 +76,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, with state bounded by the watermark (an id older than the
+    * watermark can be evicted because any duplicate of it would be
+    * dropped as late anyway). The streaming face of Dedup.exact — the
+    * first stage of a continuously-ingesting training-data pipeline.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Convenience: wire a streaming query to an in-memory sink for
     * tests/demos. Caller stops the query.
     */

@@ -53,6 +53,15 @@ class AsOfSpec extends SparkSpec {
     assert(n == purchases.count())
   }
 
+  test("facade rejects unknown columns with a naming error") {
+    val l = Seq((1L, 2L)).toDF("k", "t")
+    val r = Seq((1L, 2L)).toDF("k2", "t2")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "nope", "k2", "t", "t2")
+    }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("k, t"))
+  }
+
   test("as-of plan shape: co-partitioned exchanges, no cartesian blow-up") {
     val e = EventOps.withTsUs(Tables.events(spark, sf0001))
     val l = e.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("ts_us"))

@@ -71,6 +71,20 @@ class DedupSpec extends SparkSpec {
     assert(hs(1L) != hs(3L))
   }
 
+  test("simhashNearDups: near-identical texts pair up; unrelated don't") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w30", "w30x") // one token changed
+    val noise = (1 to 60).map(i => s"q$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> noise)
+    val out = Dedup.simhashNearDups(d, maxDist = 16).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // identical docs → hamming 0
+    val same = Dedup.simhashNearDups(docs(1L -> base, 2L -> base), maxDist = 3).collect()
+    assert(same.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     val d = docs(
       1L -> "a b c d e f",   // shingles(3): {abc,bcd,cde,def} n=4

@@ -54,6 +54,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.toMemorySink(
+      EventStreams.dedupEvents(events), "dedup_test")
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click"),
+        (1L, ts("2024-01-01 10:00:01"), "click"), // dup id, same batch
+        (2L, ts("2024-01-01 10:01:00"), "view"))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 10:02:00"), "view")) // dup id, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("file-source streaming: parquet events dir drives the hourly agg") {
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    // stage the real events parquet as a streaming source directory
+    val batchDf = graft.Tables.events(spark, sf0001)
+    batchDf.write.mode("overwrite").parquet(src)
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(src)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = EventStreams.toMemorySink(
+      EventStreams.hourlyCounts(streamDf),
+      "file_hourly_test", org.apache.spark.sql.streaming.OutputMode.Complete())
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_hourly_test")
+        .agg(sum("n")).collect().head.getLong(0)
+      assert(streamed == batchDf.count())
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
