@@ -74,7 +74,7 @@ object SparkEntry {
     "dedup_exact_stats" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
-    "dedup_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxDist = 10)),
+    "dedup_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxDist = 3)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // --- similarity search ---
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),

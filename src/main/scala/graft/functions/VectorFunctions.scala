@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -72,18 +72,38 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  private val name = "graft_cosine"
+  private val cosineName = "graft_cosine"
+  private val minhashName = "graft_minhash"
+  private val simhashName = "graft_simhash"
 
-  /** Idempotently register graft's vector functions on the session's
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  /** Idempotently register graft's functions on the session's
     * function registry (temp functions — session-scoped, no catalog
     * writes).
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+      cosineName, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      minhashName, exprs => MinHashSignature(exprs.head,
+        literalInt(exprs(1), "shingleK"), literalInt(exprs(2), "numHashes")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      simhashName, exprs => SimHash64(exprs.head), "built-in")
+  }
 
-  /** Column-level API (requires [[ensureRegistered]] on the session
+  /** Column-level APIs (require [[ensureRegistered]] on the session
     * that analyzes the plan).
     */
-  def cosineSim(a: Column, b: Column): Column = call_function(name, a, b)
+  def cosineSim(a: Column, b: Column): Column = call_function(cosineName, a, b)
+
+  def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
+    call_function(minhashName, text,
+      org.apache.spark.sql.functions.lit(shingleK),
+      org.apache.spark.sql.functions.lit(numHashes))
+
+  def simhash64(text: Column): Column = call_function(simhashName, text)
 }

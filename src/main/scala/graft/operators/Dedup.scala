@@ -75,34 +75,22 @@ object Dedup {
       .select(col("doc_id"), array_distinct(shinglesFromWords(col("words"), k)).as("shingles"))
       .select(col("doc_id"), col("shingles"), explode_outer(col("shingles")).as("sh"))
 
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  private val MersenneP = 2305843009213693951L // 2^61 - 1
-
-  /** MinHash signature: for hash i, min over the doc's distinct
-    * shingles of (a_i * xxhash64(shingle) + b_i) mod (2^61-1).
-    * One explode + one groupBy(doc_id) with numHashes `min` columns;
-    * shuffle volume is docs × numHashes longs thanks to map-side
-    * partial aggregation. Empty docs get the sentinel p for every
-    * hash.
+  /** MinHash signature: for hash i, min over the doc's shingles of
+    * (a_i * xxhash64(shingle) + b_i) mod (2^61-1); empty docs get
+    * the sentinel p everywhere.
+    *
+    * Computed by the dedicated
+    * [[graft.functions.MinHashSignature]] expression — a map-only
+    * projection with ZERO shuffle at any scale (the earlier
+    * explode + groupBy(doc_id) formulation paid a docs × numHashes
+    * exchange and interpreted per-shingle lambdas; values are
+    * identical — min over the shingle multiset equals min over the
+    * distinct set, same seeds, same xxhash64).
     */
   def minhashSignatures(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 32): DataFrame = {
-    val p = MersenneP
-    val hashed = explodedShingles(documents, shingleK)
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"), col("sh").isNull.as("empty"))
-    val minCols = (0 until numHashes).map { i =>
-      val a = (splitmix64(2L * i) & Long.MaxValue) % (p - 1) + 1
-      val b = (splitmix64(2L * i + 1) & Long.MaxValue) % p
-      min(when(col("empty"), lit(p)).otherwise(pmod(col("h") * a + b, lit(p)))).as(s"m$i")
-    }
-    hashed.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
+    graft.functions.VectorFunctions.ensureRegistered(documents.sparkSession)
+    documents.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhashSig(col("text"), shingleK, numHashes).as("signature"))
   }
 
   /** LSH banding over MinHash signatures → candidate near-dup pairs →
@@ -145,22 +133,16 @@ object Dedup {
   }
 
   /** SimHash: 64-bit fingerprint = sign of per-bit vote sums over
-    * token hashes. Near-identical texts agree on almost all bits.
-    * Explode + groupBy(doc_id) → map-side partial sums of 64 vote
-    * counters, one narrow shuffle regardless of corpus size.
+    * token hashes; near-identical texts agree on almost all bits.
+    * Computed by the [[graft.functions.SimHash64]] expression — a
+    * map-only projection, zero shuffle at any scale (the earlier
+    * explode + 64-aggregate groupBy paid a shuffle and multi-second
+    * janino compiles of the 64-wide generated aggregate).
     */
   def simhash(documents: DataFrame): DataFrame = {
-    val tok = documents
-      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val voteCols = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$bit")
-    }
-    val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val fp = (0 until 64).map { bit =>
-      when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    votes.select(col("doc_id"), fp.as("simhash"))
+    graft.functions.VectorFunctions.ensureRegistered(documents.sparkSession)
+    documents.select(col("doc_id"),
+      graft.functions.VectorFunctions.simhash64(col("text")).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDist`.
@@ -172,7 +154,9 @@ object Dedup {
     * (`bit_count(xor)`, codegen'd) runs only within buckets. Work is
     * Σ bucket², never n².
     */
-  def simhashNearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(documents: DataFrame, maxDist: Int = 3,
+                      maxBucket: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nBands = maxDist + 1
     val bandBits = 64 / nBands
     val sigs = simhash(documents)
@@ -181,10 +165,19 @@ object Dedup {
         shiftrightunsigned(col("simhash"), bIdx * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("band_bits"))
     }
+    // Bucket-size cap: corpora with near-uniform vocabulary (or spam
+    // floods) concentrate band values; an uncapped bucket of n docs
+    // costs n² comparisons. Keep the `maxBucket` lowest doc_ids per
+    // bucket (deterministic) — the standard LSH degradation: bounded
+    // work, recall loss confined to over-full buckets.
+    val w = Window.partitionBy("band_idx", "band_bits").orderBy("doc_id")
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
     val a = banded.select(col("band_idx"), col("band_bits"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_bits"),
