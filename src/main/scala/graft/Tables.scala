@@ -25,7 +25,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame     = {
+    // events.parquet stores TIMESTAMP(NANOS); Spark 4 rejects it
+    // unless nanos are read as Long. GraftSession sets this globally;
+    // set it here too (runtime-settable) so sessions built elsewhere
+    // can still read the table. EventOps handles the Long form.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -53,6 +53,14 @@ object Bearly {
     }
   }
 
+  /** Eager form of [[sum]] — the reference's `sum` is eager (it
+    * returns a materialized single-batch stream, bearly_ext.cc:93-110),
+    * so the facade offers both: `sum` keeps the plan lazy/composable
+    * (SURVEY §3.3 decision: laziness documented), `sumRow` matches
+    * the reference's eagerness by materializing the single row.
+    */
+  def sumRow(df: DataFrame): Row = sum(df).head()
+
   /** `produce_array`: int64 column `awesome_numbers = [42, 555, null]`
     * (reference `bearly_ext.cc:113-157`, golden at test_bearly.py:6-10).
     */

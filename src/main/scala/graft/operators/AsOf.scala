@@ -20,6 +20,12 @@ object AsOf {
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
+    // Defensive: sessions built outside GraftSession (no
+    // spark.sql.extensions) still get the strategy via the runtime
+    // extraStrategies hook — injection is idempotent.
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     val lPlan = GraftSqlShim.analyzedPlan(left)
     val rPlan = GraftSqlShim.analyzedPlan(right)
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents`: exact, canonicalized,
-  * MinHash/LSH near-dup, SimHash, n-gram Jaccard.
+  * MinHash/LSH near-dup (Broder's resemblance sketch + banded LSH),
+  * SimHash (Charikar's random-projection fingerprint), n-gram
+  * Jaccard.
   *
   * Scale design:
   *   - exact / canonical dedup: hash-groupBy on a digest — one

@@ -5,6 +5,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
+  * (Distributed top-k similarity literature: PAPERS.md — e.g.
+  * "Incremental … Top-K Similarity Search", EDBT 2020; REPOSE,
+  * ICDE 2021 — the IVF cell/probe trade below is the standard
+  * partition-then-prune shape those systems build on.)
   *
   * Two paths:
   *   - [[bruteForceTopK]]: exact top-k cosine — broadcast the (small)

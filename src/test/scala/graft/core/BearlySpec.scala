@@ -65,6 +65,11 @@ class BearlySpec extends SparkSpec {
     assert(Bearly.sum(df).schema.fieldNames.toSeq == Seq("z", "a", "m"))
   }
 
+  test("sumRow materializes the same single row eagerly") {
+    val df = Seq((Some(1L), Some(3L)), (Some(2L), None)).toDF("a", "b")
+    assert(Bearly.sumRow(df) == Row(3L, 3L))
+  }
+
   test("sum: invariant under repartitioning (reference chunk-invariance)") {
     val df = Tables.lineitem(spark, sf0001)
     val once = Bearly.sum(df).collect().toSeq
