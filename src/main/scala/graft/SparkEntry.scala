@@ -87,6 +87,9 @@ object SparkEntry {
     "text_quality_by_source" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d))),
     "text_lang_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "text_top_words" -> ((s, d) => TextAnalysis.topWords(Tables.documents(s, d))),
+    "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
+    "text_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "text_dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
     // --- multimodal ---
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) =>
@@ -327,6 +330,28 @@ object SparkEntry {
         |       CAST(coalesce(sum(n_chars),0) AS BIGINT) AS total_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |       round(avg(len(string_split(text, ' '))), 4) AS avg_words
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_filter" ->
+      """SELECT doc_id,
+        |       (length(text) >= 50 AND length(text) <= 100000
+        |        AND len(string_split(text, ' ')) >= 10) AS keep,
+        |       CASE WHEN length(text) < 50 THEN 'too_short'
+        |            WHEN length(text) > 100000 THEN 'too_long'
+        |            WHEN len(string_split(text, ' ')) < 10 THEN 'too_few_words'
+        |            ELSE 'ok' END AS reason
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_dataset_split" ->
+      """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(coalesce(sum(n_chars),0) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_payload_stats" ->
       """SELECT doc_id,

@@ -56,6 +56,55 @@ object TextAnalysis {
         round(avg(size(split(col("text"), " ", -1))), 4).as("avg_words"))
       .orderBy("source")
 
+  /** PII scrubbing: redact email addresses and phone-like digit runs
+    * (the mandatory pre-training hygiene pass). Codegen'd
+    * regexp_replace — map-only, no shuffle; patterns are RE2/Java
+    * compatible (no backrefs) so the oracle replicates them exactly.
+    */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+?\\d[\\d -]{7,}\\d", "<PHONE>").as("scrubbed"))
+      .orderBy("doc_id")
+
+  /** C4-style quality filter: keep documents inside length/word-count
+    * bounds, emit the reject reason for the rest (the audit trail a
+    * filtering pipeline needs). Pure column expressions.
+    */
+  def qualityFilter(documents: DataFrame,
+                    minChars: Int = 50, maxChars: Int = 100000,
+                    minWords: Int = 10): DataFrame =
+    documents
+      .select(col("doc_id"), length(col("text")).as("n_chars_calc"),
+        size(split(col("text"), " ", -1)).as("n_words"))
+      .select(col("doc_id"),
+        (col("n_chars_calc") >= minChars && col("n_chars_calc") <= maxChars &&
+          col("n_words") >= minWords).as("keep"),
+        when(col("n_chars_calc") < minChars, "too_short")
+          .when(col("n_chars_calc") > maxChars, "too_long")
+          .when(col("n_words") < minWords, "too_few_words")
+          .otherwise("ok").as("reason"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test split on the stable document key
+    * (80/10/10 by doc_id modulo; for content-addressed splits use a
+    * digest bucket instead — same shape). Map-only; the split column
+    * doubles as a partition column for writing the three sets in one
+    * pass.
+    */
+  def datasetSplit(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("split",
+        when(pmod(col("doc_id"), lit(10)) < 8, "train")
+          .when(pmod(col("doc_id"), lit(10)) === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("n_chars"), lit(0L)).as("total_chars"))
+      .orderBy("split")
+
   /** Corpus word frequencies: explode (generator surface) + count +
     * top-n. Map-side combine keeps the shuffle at vocabulary size,
     * not token count.

@@ -30,6 +30,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("piiScrub redacts planted emails and phone numbers") {
+    val d = Seq(
+      (1L, "contact me at alice.smith+spam@example.co.uk or call +1 555 867-5309 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L).contains("<EMAIL>") && !out(1L).contains("example.co.uk"))
+    assert(out(1L).contains("<PHONE>") && !out(1L).contains("867"))
+    assert(out(2L) == "no pii here at all")
+  }
+
+  test("qualityFilter keeps in-bounds docs with reasons") {
+    val d = Seq(
+      (1L, "short"),                                          // too_short
+      (2L, ("x " * 30).trim),                                 // ok (60 chars, 30 words)
+      (3L, "a" * 60)).toDF("doc_id", "text")                  // 60 chars but 1 word
+    val out = TextAnalysis.qualityFilter(d).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(1L) == (false, "too_short"))
+    assert(out(2L) == (true, "ok"))
+    assert(out(3L) == (false, "too_few_words"))
+  }
+
+  test("datasetSplit partitions 80/10/10 deterministically") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = TextAnalysis.datasetSplit(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out.values.sum == docs.count())
+    assert(out("train") > out("val") && out("train") > out("test"))
+  }
+
   test("languageId is deterministic and labels every doc") {
     val docs = Tables.documents(spark, sf0001)
     val out = TextAnalysis.languageId(docs).cache()
