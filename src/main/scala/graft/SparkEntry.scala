@@ -69,6 +69,7 @@ object SparkEntry {
     "ev_by_segment" -> ((s, d) =>
       EventOps.eventsBySegment(Tables.events(s, d), Tables.customer(s, d))),
     "ev_hour_pivot" -> ((s, d) => EventOps.hourOfDayPivot(Tables.events(s, d))),
+    "ev_funnel" -> ((s, d) => EventOps.viewToPurchaseFunnel(Tables.events(s, d))),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
@@ -81,6 +82,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "sim_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2, nBits = 4)),
+    "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     // --- text analysis ---
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
@@ -236,6 +238,28 @@ object SparkEntry {
         |       round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "sim_label_centroids" ->
+      """SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
+        |       round(avg(v), 6) AS mean_v, count(*) AS n
+        |FROM (SELECT label,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings) t
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |     lastv AS (
+        |       SELECT p.event_id, p.ts_us, max(v.ts_us) AS last_view_us
+        |       FROM e p LEFT JOIN e v
+        |         ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts_us <= p.ts_us
+        |       WHERE p.event_type = 'purchase'
+        |       GROUP BY 1,2)
+        |SELECT count(*) AS n_purchases,
+        |       CAST(coalesce(sum(CASE WHEN last_view_us IS NOT NULL
+        |                  AND ts_us - last_view_us <= 3600000000 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_converted,
+        |       CAST(coalesce(sum(CASE WHEN last_view_us IS NULL THEN 1 ELSE 0 END),0) AS BIGINT) AS n_no_prior_view
+        |FROM lastv""".stripMargin,
     "ev_hour_pivot" ->
       """SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INTEGER) AS hour_of_day,
         |       count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -118,6 +118,23 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Funnel conversion on top of the as-of join: purchases whose most
+    * recent prior view (same user) happened within `windowMinutes` —
+    * the view→purchase conversion metric. Composes the native as-of
+    * operator; aggregation is a single global row.
+    */
+  def viewToPurchaseFunnel(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val winUs = windowMinutes.toLong * 60 * 1000000
+    lastViewBeforePurchase(events)
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        coalesce(sum(when(col("last_view_us").isNotNull &&
+          col("ts_us") - col("last_view_us") <= winUs, 1L).otherwise(0L)), lit(0L))
+          .as("n_converted"),
+        coalesce(sum(when(col("last_view_us").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_no_prior_view"))
+  }
+
   /** Pivot: event counts per hour-of-day × event_type (explicit value
     * list so the output schema is static — required for both
     * determinism and sane planning; never pivot on unbounded

@@ -119,6 +119,19 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Per-label centroids in long form (label, dimension, mean):
+    * posexplode + groupBy — the elementwise-mean aggregate Spark
+    * lacks natively, in partial-agg shape (shuffle = labels × dims
+    * doubles). Long form keeps the oracle trivial and feeds straight
+    * back into IVF as trained centroids.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg("v"), 6).as("mean_v"), count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
   /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold, bucketed by random-hyperplane LSH (SimHash for
     * vectors): vectors agreeing on all `nBits` hyperplane signs land

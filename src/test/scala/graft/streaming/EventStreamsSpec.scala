@@ -92,6 +92,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches streaming events with the customer dim") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "value")
+    val customer = graft.Tables.customer(spark, sf0001)
+    val joined = events.join(
+      org.apache.spark.sql.functions.broadcast(
+        customer.select("c_custkey", "c_mktsegment")),
+      events("user_id") === customer("c_custkey"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 0L, 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 999999L, 2.0)) // no matching customer
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_test").collect()
+      assert(rows.length == 1) // inner join drops the unmatched user
+      assert(rows.head.getAs[String]("c_mktsegment").nonEmpty)
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
