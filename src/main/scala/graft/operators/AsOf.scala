@@ -18,7 +18,15 @@ object AsOf {
     */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String): DataFrame =
+    joinMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime)
+
+  /** Multi-key variant (composite join keys, e.g. (tenant, user)). */
+  def joinMulti(left: DataFrame, right: DataFrame,
+                leftKeys: Seq[String], rightKeys: Seq[String],
+                leftTime: String, rightTime: String): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key lists must be non-empty and equal-length: $leftKeys vs $rightKeys")
     val spark = left.sparkSession
     // Defensive: sessions built outside GraftSession (no
     // spark.sql.extensions) still get the strategy via the runtime
@@ -34,7 +42,7 @@ object AsOf {
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
     val plan = AsOfJoinPlan(
       lPlan, rPlan,
-      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime))
     GraftSqlShim.ofRows(spark, plan)
   }
