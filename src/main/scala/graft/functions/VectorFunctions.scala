@@ -75,6 +75,7 @@ object VectorFunctions {
   private val cosineName = "graft_cosine"
   private val minhashName = "graft_minhash"
   private val simhashName = "graft_simhash"
+  private val shinglesName = "graft_shingles"
 
   private def literalInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -93,6 +94,9 @@ object VectorFunctions {
         literalInt(exprs(1), "shingleK"), literalInt(exprs(2), "numHashes")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       simhashName, exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      shinglesName, exprs => WordShingles(exprs.head,
+        literalInt(exprs(1), "shingleK")), "built-in")
   }
 
   /** Column-level APIs (require [[ensureRegistered]] on the session
@@ -106,4 +110,7 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(numHashes))
 
   def simhash64(text: Column): Column = call_function(simhashName, text)
+
+  def wordShingles(text: Column, shingleK: Int): Column =
+    call_function(shinglesName, text, org.apache.spark.sql.functions.lit(shingleK))
 }

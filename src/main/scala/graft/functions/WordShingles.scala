@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct k-word shingles of a whitespace-tokenized text as a
+  * single per-row expression (array<string>). Replaces the
+  * split→transform→slice→array_join higher-order-function chain whose
+  * interpreted lambdas allocate per element; one JVM pass, one
+  * LinkedHashSet for dedup (insertion order = first occurrence, so
+  * output order is deterministic).
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -35,15 +35,23 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     val lPlan = GraftSqlShim.analyzedPlan(left)
-    val rPlan = GraftSqlShim.analyzedPlan(right)
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    // SQL join semantics: NULL keys (or NULL times) never match. The
+    // merge compares with a natural ordering where null == null, so
+    // enforce it here by dropping null-keyed/timed RIGHT rows — a
+    // null-keyed left row then finds no partner and gets nulls.
+    val rightNonNull = rightKeys.foldLeft(
+      right.filter(right.col(rightTime).isNotNull)) {
+      (df, k) => df.filter(df.col(k).isNotNull)
+    }
+    val rPlanNN = GraftSqlShim.analyzedPlan(rightNonNull)
     val plan = AsOfJoinPlan(
-      lPlan, rPlan,
-      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime))
+      lPlan, rPlanNN,
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlanNN, _)),
+      attr(lPlan, leftTime), attr(rPlanNN, rightTime))
     GraftSqlShim.ofRows(spark, plan)
   }
 }

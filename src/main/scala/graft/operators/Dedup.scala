@@ -65,17 +65,18 @@ object Dedup {
   private[graft] def wordShingles(text: Column, k: Int): Column =
     shinglesFromWords(split(text, " ", -1), k)
 
-  /** (doc_id, shingle) rows — distinct shingles per doc, via two
-    * projection stages (words, then shingles) so each array is
-    * computed once per row, then an explode. Docs shorter than k
-    * words keep one null-shingle row (explode_outer) so they survive
-    * to the signature stage.
+  /** (doc_id, shingle) rows — distinct shingles per doc via the
+    * per-row [[graft.functions.WordShingles]] expression (one JVM
+    * pass, no interpreted lambdas), then an explode. Docs shorter
+    * than k words keep one null-shingle row (explode_outer).
     */
-  private[graft] def explodedShingles(documents: DataFrame, k: Int): DataFrame =
+  private[graft] def explodedShingles(documents: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(documents.sparkSession)
     documents
-      .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
-      .select(col("doc_id"), array_distinct(shinglesFromWords(col("words"), k)).as("shingles"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.wordShingles(col("text"), k).as("shingles"))
       .select(col("doc_id"), col("shingles"), explode_outer(col("shingles")).as("sh"))
+  }
 
   /** MinHash signature: for hash i, min over the doc's shingles of
     * (a_i * xxhash64(shingle) + b_i) mod (2^61-1); empty docs get

@@ -53,6 +53,20 @@ class AsOfSpec extends SparkSpec {
     assert(n == purchases.count())
   }
 
+  test("null keys never match (SQL join semantics)") {
+    val quotes = Seq((Some(1L), 10L, 1.0), (None, 5L, 2.0))
+      .toDF("qkey", "qt", "px")
+    val trades = Seq((Some(1L), 15L), (None, 15L))
+      .toDF("tkey", "tt")
+    val out = AsOf.join(trades, quotes, "tkey", "qkey", "tt", "qt")
+      .select("tkey", "qt").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // keyed trade matches its quote; null-keyed trade matches nothing
+    // (and never matches the null-keyed quote)
+    assert(out == Set((Some(1L), Some(10L)), (None, None)))
+  }
+
   test("facade rejects unknown columns with a naming error") {
     val l = Seq((1L, 2L)).toDF("k", "t")
     val r = Seq((1L, 2L)).toDF("k2", "t2")
