@@ -31,6 +31,15 @@ class SimilaritySpec extends SparkSpec {
     assert(diffs == 0L)
   }
 
+  test("graft_cosine is available in SQL via session extensions (no manual registration)") {
+    // the shared session is built by GraftSession → GraftExtensions
+    // injectFunction makes the function resolvable from plain SQL
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
   test("bruteForceTopK: identical vector ranks first") {
     val v1 = Seq.tabulate(64)(i => math.sin(i).toFloat)
     val v2 = Seq.tabulate(64)(i => math.cos(i * 2).toFloat)
