@@ -58,6 +58,9 @@ object SparkEntry {
       Relational.shippedWithin90Days(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Relational.pricePercentiles(Tables.orders(s, d))),
+    "q_scalar_subquery" -> ((s, d) => Relational.aboveAverageOrders(Tables.orders(s, d))),
+    "q_in_pred_semi" -> ((s, d) =>
+      Relational.lineitemsOfPriciestOrders(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctStats(Tables.lineitem(s, d))),
     "q_udaf_weighted_avg" -> ((s, d) => Relational.weightedAvgDiscount(Tables.lineitem(s, d))),
     // --- event ops ---
@@ -228,6 +231,16 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |       count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_in_pred_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_udaf_weighted_avg" ->
       """SELECT l_returnflag,
         |       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount,

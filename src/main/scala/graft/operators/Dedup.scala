@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   *
   * All hash seeds are compile-time deterministic (splitmix64) so
   * signatures are reproducible across runs, partitionings, clusters.
+  *
+  * Why not `org.apache.spark.ml.feature.MinHashLSH` (SURVEY §7.1
+  * suggested trying it first): it consumes `ml.linalg.Vector`
+  * columns, which forces a vocabulary-indexing pass
+  * (CountVectorizer/HashingTF) over the corpus, carries a UDT column
+  * type that the rest of the DataFrame pipeline can't push into
+  * codegen, and buries the hash coefficients in fitted-model state.
+  * The [[graft.functions.MinHashSignature]] expression keeps
+  * string-shingle semantics, compile-time deterministic seeds, zero
+  * extra corpus passes, and a plain array<long> column — measured
+  * map-only with no shuffle.
   */
 object Dedup {
 

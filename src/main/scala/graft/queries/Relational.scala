@@ -161,6 +161,35 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("o_year", "o_month")
 
+  /** Scalar-subquery predicate: orders above the global average
+    * price. Mirrors Spark's own scalar-subquery execution model: the
+    * bounded aggregate runs first (one row crosses to the driver —
+    * same class of bounded collect as a broadcast threshold), and the
+    * scalar is injected as a literal into the pushed-down filter. A
+    * 1-row crossJoin would work too but plans as a
+    * BroadcastNestedLoopJoin the plan audit rightly flags.
+    */
+  def aboveAverageOrders(orders: DataFrame): DataFrame = {
+    val avgPrice = orders.agg(avg("o_totalprice")).head.getDouble(0)
+    orders
+      .filter(col("o_totalprice") > avgPrice)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** IN-list predicate over a derived key set (planned as a semi
+    * join, the scalable IN): lineitems belonging to the 5 priciest
+    * orders.
+    */
+  def lineitemsOfPriciestOrders(orders: DataFrame, lineitem: DataFrame, n: Int = 5): DataFrame = {
+    val top = orders.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(n)
+      .select(col("o_orderkey").as("top_key"))
+    lineitem
+      .join(broadcast(top), col("l_orderkey") === col("top_key"), "left_semi")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Range join: lineitems shipped within 90 days of their order's
     * date. Planned as an equi-join on the key with the range as a
     * post-join filter — the scalable shape (pure range joins without
