@@ -254,6 +254,7 @@ object Relational {
     lineitem.agg(
       approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
       approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50_price"),
       count(lit(1)).as("n_rows"))
 
   /** Custom-UDAF query: weighted average discount (weight =

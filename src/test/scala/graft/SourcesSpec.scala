@@ -27,6 +27,16 @@ class SourcesSpec extends SparkSpec {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("maxRecordsPerFile bounds output file sizes (compaction control)") {
+    val dir = Files.createTempDirectory("graft_sized").toString
+    Tables.lineitem(spark, sf0001).coalesce(1)
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000).parquet(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 5, s"expected multiple bounded files, got ${files.length}")
+    val total = spark.read.parquet(dir).count()
+    assert(total == Tables.lineitem(spark, sf0001).count())
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("graft_part").toString
     val orders = Tables.orders(spark, sf0001)
