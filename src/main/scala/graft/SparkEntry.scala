@@ -58,6 +58,7 @@ object SparkEntry {
       Relational.shippedWithin90Days(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Relational.pricePercentiles(Tables.orders(s, d))),
+    "q_percentiles_approx" -> ((s, d) => Relational.pricePercentilesApprox(Tables.orders(s, d))),
     "q_scalar_subquery" -> ((s, d) => Relational.aboveAverageOrders(Tables.orders(s, d))),
     "q_in_pred_semi" -> ((s, d) =>
       Relational.lineitemsOfPriciestOrders(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -80,6 +81,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxDist = 3)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // md5-seeded oracle twins of the xxhash64 fast paths (hash-checkable end-to-end)
+    "dedup_minhash_md5" -> ((s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d))),
+    "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
+    "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     // --- similarity search ---
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
@@ -102,11 +107,77 @@ object SparkEntry {
     "mm_sample_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
   )
 
+  /** Shared CTE: 32-bit md5 SimHash per doc — mirrors
+    * [[graft.operators.Dedup.simhashMd5]] (lowercased whitespace
+    * tokens, h = first 8 hex chars of md5, per-bit votes, Σ 2^bit).
+    */
+  private val simhashMd5Cte: String =
+    """t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,8)) AS BIGINT) AS h FROM t),
+      |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      |      FROM hh CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits GROUP BY 1, 2),
+      |fp AS (SELECT doc_id,
+      |              CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash32
+      |       FROM v GROUP BY doc_id)""".stripMargin
+
+  /** Generated oracle for [[graft.operators.Dedup.minhashNearDupsMd5]]:
+    * the affine coefficients are embedded as literals so both engines
+    * evaluate the identical integer arithmetic.
+    */
+  private def minhashMd5Oracle: String = {
+    val n = 16; val bands = 4; val rpb = n / bands
+    val minCols = (0 until n).map(i =>
+      s"min((h * ${Dedup.md5A(i)} + ${Dedup.md5B(i)}) % ${Dedup.Md5M}) AS s$i").mkString(",\n               ")
+    val sigList = (0 until n).map(i => s"coalesce(s$i, ${Dedup.Md5M})").mkString("[", ", ", "]")
+    val bandArms = (0 until bands).map { bnd =>
+      val key = (bnd * rpb until (bnd + 1) * rpb).map(i => s"sig[${i + 1}]")
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"SELECT doc_id, sig, $bnd AS band_idx, $key AS band_key FROM sig"
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |shl AS (SELECT doc_id,
+       |               list_distinct(CASE WHEN len(ws) >= 5
+       |                 THEN list_transform(range(0, len(ws)-4),
+       |                        i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
+       |                 ELSE [] END) AS shs
+       |        FROM w),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+       |hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,7)) AS BIGINT) AS h FROM sh),
+       |sig0 AS (SELECT doc_id, $minCols
+       |         FROM hh GROUP BY doc_id),
+       |sig AS (SELECT d.doc_id, $sigList AS sig
+       |        FROM (SELECT doc_id FROM documents) d LEFT JOIN sig0 USING (doc_id)),
+       |b AS ($bandArms),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sig AS sa, c.sig AS sb
+       |          FROM b a JOIN b c USING (band_idx, band_key)
+       |          WHERE a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(len(list_filter(range(1, ${n + 1}), i -> sa[i] = sb[i])) / $n.0, 6) AS est_jaccard
+       |  FROM pairs) q
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx / non-relational
     * ops) fall back to the driver's rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_md5" -> minhashMd5Oracle,
+    "dedup_simhash_md5" ->
+      s"""WITH $simhashMd5Cte
+         |SELECT doc_id, simhash32 FROM fp ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_md5_neardups" ->
+      s"""WITH $simhashMd5Cte,
+         |b AS (SELECT doc_id, simhash32, CAST(band_idx AS INTEGER) AS band_idx,
+         |             (simhash32 >> CAST(band_idx * 8 AS INTEGER)) & 255 AS band_bits
+         |      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash32, c.simhash32)) AS INTEGER) AS hamming
+         |FROM b a JOIN b c USING (band_idx, band_bits)
+         |WHERE a.doc_id < c.doc_id AND bit_count(xor(a.simhash32, c.simhash32)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "bearly_sum_lineitem" ->
       """SELECT CAST(coalesce(sum(l_orderkey),0) AS BIGINT) AS l_orderkey,
         |       CAST(coalesce(sum(l_partkey),0) AS BIGINT) AS l_partkey,
@@ -342,6 +413,33 @@ object SparkEntry {
         |                       ORDER BY cos_sim DESC, cid) AS INTEGER) AS rnk
         |           FROM s)
         |SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // exact word-shingle Jaccard — mirrors Dedup.ngramJaccardPairs
+    // (k=5 distinct shingles, df<=1000 cap, threshold on the rounded
+    // value) with DuckDB list lambdas.
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(len(shs) AS INTEGER) AS n_sh, unnest(shs) AS sh FROM (
+        |    SELECT doc_id,
+        |           list_distinct(CASE WHEN len(ws) >= 5
+        |             THEN list_transform(range(0, len(ws)-5+1),
+        |                    i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
+        |             ELSE [] END) AS shs
+        |    FROM w) t),
+        |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+        |c AS (SELECT s.doc_id, s.n_sh, s.sh FROM sh s JOIN rare USING (sh)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM c a JOIN c b USING (sh)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4)
+        |SELECT doc_a, doc_b, inter, jaccard FROM (
+        |  SELECT doc_a, doc_b, inter,
+        |         round(inter / (na + nb - inter), 6) AS jaccard
+        |  FROM p) q
+        |WHERE jaccard >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
@@ -397,5 +495,31 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // decode stub: md5 the payload (UTF-8 text bytes ⇒ md5(text)),
+    // carve width/height/frames out of 6-hex-char chunks — exactly
+    // Multimodal.decodeStub.
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       CAST(64 + CAST(concat('0x', substr(md5(text),1,6)) AS BIGINT) % 1024 AS INTEGER) AS width,
+        |       CAST(64 + CAST(concat('0x', substr(md5(text),7,6)) AS BIGINT) % 1024 AS INTEGER) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 2
+        |            THEN 1 + CAST(concat('0x', substr(md5(text),13,6)) AS BIGINT) % 300
+        |            ELSE 1 END AS INTEGER) AS n_frames,
+        |       md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame sampling: every 16th byte of the UTF-8 payload; documents
+    // text is ASCII (verified at generation), so byte i == char i and
+    // ascii(substr(...)) reproduces the byte values.
+    "mm_sample_frames" ->
+      """SELECT doc_id, CAST(len(frames) AS INTEGER) AS n_frames,
+        |       md5(array_to_string(frames, ',')) AS frames_md5
+        |FROM (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text)+1, 16),
+        |                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -208,13 +208,31 @@ object Dedup {
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle: explode
     * distinct shingles, self-join on the shingle (blocking — no full
     * crossJoin), count intersections, Jaccard from |A|+|B|-|A∩B|.
+    *
+    * Document-frequency cap: the shingle self-join costs Σ df² over
+    * shingles, so ONE corpus-common shingle ("of the and of the",
+    * boilerplate headers) with df = millions is an n²-scale bucket.
+    * Shingles with df > `maxDf` are dropped before the join (one
+    * extra shuffle-agg on the already-exploded rows) — bounded work
+    * Σ min(df, maxDf)²; the Jaccard of a pair is then a lower bound
+    * whenever a dropped shingle was shared (denominators |A|, |B|
+    * stay uncapped). At the default, sf-test corpora are unaffected
+    * (no shingle reaches df 1000), so exact values — and the DuckDB
+    * oracle, which applies the identical cap — are unchanged.
     */
-  def ngramJaccardPairs(documents: DataFrame, shingleK: Int = 5, threshold: Double = 0.2): DataFrame = {
+  def ngramJaccardPairs(documents: DataFrame, shingleK: Int = 5, threshold: Double = 0.2,
+                        maxDf: Int = 1000): DataFrame = {
     val exploded = explodedShingles(documents, shingleK)
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("sh"))
-    val a = exploded.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
-    val b = exploded.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+    // df per shingle over distinct (doc, shingle) rows; most shingles
+    // are rare, so `rare` is corpus-sized — a shuffle join on sh (not
+    // a broadcast) is the right shape.
+    val rare = exploded.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("sh")
+    val capped = exploded.join(rare, "sh")
+    val a = capped.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+    val b = capped.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
     a.join(b, "sh")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "na", "nb")
@@ -223,6 +241,140 @@ object Dedup {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- md5-seeded oracle twins --------------------------------------
+  //
+  // The xxhash64-based MinHash/SimHash above are the production fast
+  // path (custom map-only expressions, Spark-native hashing) — but
+  // Spark's seeded xxhash64 is not reproducible in other engines, so
+  // those queries can only be spec-pinned, never oracle-hashed. These
+  // twins swap the token hash for md5 (universal) with arithmetic
+  // chosen to stay exact in 64-bit signed math in ANY engine:
+  //   - MinHash: h = first 7 hex chars of md5(shingle) < 2^28; affine
+  //     family (a·h + b) mod M with M = 2^31-1 and a,b < 2^31 keeps
+  //     every intermediate < 2^59 — no wrap, no HUGEINT needed.
+  //   - SimHash: 32-bit fingerprint from the first 8 hex chars of
+  //     md5(token) — bit votes and the final Σ 2^bit fit comfortably.
+  // Same pipeline shape as the fast path (shingle → min-sketch →
+  // banded LSH join; token votes → pigeonhole bands), so a green
+  // CORRECTNESS row here hash-validates the whole dedup pipeline
+  // end-to-end against an independent engine.
+
+  private[graft] val Md5M = 2147483647L // 2^31 - 1 (prime)
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Affine coefficients for the md5 MinHash family — compile-time
+    * deterministic, embedded as literals in the DuckDB oracle SQL.
+    */
+  private[graft] val md5A: Array[Long] =
+    Array.tabulate(16)(i => (splitmix64(1000L + 2 * i) & Long.MaxValue) % (Md5M - 1) + 1)
+  private[graft] val md5B: Array[Long] =
+    Array.tabulate(16)(i => (splitmix64(1001L + 2 * i) & Long.MaxValue) % Md5M)
+
+  /** 28-bit shingle hash: first 7 hex chars of md5, as a long. */
+  private def md5Hash28(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  /** Oracle twin of [[minhashNearDups]]: md5-hashed shingles, affine
+    * min-sketch mod 2^31-1, banded LSH join, agreement-estimated
+    * Jaccard. Signature build here is explode + groupBy (one shuffle
+    * with map-side combine) rather than a custom expression — this
+    * variant exists for cross-engine checkability, not throughput.
+    */
+  def minhashNearDupsMd5(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 16,
+                         bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes <= md5A.length, s"at most ${md5A.length} hash functions")
+    val rowsPerBand = numHashes / bands
+    val withH = explodedShingles(documents, shingleK)
+      .select(col("doc_id"), md5Hash28(col("sh")).as("h")) // null sh (short doc) → null h
+    val minCols = (0 until numHashes).map(i =>
+      min(pmod(col("h") * md5A(i) + md5B(i), lit(Md5M))).as(s"_s$i"))
+    val sigs = withH.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => coalesce(col(s"_s$i"), lit(Md5M))): _*).as("signature"))
+    val banded = sigs.select(col("doc_id"), col("signature"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => struct(bnd.as("band_idx"),
+          array_join(transform(
+            slice(col("signature"), bnd * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")), ",").as("band_key")))).as("band"))
+      .select(col("doc_id"), col("signature"),
+        col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_b"), col("signature").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bEq => bEq))
+          .cast("double") / numHashes, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle twin of [[simhash]]: 32-bit fingerprint, md5 token hash.
+    * Explode tokens → 32 vote sums in one partial-agg shuffle →
+    * Σ 2^bit. (The 32-wide generated aggregate is fine here; the
+    * production path stays the zero-shuffle [[simhash]] expression.)
+    */
+  def simhashMd5(documents: DataFrame): DataFrame = {
+    val withH = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
+    val voteCols = (0 until 32).map(bit =>
+      sum(when(shiftrightunsigned(col("h"), bit).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+        .otherwise(lit(-1))).as(s"_v$bit"))
+    withH.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(bit => when(col(s"_v$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash32"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[simhashNearDups]]: pigeonhole banding over the
+    * 32-bit md5 fingerprint — maxDist+1 bands, any pair within
+    * maxDist bits agrees on ≥1 band. Uncapped (exactness for the
+    * oracle; the capped 64-bit path is the scale story).
+    */
+  def simhashMd5NearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    require(32 % nBands == 0, "maxDist+1 must divide 32")
+    val bandBits = 32 / nBands
+    val sigs = simhashMd5(documents)
+    val bandStructs = (0 until nBands).map { bIdx =>
+      struct(lit(bIdx).as("band_idx"),
+        shiftrightunsigned(col("simhash32"), bIdx * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("band_bits"))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash32"),
+      explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("simhash32"),
+        col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"))
+    val a = banded.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("simhash32").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_b"), col("simhash32").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 }

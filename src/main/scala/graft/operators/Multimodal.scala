@@ -55,25 +55,35 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
 
   /** Decoded features. STUB SEMANTICS: deterministic fake values
-    * derived from payload bytes — a real build links a codec here.
+    * derived from an md5 digest of the payload bytes — a real build
+    * links a codec here. The digest basis (rather than a bespoke
+    * rolling hash) makes the stub oracle-checkable: any engine with
+    * md5 reproduces width/height/n_frames/checksum exactly.
     */
   case class FakeDecoded(doc_id: Long, media_type: String,
-                         width: Int, height: Int, n_frames: Int, checksum: Long)
+                         width: Int, height: Int, n_frames: Int, checksum: String)
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
 
   /** ======= STUB: fake "decode" of a media payload. =======
-    * Deterministic pure function of the bytes (rolling checksum →
-    * pseudo width/height/frames). Replace the body with e.g. a JNI
-    * image decoder; the per-partition iterator shape (init once,
-    * stream records, no per-row setup) is the real contract.
+    * Deterministic pure function of the bytes: md5 the payload, carve
+    * pseudo width/height/frame-count out of hex chunks. Replace the
+    * body with e.g. a JNI image decoder; the per-partition iterator
+    * shape (init once, stream records, no per-row setup) is the real
+    * contract.
     */
   private[graft] def decodeStub(r: MediaRecord): FakeDecoded = {
-    var cs = 1125899906842597L
-    var i = 0
-    while (i < r.payload.length) { cs = cs * 31 + (r.payload(i) & 0xff); i += 1 }
-    val w = 64 + ((cs >>> 8) % 1024).toInt.abs
-    val h = 64 + ((cs >>> 24) % 1024).toInt.abs
-    val f = if (r.media_type == "video") 1 + ((cs >>> 40) % 300).toInt.abs else 1
-    FakeDecoded(r.doc_id, r.media_type, w, h, f, cs)
+    val hex = md5Hex(r.payload)
+    def chunk(from: Int): Long = java.lang.Long.parseLong(hex.substring(from, from + 6), 16)
+    val w = 64 + (chunk(0) % 1024).toInt
+    val h = 64 + (chunk(6) % 1024).toInt
+    val f = if (r.media_type == "video") 1 + (chunk(12) % 300).toInt else 1
+    FakeDecoded(r.doc_id, r.media_type, w, h, f, hex)
   }
 
   /** Decode/feature-extract stage: typed mapPartitions so any real
@@ -96,8 +106,11 @@ object Multimodal {
   /** "Frame sampling" over video payloads: take every `stride`-th
     * byte as a fake frame id — demonstrates payload-slicing plumbing
     * with metadata-pruned input (only video rows ever read payload).
+    * Internal API: the raw array column (for downstream per-frame
+    * stages); the query surface uses [[sampleFrames]], whose digest
+    * projection is hashable by any harness.
     */
-  def sampleFrames(documents: DataFrame, stride: Int = 16): DataFrame = {
+  private[graft] def sampleFramesRaw(documents: DataFrame, stride: Int = 16): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     asMedia(documents)
@@ -109,6 +122,17 @@ object Multimodal {
         (r.doc_id, frames.length, frames)
       }
       .toDF("doc_id", "n_frames", "frame_bytes")
-      .orderBy("doc_id")
   }
+
+  /** Oracle-checkable frame-sampling surface: frame count plus an md5
+    * digest of the comma-joined frame ids. Arrays don't survive every
+    * result harness (pandas can't sort/hash ndarray cells) — a digest
+    * carries the same evidence of per-frame content in a scalar.
+    */
+  def sampleFrames(documents: DataFrame, stride: Int = 16): DataFrame =
+    sampleFramesRaw(documents, stride)
+      .select(col("doc_id"), col("n_frames"),
+        md5(array_join(transform(col("frame_bytes"), _.cast("string")), ",").cast("binary"))
+          .as("frames_md5"))
+      .orderBy("doc_id")
 }

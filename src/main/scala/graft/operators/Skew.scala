@@ -19,15 +19,18 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner-join `fact` to `dim` on `factKey == dimKey`, salted into
-    * `buckets` sub-keys. The fact-side salt mixes the key hash with
-    * the row id — uniform even when a hot key's rows are identical;
-    * the join RESULT is independent of salt values (only the shuffle
-    * distribution changes). Dim side is exploded across all salts.
+    * `buckets` sub-keys. The fact-side salt hashes the FULL row
+    * (xxhash64 over every column) — uniform even when a hot key's
+    * rows are identical in the key column, and deterministic under
+    * task retry / repartition (unlike `monotonically_increasing_id`,
+    * whose value depends on partition layout). The join RESULT is
+    * independent of salt values (only the shuffle distribution
+    * changes). Dim side is exploded across all salts.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String, buckets: Int = 8): DataFrame = {
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(col(factKey), monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)).cast("int"))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated,

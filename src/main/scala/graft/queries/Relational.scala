@@ -245,6 +245,23 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Sketch twin of [[pricePercentiles]] — the recommended 100 TB
+    * path. `approx_percentile` (Greenwald-Khanna / t-digest style) is
+    * a mergeable bounded-memory sketch: partial aggregation works, no
+    * full-group sort/buffer, no straggler on a hot priority class.
+    * Exact `percentile` stays for contractual exactness (and the
+    * DuckDB oracle); this variant is what the bench should grow on.
+    * No SQL oracle (sketch estimates are engine-specific); the spec
+    * pins the estimate within tolerance of the exact quantiles.
+    */
+  def pricePercentilesApprox(orders: DataFrame, accuracy: Int = 10000): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(
+        round(approx_percentile(col("o_totalprice"), lit(0.5), lit(accuracy)), 4).as("p50"),
+        round(approx_percentile(col("o_totalprice"), lit(0.9), lit(accuracy)), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** Sketch-based distinct counts (HyperLogLog++): mergeable,
     * constant memory — the 100 TB answer to COUNT(DISTINCT). No SQL
     * oracle (sketch estimates are engine-specific); ScalaTest pins

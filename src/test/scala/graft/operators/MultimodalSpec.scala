@@ -35,10 +35,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out1.filter(_.media_type != "video").forall(_.n_frames == 1))
   }
 
-  test("sampleFrames: only video payloads, stride sampling") {
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  test("sampleFrames: only video payloads, stride sampling, digest of joined frame ids") {
     val out = Multimodal.sampleFrames(docs, stride = 4).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(2L))
     val text = "some video-ish payload bytes here"
     assert(out.head.getInt(1) == (text.length + 3) / 4)
+    val expectFrames = text.getBytes("UTF-8").indices.by(4)
+      .map(i => text.getBytes("UTF-8")(i).toInt & 0xff)
+    assert(out.head.getString(2) == md5Hex(expectFrames.mkString(",")))
+  }
+
+  test("decodeStub: checksum is md5 hex of payload; dims carved from hex chunks") {
+    val f = Multimodal.decodeStub(
+      Multimodal.MediaRecord(7L, "hello world".getBytes("UTF-8"), "video"))
+    val hex = md5Hex("hello world")
+    assert(f.checksum == hex)
+    assert(f.width == 64 + (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 1024).toInt)
+    assert(f.height == 64 + (java.lang.Long.parseLong(hex.substring(6, 12), 16) % 1024).toInt)
+    assert(f.n_frames == 1 + (java.lang.Long.parseLong(hex.substring(12, 18), 16) % 300).toInt)
+    // non-video: single frame
+    assert(Multimodal.decodeStub(
+      Multimodal.MediaRecord(7L, "hello world".getBytes("UTF-8"), "image")).n_frames == 1)
   }
 }
