@@ -87,9 +87,10 @@ object SparkEntry {
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     // --- similarity search ---
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
-    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), iters = 3)),
     "sim_cosine_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2, nBits = 4)),
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2,
+        nTables = 4, bitsPerTable = 8)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     // --- text analysis ---
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),

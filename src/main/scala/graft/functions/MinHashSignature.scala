@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,11 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why an Expression and not explode+groupBy: signatures become a
   * map-only projection — zero shuffle at any scale — and the inner
   * loop is plain JVM code instead of per-element interpreted
-  * higher-order functions. CodegenFallback costs one virtual call per
-  * row; the O(words × numHashes) work inside is tight Scala.
+  * higher-order functions. Codegen emits one [[compute]] call via a
+  * reference object (previously `CodegenFallback`), so the row never
+  * leaves whole-stage codegen.
   */
 case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
@@ -40,8 +41,11 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
   @transient private lazy val bs: Array[Long] =
     Array.tabulate(numHashes)(i => (splitmix64(2L * i + 1) & Long.MaxValue) % P)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(input: UTF8String): ArrayData = {
+    val text = input.toString
     val words = text.split(" ", -1)
     val sig = Array.fill(numHashes)(P)
     if (words.length >= shingleK) {
@@ -68,6 +72,11 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
       }
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,16 +14,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregate columns: same values, but map-only (zero shuffle) and
   * no 64-wide generated aggregate — whose janino compilation alone
   * cost multi-second first-runs per plan variant.
+  *
+  * Codegen: emits a static call to [[SimHash64.compute]] — the row
+  * stays inside whole-stage codegen with no interpreted-eval
+  * fallback boxing (previously `CodegenFallback`).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String].toString
-      .toLowerCase.split(" ", -1)
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Static so generated code can call it without a reference object. */
+  def compute(input: UTF8String): Long = {
+    val tokens = input.toString.toLowerCase.split(" ", -1)
     val votes = new Array[Int](64)
     var i = 0
     while (i < tokens.length) {
@@ -44,7 +59,4 @@ case class SimHash64(child: Expression)
     }
     fp
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

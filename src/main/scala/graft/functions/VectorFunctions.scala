@@ -76,6 +76,7 @@ object VectorFunctions {
   private val minhashName = "graft_minhash"
   private val simhashName = "graft_simhash"
   private val shinglesName = "graft_shingles"
+  private val hyperName = "graft_hyperplanes"
 
   private def literalInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -97,6 +98,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       shinglesName, exprs => WordShingles(exprs.head,
         literalInt(exprs(1), "shingleK")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      hyperName, exprs => HyperplaneSignature(exprs.head,
+        literalInt(exprs(1), "nTables"), literalInt(exprs(2), "bitsPerTable")), "built-in")
   }
 
   /** Column-level APIs (require [[ensureRegistered]] on the session
@@ -113,4 +117,9 @@ object VectorFunctions {
 
   def wordShingles(text: Column, shingleK: Int): Column =
     call_function(shinglesName, text, org.apache.spark.sql.functions.lit(shingleK))
+
+  def hyperplaneSig(v: Column, nTables: Int, bitsPerTable: Int): Column =
+    call_function(hyperName, v,
+      org.apache.spark.sql.functions.lit(nTables),
+      org.apache.spark.sql.functions.lit(bitsPerTable))
 }

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -11,16 +11,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * split→transform→slice→array_join higher-order-function chain whose
   * interpreted lambdas allocate per element; one JVM pass, one
   * LinkedHashSet for dedup (insertion order = first occurrence, so
-  * output order is deterministic).
+  * output order is deterministic). Codegen emits one [[compute]] call
+  * via a reference object (previously `CodegenFallback`).
   */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(input: UTF8String): ArrayData = {
+    val words = input.toString.split(" ", -1)
     if (words.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder
@@ -41,6 +45,11 @@ case class WordShingles(child: Expression, k: Int)
     var n = 0
     while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[WordShingles].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

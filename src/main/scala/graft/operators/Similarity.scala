@@ -65,42 +65,95 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Deterministic IVF centroids: the embeddings of the `nCells`
-    * lowest vec_ids (a fixed, reproducible "training sample" — at
-    * scale you'd k-means these; centroid choice only affects recall,
-    * not the operator shape).
+  /** Deterministic IVF seed centroids: the embeddings of the `nCells`
+    * lowest vec_ids (a fixed, reproducible starting point;
+    * [[trainCentroids]] refines them with k-means).
     */
-  private def centroids(embeddings: DataFrame, nCells: Int): DataFrame =
+  private def seedCentroids(embeddings: DataFrame, nCells: Int): DataFrame =
     embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), asDouble(col("embedding")).as("centroid"))
+      .select(col("vec_id").cast("int").as("cell_id"), asDouble(col("embedding")).as("centroid"))
 
-  /** Cell assignment: nearest centroid per vector (broadcast
-    * centroids, map-only). Persist/bucket this at scale — it is the
-    * "index build".
+  /** Nearest-centroid assignment against an explicit centroid frame:
+    * broadcast the (tiny) centroids, score map-only, keep the argmax
+    * per vector. Shared by index build, probe, and k-means rounds.
     */
-  def ivfAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
-    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+  private def assignToCells(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = centroids(embeddings, nCells)
     val scored = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cell_id"), VectorFunctions.cosineSim(col("v"), col("centroid")).as("sim"))
+      .select(col("vec_id"), col("v"), col("cell_id"),
+        VectorFunctions.cosineSim(col("v"), col("centroid")).as("sim"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("cell_id"), col("v"))
   }
 
+  /** Distributed spherical k-means for IVF centroids: `iters` rounds
+    * of assign (broadcast centroids, map-only argmax) + recompute
+    * (posexplode → per-(cell, dim) partial-agg mean). Each round the
+    * new centroid set — nCells × dim doubles, KBs — is collected and
+    * re-broadcast: the standard iterate-model-apply pattern (what
+    * MLlib k-means does), NOT a driver-side data loop; the data-sized
+    * work stays fully distributed. Means are rounded to 9 decimals so
+    * training is reproducible across runs and partitionings
+    * (double-sum order noise ~1e-13 « the rounding grid). Cells left
+    * empty by a round keep their previous centroid. Cosine ignores
+    * scale, so means need no re-normalization.
+    */
+  private[graft] def trainCentroids(embeddings: DataFrame, nCells: Int,
+                                    iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // sort: collect order varies with partitioning; cell order must not
+    var cents: Seq[(Int, Seq[Double])] =
+      seedCentroids(embeddings, nCells).as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val centsDf = cents.toDF("cell_id", "centroid")
+      val means = assignToCells(embeddings, centsDf)
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos")
+        .agg(round(avg("x"), 9).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val byCell = means.groupBy(_._1).map { case (c, xs) =>
+        c -> xs.sortBy(_._2).map(_._3).toSeq
+      }
+      cents = cents.map { case (c, old) => c -> byCell.getOrElse(c, old) }
+    }
+    cents
+  }
+
+  /** Centroid frame for the IVF index: seeds refined by `iters`
+    * k-means rounds (iters = 0 → raw seeds, the round-1 behavior).
+    */
+  private def centroids(embeddings: DataFrame, nCells: Int, iters: Int): DataFrame =
+    if (iters <= 0) seedCentroids(embeddings, nCells)
+    else {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      trainCentroids(embeddings, nCells, iters).toDF("cell_id", "centroid")
+    }
+
+  /** Cell assignment: nearest centroid per vector (broadcast
+    * centroids, map-only). Persist/bucket this at scale — it is the
+    * "index build".
+    */
+  def ivfAssign(embeddings: DataFrame, nCells: Int = 16, iters: Int = 0): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    assignToCells(embeddings, centroids(embeddings, nCells, iters))
+  }
+
   /** ANN top-k: per query, search only the nProbe cells whose
     * centroids are most similar to the query. Join on cell_id bounds
     * the candidate set; everything else mirrors the brute-force path.
+    * Probe and assignment share ONE centroid set (computed once).
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 0): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(embeddings, nCells)
-    val cents = centroids(embeddings, nCells)
+    val cents = centroids(embeddings, nCells, iters)
+    val assigned = assignToCells(embeddings, cents)
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell_id"))
@@ -133,37 +186,47 @@ object Similarity {
       .orderBy("label", "pos")
 
   /** Embedding-cosine near-duplicate pairs above a similarity
-    * threshold, bucketed by random-hyperplane LSH (SimHash for
-    * vectors): vectors agreeing on all `nBits` hyperplane signs land
-    * in one bucket; pairs are scored only within buckets. Recall
-    * grows with fewer bits / multiple tables; this single-table
-    * variant is the scale skeleton.
+    * threshold, bucketed by banded multi-table random-hyperplane LSH
+    * ([[graft.functions.HyperplaneSignature]]): per table, vectors
+    * agreeing on all `bitsPerTable` hyperplane signs share a bucket;
+    * candidates are pairs sharing ANY table's bucket (OR across
+    * tables → recall that a single wide table loses), scored with the
+    * codegen'd cosine only within buckets.
+    *
+    * Scale shape: the signature is a map-only projection
+    * (dimension-generic — no hard-coded dim); the join is on
+    * (table_idx, bucket) so work is Σ bucket², and `maxBucket` caps
+    * any degenerate bucket (identical to the SimHash pigeonhole cap
+    * in [[Dedup.simhashNearDups]]) — bounded work, recall loss
+    * confined to over-full buckets. Scoring happens before the
+    * cross-table pair dedup, so the dedup shuffle carries 3 scalars,
+    * not two embedding arrays.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-                         nBits: Int = 8): DataFrame = {
+                         nTables: Int = 4, bitsPerTable: Int = 8,
+                         maxBucket: Int = 256): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
-    val dim = 64
-    // Deterministic pseudo-random hyperplanes: component j of plane b
-    // = splitmix-ish hash mapped to [-1, 1).
-    def comp(b: Int, j: Int): Double = {
-      var z = (b.toLong << 32 | j.toLong) + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
-    val v = asDouble(col("embedding"))
-    val sig = (0 until nBits).map { b =>
-      val dot = (0 until dim).map(j => element_at(v, j + 1) * comp(b, j)).reduce(_ + _)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val bucketed = embeddings.select(col("vec_id"), v.as("v"), sig.as("bucket"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, "bucket")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        posexplode(VectorFunctions.hyperplaneSig(col("v"), nTables, bitsPerTable))
+          .as(Seq("table_idx", "bucket")))
+    val w = Window.partitionBy("table_idx", "bucket").orderBy("vec_id")
+    val capped = bucketed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
+    val a = capped.select(col("table_idx"), col("bucket"),
+      col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = capped.select(col("table_idx"), col("bucket"),
+      col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("table_idx", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(VectorFunctions.cosineSim(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
 }

@@ -95,4 +95,42 @@ class DedupSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 2L, 3L))
     assert(math.abs(r.getDouble(3) - 0.6) < 1e-9)
   }
+
+  test("ngramJaccardPairs: df cap drops a corpus-common shingle's bucket") {
+    // Every doc shares the boilerplate shingle "of the and"; tails are
+    // unique. Uncapped, the common shingle alone creates all C(n,2)
+    // candidate pairs; with maxDf below n the bucket is dropped and no
+    // pair survives (they share nothing else).
+    val n = 12
+    val d = docs((1 to n).map(i => i.toLong -> s"of the and tail$i more$i words$i"): _*)
+    val uncapped = Dedup.ngramJaccardPairs(d, shingleK = 3, threshold = 0.0, maxDf = 1000)
+    assert(uncapped.count() == n.toLong * (n - 1) / 2)
+    val capped = Dedup.ngramJaccardPairs(d, shingleK = 3, threshold = 0.0, maxDf = n - 1)
+    assert(capped.count() == 0)
+    // cap leaves rare-shingle pairs untouched (denominator stays uncapped)
+    val d2 = docs(
+      1L -> "of the and x y z",
+      2L -> "of the and x y w",
+      3L -> "of the and p q r")
+    val cappedPairs = Dedup.ngramJaccardPairs(d2, shingleK = 3, threshold = 0.0, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // "of the and"/"the and x" df=3/2... only doc1-doc2 share rare shingles
+    assert(cappedPairs.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
+  test("md5 twins: identical texts pair at est 1.0; fingerprints deterministic") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> other)
+    val pairs = Dedup.minhashNearDupsMd5(d).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == Seq((1L, 2L, 1.0)))
+    val fp1 = Dedup.simhashMd5(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = Dedup.simhashMd5(d.repartition(5)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 == fp2)
+    assert(fp1(1L) == fp1(2L) && fp1(1L) != fp1(3L))
+    // fingerprints are 32-bit values
+    assert(fp1.values.forall(v => v >= 0L && v <= 0xFFFFFFFFL))
+    val nd = Dedup.simhashMd5NearDups(docs(1L -> base, 2L -> base)).collect()
+    assert(nd.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq == Seq((1L, 2L, 0)))
+  }
 }

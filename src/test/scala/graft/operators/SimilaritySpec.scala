@@ -65,12 +65,47 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
-  test("cosineNearDupPairs finds planted near-duplicates") {
-    val base = Seq.tabulate(64)(i => (math.sin(i * 1.7) * 10).toFloat)
+  test("k-means training lifts IVF recall; trained probe-all still exact") {
+    val e = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.bruteForceTopK(e, k = 5, nQueries = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val trained = Similarity.ivfTopK(e, k = 5, nQueries = 10, nCells = 16, nProbe = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & trained).size.toDouble / exact.size
+    assert(recall >= 0.8, s"trained IVF recall $recall < 0.8 (nProbe=4/16 cells)")
+    // training must not break the probe-all == exact invariant
+    val full = Similarity.ivfTopK(e, k = 5, nQueries = 10, nCells = 16, nProbe = 16, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact)
+    // training is deterministic across partitionings
+    val c1 = Similarity.trainCentroids(e, 8, 2)
+    val c2 = Similarity.trainCentroids(e.repartition(7), 8, 2)
+    assert(c1 == c2)
+  }
+
+  test("cosineNearDupPairs finds planted near-duplicates (dim != 64)") {
+    // 48-dim frame: the signature must derive dim from the data —
+    // the old formulation hard-coded 64 and nulled out here
+    val base = Seq.tabulate(48)(i => (math.sin(i * 1.7) * 10).toFloat)
     val nearDup = base.updated(0, base(0) + 0.01f)
-    val noise = Seq.tabulate(64)(i => (math.cos(i * 3.1) * 10).toFloat)
+    val noise = Seq.tabulate(48)(i => (math.cos(i * 3.1) * 10).toFloat)
     val d = emb(1L -> base, 2L -> nearDup, 3L -> noise)
-    val out = Similarity.cosineNearDupPairs(d, threshold = 0.99, nBits = 4).collect()
+    val out = Similarity.cosineNearDupPairs(d, threshold = 0.99,
+      nTables = 4, bitsPerTable = 4).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("cosineNearDupPairs: maxBucket caps candidate work; more tables = more recall") {
+    val e = Tables.embeddings(spark, sf0001)
+    // cap 1: at most one vector survives per bucket → zero pairs
+    assert(Similarity.cosineNearDupPairs(e, threshold = 0.0,
+      nTables = 2, bitsPerTable = 4, maxBucket = 1).count() == 0L)
+    // more tables can only add candidate pairs (OR across tables)
+    val one = Similarity.cosineNearDupPairs(e, threshold = 0.2,
+      nTables = 1, bitsPerTable = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val four = Similarity.cosineNearDupPairs(e, threshold = 0.2,
+      nTables = 4, bitsPerTable = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one.subsetOf(four))
+    assert(four.nonEmpty, "4-table LSH found no pairs at threshold 0.2")
   }
 }

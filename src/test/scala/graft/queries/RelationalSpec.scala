@@ -49,6 +49,23 @@ class RelationalSpec extends SparkSpec {
       s"aggregate not codegen'd:\n$plan")
   }
 
+  test("approx percentiles track exact within 2% relative tolerance") {
+    val orders = Tables.orders(spark, sf0001)
+    val exact = Relational.pricePercentiles(orders).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Relational.pricePercentilesApprox(orders).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, (p50e, p90e)) =>
+      val (p50a, p90a) = approx(k)
+      assert(math.abs(p50a - p50e) / p50e < 0.02, s"$k p50 approx $p50a vs exact $p50e")
+      assert(math.abs(p90a - p90e) / p90e < 0.02, s"$k p90 approx $p90a vs exact $p90e")
+    }
+    // and the sketch plan partial-aggregates (mergeable at any scale)
+    val plan = formattedPlan(Relational.pricePercentilesApprox(orders))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("HashAggregate"))
+  }
+
   test("queries are deterministic: repeated runs give identical rows") {
     val q = SparkEntryLike.sample
     val a = q(spark, sf0001).collect().toSeq

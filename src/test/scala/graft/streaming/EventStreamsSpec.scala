@@ -92,6 +92,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayed sf0.01 events through streaming hourlyCounts equals the oracle-green batch rows") {
+    // The batch twin (ev_hourly_counts) hash-matches the DuckDB oracle;
+    // full row-set equality here transitively oracle-checks the
+    // streaming operator — the strongest check available for a path no
+    // SQL engine can replay.
+    val sf001 = "/root/testdata/sf0.01"
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_parity").toString
+    val batchDf = graft.Tables.events(spark, sf001)
+    // multiple files → multiple micro-batches (real incremental replay)
+    batchDf.repartition(4).write.mode("overwrite").parquet(src)
+    val streamDf = spark.readStream.schema(
+      spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1).parquet(src)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = EventStreams.toMemorySink(
+      EventStreams.hourlyCounts(streamDf),
+      "parity_hourly_test", org.apache.spark.sql.streaming.OutputMode.Complete())
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity_hourly_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventOps.hourlyCounts(batchDf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches streaming events with the customer dim") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, Double)]
