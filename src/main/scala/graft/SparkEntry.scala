@@ -85,6 +85,8 @@ object SparkEntry {
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
+    "text_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
     // --- similarity search ---
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), iters = 3)),
@@ -101,6 +103,8 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "text_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "text_dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
+    "text_hash_sample" -> ((s, d) => TextAnalysis.hashSample(Tables.documents(s, d))),
+    "text_topk_by_source" -> ((s, d) => TextAnalysis.topKBySource(Tables.documents(s, d))),
     // --- multimodal ---
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) =>
@@ -449,6 +453,44 @@ object SparkEntry {
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
         |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
         |FROM documents""".stripMargin,
+    "dedup_keep_best" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp,
+        |       arg_max(doc_id, CAST(n_chars AS BIGINT) * 4294967296 - doc_id) AS keep_id,
+        |       count(*) AS n_copies,
+        |       max(n_chars) AS best_chars
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // eval set = doc_id % 50 = 0; k=8 word shingles; one row per train doc
+    "text_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |shl AS (SELECT doc_id,
+        |               list_distinct(CASE WHEN len(ws) >= 8
+        |                 THEN list_transform(range(0, len(ws)-7),
+        |                        i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+8 AS INTEGER)], ' '))
+        |                 ELSE [] END) AS shs
+        |        FROM w),
+        |es AS (SELECT DISTINCT unnest(shs) AS sh FROM shl WHERE doc_id % 50 = 0),
+        |ts AS (SELECT doc_id, unnest(shs) AS sh FROM shl WHERE doc_id % 50 <> 0),
+        |shared AS (SELECT doc_id, count(*) AS n_shared FROM ts JOIN es USING (sh) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
+        |       coalesce(n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN shared USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "text_hash_sample" ->
+      """SELECT doc_id, bucket FROM (
+        |  SELECT doc_id,
+        |         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 100
+        |              AS INTEGER) AS bucket
+        |  FROM documents) t
+        |WHERE bucket < 10 ORDER BY doc_id""".stripMargin,
+    "text_topk_by_source" ->
+      """SELECT source, rnk, doc_id, n_words FROM (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |       CAST(length(text) AS INTEGER) AS n_chars_calc,

@@ -244,6 +244,56 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Eval-set decontamination: flag training documents sharing any
+    * `shingleK`-word shingle with the held-out/benchmark set (here: a
+    * deterministic doc_id stand-in for a real eval-doc table). The
+    * mandatory pre-training hygiene pass against benchmark leakage.
+    *
+    * Shape at 100 TB: eval shingles are benchmark-sized (millions,
+    * not corpus-sized) — the join on `sh` is bounded by eval-set
+    * cardinality; training shingles stream through it map/shuffle-
+    * side without ever pairing train docs against each other. Output
+    * is one row per train doc (n_shared = 0 for clean docs), so the
+    * result is a filterable audit column, not just the hits.
+    */
+  def decontaminate(documents: DataFrame, evalModulo: Int = 50,
+                    shingleK: Int = 8): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(evalModulo)) === 0
+    val evalSh = explodedShingles(documents.filter(isEval), shingleK)
+      .filter(col("sh").isNotNull).select("sh").distinct()
+    val trainSh = explodedShingles(documents.filter(!isEval), shingleK)
+      .filter(col("sh").isNotNull).select("doc_id", "sh")
+    val shared = trainSh.join(evalSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    documents.filter(!isEval).select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Version-preference dedup: among documents sharing a canonical
+    * fingerprint (case/punctuation-insensitive content identity),
+    * keep the BEST copy — longest text, doc_id as tiebreak — instead
+    * of [[exact]]'s arbitrary min-id. The "merge crawl snapshots,
+    * prefer the fullest capture" pass. One shuffle on the
+    * fingerprint; the window's per-group state is one row.
+    */
+  def keepBestByFingerprint(documents: DataFrame): DataFrame = {
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z ]", ""))
+    // composite BIGINT preference key: maximize n_chars, then minimize
+    // doc_id — unique per doc, so max_by is fully deterministic (and
+    // engine-portable: composite/struct arg_max keys aren't)
+    val pref = col("n_chars").cast("long") * lit(4294967296L) - col("doc_id")
+    documents.select(col("doc_id"), col("n_chars"), fp.as("fp"))
+      .groupBy("fp")
+      .agg(max_by(col("doc_id"), pref).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max("n_chars").as("best_chars"))
+      .orderBy("keep_id")
+  }
+
   // ---- md5-seeded oracle twins --------------------------------------
   //
   // The xxhash64-based MinHash/SimHash above are the production fast

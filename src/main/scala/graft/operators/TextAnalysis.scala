@@ -105,6 +105,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("n_chars"), lit(0L)).as("total_chars"))
       .orderBy("split")
 
+  /** Deterministic content-addressed sampling: md5 the stable key,
+    * take the first 4 hex chars mod 100 as a bucket, keep buckets
+    * < `pct`. The curation primitive for "give me a reproducible p%
+    * slice of 100 TB" — map-only, no shuffle, no RNG state, identical
+    * on any cluster/engine (unlike `sample()`, whose output depends
+    * on partitioning), and composable: the same bucket column drives
+    * A/B slices and holdouts.
+    */
+  def hashSample(documents: DataFrame, pct: Int = 10): DataFrame =
+    documents
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+          lit(100L)).cast("int").as("bucket"))
+      .filter(col("bucket") < pct)
+      .orderBy("doc_id")
+
+  /** Per-source curation top-k: keep the `k` longest documents (word
+    * count, doc_id tiebreak) of every source — the "best N per
+    * domain" selection pass. Rank inside each source partition via a
+    * window; at scale the window's per-group state is one row-number
+    * counter, and sources are the natural partition key.
+    */
+  def topKBySource(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_words").desc, col("doc_id"))
+    documents
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ", -1)).as("n_words"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("source", "rnk", "doc_id", "n_words")
+      .orderBy("source", "rnk")
+  }
+
   /** Corpus word frequencies: explode (generator surface) + count +
     * top-n. Map-side combine keeps the shuffle at vocabulary size,
     * not token count.

@@ -118,6 +118,38 @@ class DedupSpec extends SparkSpec {
     assert(cappedPairs.map(p => (p._1, p._2)) == Set((1L, 2L)))
   }
 
+  test("keepBestByFingerprint prefers the longest copy, doc_id tiebreak") {
+    val d = Seq(
+      (1L, "Hello, World!", 13),
+      (2L, "hello world THE FULLER CAPTURE", 30), // different content
+      (3L, "hello world", 11),                    // same canon as 1, shorter
+      (4L, "HELLO WORLD", 11))                    // same canon as 1, tie with 3
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.keepBestByFingerprint(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // canon "hello world": best = 1 (13 chars); canon of doc 2 alone
+    assert(out.toSet == Set((1L, 3L, 13), (2L, 1L, 30)))
+    // tiebreak: equal length → smaller doc_id
+    val tie = Seq((7L, "a b", 3), (5L, "A B", 3)).toDF("doc_id", "text", "n_chars")
+    assert(Dedup.keepBestByFingerprint(tie).collect().head.getLong(1) == 5L)
+  }
+
+  test("decontaminate flags train docs sharing an 8-shingle with the eval set") {
+    val evalText = (1 to 12).map(i => s"e$i").mkString(" ")
+    val leaked = "x y " + (1 to 8).map(i => s"e$i").mkString(" ") + " z"
+    val clean = (1 to 12).map(i => s"c$i").mkString(" ")
+    val d = Seq(
+      (0L, evalText),  // doc_id % 50 == 0 → eval set
+      (1L, leaked),    // contains eval shingle e1..e8
+      (2L, clean))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L)) // eval doc excluded from output
+    assert(out(1L)._2 && out(1L)._1 == 1L, s"leaked doc not flagged: $out")
+    assert(!out(2L)._2 && out(2L)._1 == 0L)
+  }
+
   test("md5 twins: identical texts pair at est 1.0; fingerprints deterministic") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val other = (1 to 40).map(i => s"z$i").mkString(" ")

@@ -61,6 +61,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("train") > out("val") && out("train") > out("test"))
   }
 
+  test("hashSample: deterministic, monotone in pct, roughly proportional") {
+    val docs = Tables.documents(spark, sf0001)
+    val s10 = TextAnalysis.hashSample(docs, 10).collect().map(_.getLong(0)).toSet
+    val s10b = TextAnalysis.hashSample(docs.repartition(9), 10).collect().map(_.getLong(0)).toSet
+    assert(s10 == s10b) // partitioning-independent
+    val s5 = TextAnalysis.hashSample(docs, 5).collect().map(_.getLong(0)).toSet
+    assert(s5.subsetOf(s10)) // smaller pct is a strict slice of larger
+    val n = docs.count().toDouble
+    assert(s10.size > n * 0.04 && s10.size < n * 0.20, s"10% sample got ${s10.size}/$n")
+  }
+
+  test("topKBySource keeps k longest docs per source with deterministic ranks") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = TextAnalysis.topKBySource(docs, k = 3).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc.values.forall(_.length <= 3))
+    bySrc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      // word counts non-increasing with rank
+      assert(sorted.map(_.getInt(3)).toSeq.reverse.sorted.reverse == sorted.map(_.getInt(3)).toSeq)
+    }
+  }
+
   test("languageId is deterministic and labels every doc") {
     val docs = Tables.documents(spark, sf0001)
     val out = TextAnalysis.languageId(docs).cache()
