@@ -86,6 +86,8 @@ object SparkEntry {
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
+    "dedup_groups_md5" -> ((s, d) =>
+      Dedup.connectedGroups(Dedup.simhashMd5NearDups(Tables.documents(s, d)))),
     "text_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
     // --- similarity search ---
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
@@ -164,12 +166,33 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Oracle for [[graft.operators.Dedup.connectedGroups]] over the md5
+    * SimHash near-dup pairs: transitive closure via a recursive CTE,
+    * group id = min reachable doc (exactly the Hash-Min fixpoint).
+    */
+  private def groupsMd5Oracle: String =
+    s"""WITH RECURSIVE $simhashMd5Cte,
+       |bands AS (SELECT doc_id, simhash32, CAST(band_idx AS INTEGER) AS band_idx,
+       |             (simhash32 >> CAST(band_idx * 8 AS INTEGER)) & 255 AS band_bits
+       |      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) bi),
+       |nd AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |       FROM bands x JOIN bands y USING (band_idx, band_bits)
+       |       WHERE x.doc_id < y.doc_id AND bit_count(xor(x.simhash32, y.simhash32)) <= 3),
+       |edges AS (SELECT doc_a AS a, doc_b AS nb FROM nd UNION SELECT doc_b, doc_a FROM nd),
+       |reach(a, nb) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+       |  UNION
+       |  SELECT r.a, e.nb FROM reach r JOIN edges e ON r.nb = e.a
+       |)
+       |SELECT a AS doc_id, min(nb) AS group_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx / non-relational
     * ops) fall back to the driver's rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_md5" -> minhashMd5Oracle,
+    "dedup_groups_md5" -> groupsMd5Oracle,
     "dedup_simhash_md5" ->
       s"""WITH $simhashMd5Cte
          |SELECT doc_id, simhash32 FROM fp ORDER BY doc_id""".stripMargin,

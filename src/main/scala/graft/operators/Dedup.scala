@@ -294,6 +294,67 @@ object Dedup {
       .orderBy("keep_id")
   }
 
+  /** Near-dup GROUP resolution: connected components over a candidate
+    * pair list — the step that turns pairwise near-dups into an
+    * actionable keep/kill list (every doc maps to its group's min
+    * doc_id; keep the representative, drop the rest). Pairs alone
+    * under-dedup: A~B and B~C must collapse to one group even when
+    * A~C was never emitted.
+    *
+    * Algorithm: Hash-Min label propagation — each round every node
+    * takes the min label among itself and its neighbors (one
+    * shuffle-join + one min-agg per round), until a round changes
+    * nothing. Rounds needed = component diameter; near-dup clusters
+    * are shallow (dense blobs, not paths), so this converges in a few
+    * rounds at any corpus size — the standard MapReduce-CC shape.
+    * `localCheckpoint` cuts lineage each round so the plan doesn't
+    * grow exponentially (on a cluster, use a checkpoint dir).
+    * Output covers docs appearing in ≥1 pair; all other docs are
+    * trivially their own singleton group.
+    */
+  def connectedGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("group_id"))
+      .localCheckpoint(true)
+    // Convergence signal: labels only ever DECREASE under min
+    // propagation, so Σ group_id is strictly monotone until fixpoint —
+    // one scalar agg per round instead of a join-and-count.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("group_id")).collect().head.getLong(0)
+    // one neighbor-min propagation step (as a plan, not an action)
+    def minNbr(l: DataFrame): DataFrame =
+      l.union(edges
+          .join(l.select(col("doc_id").as("dst"), col("group_id")), "dst")
+          .select(col("src").as("doc_id"), col("group_id")))
+        .groupBy("doc_id").agg(min("group_id").as("group_id"))
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // one propagation step, materialized, then a pointer jump
+      // (follow the label's own label — path compression) over the
+      // MATERIALIZED step so the self-join reads it twice for free;
+      // jumping keeps rounds at O(log diameter) instead of O(diameter)
+      val step = minNbr(labels).localCheckpoint(true)
+      val next = step
+        .join(step.select(col("doc_id").as("_g"), col("group_id").as("_gl")),
+          col("group_id") === col("_g"), "left")
+        .select(col("doc_id"), coalesce(col("_gl"), col("group_id")).as("group_id"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged after $i rounds")
+    labels.orderBy("doc_id")
+  }
+
   // ---- md5-seeded oracle twins --------------------------------------
   //
   // The xxhash64-based MinHash/SimHash above are the production fast

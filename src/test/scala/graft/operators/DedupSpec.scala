@@ -150,6 +150,19 @@ class DedupSpec extends SparkSpec {
     assert(!out(2L)._2 && out(2L)._1 == 0L)
   }
 
+  test("connectedGroups resolves transitive near-dup chains to min-id groups") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 9L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3-9 collapses to group 1 even though (1,9) was never a pair
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // deterministic under partitioning
+    val out2 = Dedup.connectedGroups(pairs.repartition(4)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
   test("md5 twins: identical texts pair at est 1.0; fingerprints deterministic") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val other = (1 to 40).map(i => s"z$i").mkString(" ")
