@@ -74,6 +74,9 @@ object SparkEntry {
       EventOps.eventsBySegment(Tables.events(s, d), Tables.customer(s, d))),
     "ev_hour_pivot" -> ((s, d) => EventOps.hourOfDayPivot(Tables.events(s, d))),
     "ev_funnel" -> ((s, d) => EventOps.viewToPurchaseFunnel(Tables.events(s, d))),
+    "ev_props_json" -> ((s, d) => EventOps.propsJson(Tables.events(s, d))),
+    "ev_daily_rolling" -> ((s, d) => EventOps.dailyRolling(Tables.events(s, d))),
+    "ev_retention" -> ((s, d) => EventOps.dailyRetention(Tables.events(s, d))),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
@@ -372,6 +375,34 @@ object SparkEntry {
         |                  AND ts_us - last_view_us <= 3600000000 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_converted,
         |       CAST(coalesce(sum(CASE WHEN last_view_us IS NULL THEN 1 ELSE 0 END),0) AS BIGINT) AS n_no_prior_view
         |FROM lastv""".stripMargin,
+    "ev_props_json" ->
+      """SELECT CAST(k % 10 AS BIGINT) AS k_bucket, count(*) AS n,
+        |       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+        |       round(sum(value), 4) AS sum_value
+        |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_daily_rolling" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n,
+        |       round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+        |FROM daily ORDER BY day, event_type""".stripMargin,
+    "ev_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+        |  FROM events),
+        |ret AS (
+        |  SELECT a.day, count(*) AS n_retained
+        |  FROM ud a JOIN (SELECT day + 1 AS day, user_id FROM ud) b
+        |    USING (day, user_id)
+        |  GROUP BY 1)
+        |SELECT d.day, d.n_active, coalesce(r.n_retained, 0) AS n_retained
+        |FROM (SELECT day, count(*) AS n_active FROM ud GROUP BY 1) d
+        |LEFT JOIN ret r USING (day)
+        |ORDER BY day""".stripMargin,
     "ev_hour_pivot" ->
       """SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INTEGER) AS hour_of_day,
         |       count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -46,6 +46,58 @@ object EventOps {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Structured JSON extraction via `from_json` with an explicit
+    * schema — the scale path for rich payloads ([[propsStats]] shows
+    * the regex alternative for ad-hoc probes): schema projection
+    * happens inside codegen, malformed rows go null instead of
+    * erroring, and nested fields prune like ordinary columns.
+    */
+  def propsJson(events: DataFrame): DataFrame =
+    events
+      .select(from_json(col("props"), lit("k LONG")).getField("k").as("k"), col("value"))
+      .groupBy(pmod(col("k"), lit(10)).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("k"), lit(0L)).as("sum_k"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("k_bucket")
+
+  /** Daily counts per event type with a trailing 3-row moving average
+    * — the analytic-frame surface (`ROWS BETWEEN 2 PRECEDING AND
+    * CURRENT ROW`). The frame runs over the already-aggregated daily
+    * rollup (days × types rows), so the window state is tiny no
+    * matter how large the raw log is.
+    */
+  def dailyRolling(events: DataFrame): DataFrame = {
+    val daily = withTsUs(events)
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    daily
+      .withColumn("avg3", round(avg("n").over(w), 4))
+      .orderBy("day", "event_type")
+  }
+
+  /** Day-over-day retention: per day, active users and how many were
+    * also active the previous day. Distinct (day, user) pairs first —
+    * the shuffle carries one row per user-day, not per event — then a
+    * self-join shifted by one day. The engagement metric every
+    * event-log warehouse computes.
+    */
+  def dailyRetention(events: DataFrame): DataFrame = {
+    val userDays = withTsUs(events)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val retained = userDays
+      .join(userDays.select((col("day") + 1).as("day"), col("user_id")),
+        Seq("day", "user_id"))
+      .groupBy("day").agg(count(lit(1)).as("n_retained"))
+    userDays.groupBy("day").agg(count(lit(1)).as("n_active"))
+      .join(retained, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .orderBy("day")
+  }
+
   /** As-of join, self-join flavor: for every `purchase` event, the
     * most recent `view` event timestamp (µs) by the same user at or
     * before the purchase.

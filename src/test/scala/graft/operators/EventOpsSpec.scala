@@ -60,4 +60,30 @@ class EventOpsSpec extends SparkSpec {
     assert(out("click") == (2L, 3L))
     assert(out("view") == (1L, 0L))
   }
+
+  test("dailyRetention counts users active on consecutive days") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-02 10:00:00", 1L, "view"),  // user 1 retained on day 2
+      (3L, "2024-01-02 11:00:00", 2L, "view"),  // user 2 new on day 2
+      (4L, "2024-01-03 09:00:00", 2L, "view"),  // user 2 retained on day 3
+      (5L, "2024-01-03 09:30:00", 2L, "click")) // same user-day, no double count
+    val out = EventOps.dailyRetention(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val day0 = us("2024-01-01 00:00:00") / 86400000000L
+    assert(out.toSeq == Seq((day0, 1L, 0L), (day0 + 1, 2L, 1L), (day0 + 2, 1L, 1L)))
+  }
+
+  test("dailyRolling: trailing 3-row average over the daily rollup") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-02 10:00:00", 1L, "view"),
+      (3L, "2024-01-02 11:00:00", 2L, "view"),
+      (4L, "2024-01-03 09:00:00", 2L, "view"))
+    val out = EventOps.dailyRolling(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val day0 = us("2024-01-01 00:00:00") / 86400000000L
+    // daily n: 1, 2, 1 → trailing avgs: 1.0, 1.5, 4/3
+    assert(out.toSeq == Seq((day0, 1L, 1.0), (day0 + 1, 2L, 1.5), (day0 + 2, 1L, 1.3333)))
+  }
 }
