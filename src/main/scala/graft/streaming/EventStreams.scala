@@ -31,6 +31,20 @@ object EventStreams {
         unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes — overlapping windows
+    * (each event lands in two), the smoothing twin of [[hourlyCounts]].
+    * Watermark bounds open-window state exactly as for tumbling.
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("window.start")).as("start_us"),
+        unix_micros(col("window.end")).as("end_us"),
+        col("event_type"), col("n"))
+
   /** Session windows (30-minute gap) per user — the streaming twin of
     * EventOps.sessionize, using Spark's native session_window (state
     * is merged ranges per user, bounded by the watermark).

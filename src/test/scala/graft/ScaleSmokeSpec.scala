@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * assumptions).
   */
 class ScaleSmokeSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val li1 = Tables.lineitem(spark, sf0001)
   private lazy val li10 = (1 to 10).map(_ => li1).reduce(_ union _).repartition(16)
@@ -44,4 +45,52 @@ class ScaleSmokeSpec extends SparkSpec {
     val ten = Relational.distinctFlagStatus(li10).collect().toSeq
     assert(one == ten)
   }
+
+  private lazy val docs1 = Tables.documents(spark, sf0001)
+  private lazy val docs5 =
+    (0 until 5).map(i => docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ union _).repartition(16)
+
+  test("dedup signatures and sampling are invariant per doc under 5x corpus growth") {
+    // content-derived values must not depend on corpus size or
+    // partitioning — each replica block gets identical signatures
+    val s1 = operators.Dedup.simhash(docs1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s5 = operators.Dedup.simhash(docs5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s5.size == 5 * s1.size)
+    s1.foreach { case (id, v) => assert(s5(id) == v && s5(id + 1000000L) == v) }
+    // hash sampling picks each doc by its own key only
+    val h1 = analysisSampleIds(docs1)
+    val h5 = analysisSampleIds(docs5)
+    assert(h1.subsetOf(h5))
+  }
+
+  private def analysisSampleIds(d: org.apache.spark.sql.DataFrame) =
+    operators.TextAnalysis.hashSample(d, 10).collect().map(_.getLong(0)).toSet
+
+  test("decontamination flags scale with the replicated corpus") {
+    // replicas of a contaminated doc must all be flagged; the eval set
+    // stays doc_id%50==0 so replica blocks contribute new eval docs too
+    val base = operators.Dedup.decontaminate(docs1).filter(col("contaminated")).count()
+    val five = operators.Dedup.decontaminate(docs5).filter(col("contaminated")).count()
+    // every originally-contaminated doc appears 5x; replication can only
+    // add contamination (shared shingles across replica blocks)
+    assert(five >= 5 * base, s"contaminated: 1x=$base 5x=$five")
+  }
+
+  test("connected components handle a 5x-replicated pair graph") {
+    val pairs1 = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val pairs5 = (0 until 5).map(i => pairs1
+        .withColumn("doc_a", col("doc_a") + lit(i * 100L))
+        .withColumn("doc_b", col("doc_b") + lit(i * 100L)))
+      .reduce(_ union _)
+    val out = operators.Dedup.connectedGroups(pairs5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(out(1L + i * 100) == 1L + i * 100)
+      assert(out(3L + i * 100) == 1L + i * 100)
+    }
+  }
+
 }

@@ -36,6 +36,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: every event lands in exactly two overlapping windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.toMemorySink(
+      EventStreams.slidingCounts(events),
+      "sliding_test", org.apache.spark.sql.streaming.OutputMode.Complete())
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val rows = spark.table("sliding_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      // 1h windows sliding by 30min → Σn over windows = 2 × events
+      assert(rows.map(_._4).sum == 2L * sample.length)
+      rows.foreach { case (s, e, _, _) => assert(e - s == 3600L * 1000000) }
+      // the 10:05 click is in [09:30,10:30) and [10:00,11:00)
+      val clicks = rows.filter(_._3 == "click").map(r => (r._1, r._2)).sorted
+      val us = (t: String) => java.sql.Timestamp.valueOf(t).getTime * 1000L
+      assert(clicks.contains((us("2024-01-01 09:30:00"), us("2024-01-01 10:30:00"))))
+      assert(clicks.contains((us("2024-01-01 10:00:00"), us("2024-01-01 11:00:00"))))
+    } finally q.stop()
+  }
+
   test("streaming sessionize produces gap-delimited sessions") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
