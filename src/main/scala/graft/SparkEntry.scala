@@ -64,6 +64,7 @@ object SparkEntry {
       Relational.lineitemsOfPriciestOrders(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctStats(Tables.lineitem(s, d))),
     "q_udaf_weighted_avg" -> ((s, d) => Relational.weightedAvgDiscount(Tables.lineitem(s, d))),
+    "q_unpivot" -> ((s, d) => Relational.unpivotMeasures(Tables.lineitem(s, d))),
     // --- event ops ---
     "ev_props_stats" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
     "ev_asof_last_view" -> ((s, d) => EventOps.lastViewBeforePurchase(Tables.events(s, d))),
@@ -348,6 +349,15 @@ object SparkEntry {
         |       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT metric, count(*) AS n, round(sum(value), 2) AS total
+        |FROM (
+        |  SELECT 'discount' AS metric, l_discount AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'quantity', l_quantity FROM lineitem) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_by_segment" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value

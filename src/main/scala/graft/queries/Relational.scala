@@ -286,6 +286,22 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Unpivot (wide → long): three measure columns become (metric,
+    * value) rows via `stack` — the generator-based unpivot Spark
+    * plans as a single codegen'd Expand, no shuffle until the
+    * aggregate. Long form feeds generic per-metric monitoring.
+    */
+  def unpivotMeasures(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(expr(
+        """stack(3,
+          |  'discount', l_discount,
+          |  'price', l_extendedprice,
+          |  'quantity', l_quantity) AS (metric, value)""".stripMargin))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("metric")
+
   /** Multi-way star join through the full dimension chain with an
     * aggregate per (region, year). Small dims (customer, nation,
     * region) broadcast — nation/region stay tiny at any scale.
