@@ -78,6 +78,7 @@ object SparkEntry {
     "ev_props_json" -> ((s, d) => EventOps.propsJson(Tables.events(s, d))),
     "ev_daily_rolling" -> ((s, d) => EventOps.dailyRolling(Tables.events(s, d))),
     "ev_retention" -> ((s, d) => EventOps.dailyRetention(Tables.events(s, d))),
+    "ev_interval_join" -> ((s, d) => EventOps.nearbyEventPairs(Tables.events(s, d))),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
@@ -385,6 +386,15 @@ object SparkEntry {
         |                  AND ts_us - last_view_us <= 3600000000 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_converted,
         |       CAST(coalesce(sum(CASE WHEN last_view_us IS NULL THEN 1 ELSE 0 END),0) AS BIGINT) AS n_no_prior_view
         |FROM lastv""".stripMargin,
+    "ev_interval_join" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |a AS (SELECT event_id AS a_id, ts_us AS a_us FROM e WHERE event_type = 'error'),
+        |b AS (SELECT event_id AS b_id, ts_us AS b_us FROM e WHERE event_type = 'purchase')
+        |SELECT a.a_id, count(b.b_id) AS n_nearby,
+        |       min(abs(a.a_us - b.b_us)) AS min_delta_us
+        |FROM a LEFT JOIN b ON abs(a.a_us - b.b_us) <= 300000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_props_json" ->
       """SELECT CAST(k % 10 AS BIGINT) AS k_bucket, count(*) AS n,
         |       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,

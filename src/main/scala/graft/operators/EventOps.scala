@@ -98,6 +98,39 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Interval correlation join WITHOUT an equi key — "which B-type
+    * events happened within ±tolerance of each A-type event" (incident
+    * correlation: errors near purchases). A naive theta-join on
+    * |Δt| ≤ tol is a cross product; the scale shape is time-bucket
+    * BINNING: bucket width = tolerance, B side keyed by its bucket, A
+    * side exploded to its bucket ±1 (any B within tolerance must land
+    * in one of those three) — an equi-join on the bin, exact predicate
+    * applied only inside bins. Work is Σ |A_bin|·|B_bin±1|, never
+    * |A|·|B|. Output stays |A|-sized (per-A aggregate), left-complete
+    * (A events with no nearby B report n_nearby = 0).
+    */
+  def nearbyEventPairs(events: DataFrame, typeA: String = "error",
+                       typeB: String = "purchase", toleranceMinutes: Int = 5): DataFrame = {
+    val tol = toleranceMinutes * 60L * 1000000L
+    val e = withTsUs(events)
+    val a = e.filter(col("event_type") === typeA)
+      .select(col("event_id").as("a_id"), col("ts_us").as("a_us"))
+    val b = e.filter(col("event_type") === typeB)
+      .select(col("event_id").as("b_id"), col("ts_us").as("b_us"),
+        expr(s"ts_us div $tol").as("bin"))
+    val aBinned = a.withColumn("bin",
+      explode(array_distinct(array(
+        expr(s"a_us div $tol - 1"), expr(s"a_us div $tol"), expr(s"a_us div $tol + 1")))))
+    val matched = aBinned.join(b, "bin")
+      .filter(abs(col("a_us") - col("b_us")) <= tol)
+      .dropDuplicates("a_id", "b_id") // a pair can meet in two bins
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n_nearby"), min(abs(col("a_us") - col("b_us"))).as("min_delta_us"))
+    a.join(matched, Seq("a_id"), "left")
+      .select(col("a_id"), coalesce(col("n_nearby"), lit(0L)).as("n_nearby"), col("min_delta_us"))
+      .orderBy("a_id")
+  }
+
   /** As-of join, self-join flavor: for every `purchase` event, the
     * most recent `view` event timestamp (µs) by the same user at or
     * before the purchase.

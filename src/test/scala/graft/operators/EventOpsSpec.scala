@@ -61,6 +61,26 @@ class EventOpsSpec extends SparkSpec {
     assert(out("view") == (1L, 0L))
   }
 
+  test("nearbyEventPairs: binned interval join, including cross-bin matches") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "error"),
+      (2L, "2024-01-01 10:03:00", 2L, "purchase"), // 3 min after error 1 (same bin)
+      (3L, "2024-01-01 10:06:00", 3L, "purchase"), // 6 min — outside ±5
+      (4L, "2024-01-01 12:00:00", 4L, "error"),
+      (5L, "2024-01-01 11:55:30", 5L, "purchase")) // 4.5 min before error 4 (bin-1)
+    val out = EventOps.nearbyEventPairs(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 180L * 1000000),
+      (4L, 1L, 270L * 1000000)))
+    // exact-tolerance boundary is inclusive
+    val edge = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "error"),
+      (2L, "2024-01-01 10:05:00", 2L, "purchase"))
+    val e = EventOps.nearbyEventPairs(edge).collect().head
+    assert(e.getLong(1) == 1L && e.getLong(2) == 300L * 1000000)
+  }
+
   test("dailyRetention counts users active on consecutive days") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),
