@@ -323,7 +323,7 @@ object Dedup {
     // propagation, so Σ group_id is strictly monotone until fixpoint —
     // one scalar agg per round instead of a join-and-count.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("group_id")).collect().head.getLong(0)
+      df.agg(coalesce(sum("group_id"), lit(0L))).collect().head.getLong(0)
     // one neighbor-min propagation step (as a plan, not an action)
     def minNbr(l: DataFrame): DataFrame =
       l.union(edges

@@ -61,6 +61,33 @@ object EventStreams {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
 
+  /** Stream-stream inner join: purchases matched to the same user's
+    * views within the preceding hour — both sides streaming, so Spark
+    * buffers each side's rows in state until the other side's
+    * watermark passes the join window. The time-range condition plus
+    * BOTH watermarks is what makes the state bounded (without them a
+    * stream-stream join must keep everything forever); this is the
+    * streaming twin of the as-of/funnel batch ops.
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+                       watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("view_ts")).as("view_us"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

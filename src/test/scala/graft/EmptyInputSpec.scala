@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Empty-input hardening: every operator must survive an empty (but
+  * correctly-typed) input frame — real pipelines hit empty dates,
+  * empty partitions, and filters that match nothing. A crash here is
+  * a 3 a.m. page at 100 TB; the correct behavior is an empty (or
+  * identity) result with the right schema.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs: DataFrame =
+    Seq.empty[(Long, String, String, Int, String)]
+      .toDF("doc_id", "text", "source", "n_chars", "lang")
+
+  private lazy val noEvents: DataFrame =
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private lazy val noEmb: DataFrame =
+    Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+
+  test("dedup operators: empty corpus → empty results") {
+    assert(Dedup.exact(noDocs).count() == 0)
+    assert(Dedup.exactStats(noDocs).collect().head.getLong(0) == 0L)
+    assert(Dedup.minhashNearDups(noDocs).count() == 0)
+    assert(Dedup.simhashNearDups(noDocs).count() == 0)
+    assert(Dedup.ngramJaccardPairs(noDocs).count() == 0)
+    assert(Dedup.minhashNearDupsMd5(noDocs).count() == 0)
+    assert(Dedup.simhashMd5NearDups(noDocs).count() == 0)
+    assert(Dedup.keepBestByFingerprint(noDocs).count() == 0)
+    assert(Dedup.decontaminate(noDocs).count() == 0)
+    assert(Dedup.connectedGroups(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
+  test("text operators: empty corpus → empty results") {
+    assert(TextAnalysis.textStats(noDocs).count() == 0)
+    assert(TextAnalysis.fingerprints(noDocs).count() == 0)
+    assert(TextAnalysis.qualityFilter(noDocs).count() == 0)
+    assert(TextAnalysis.hashSample(noDocs).count() == 0)
+    assert(TextAnalysis.topKBySource(noDocs).count() == 0)
+    assert(TextAnalysis.topWords(noDocs).count() == 0)
+    assert(TextAnalysis.languageId(noDocs).count() == 0)
+  }
+
+  test("similarity operators: empty embeddings → empty results") {
+    assert(Similarity.bruteForceTopK(noEmb).count() == 0)
+    assert(Similarity.cosineNearDupPairs(noEmb).count() == 0)
+    assert(Similarity.labelCentroids(noEmb).count() == 0)
+    assert(Similarity.ivfTopK(noEmb, iters = 2).count() == 0)
+  }
+
+  test("event operators: empty log → empty/zero results") {
+    assert(EventOps.sessionize(noEvents).count() == 0)
+    assert(EventOps.hourlyCounts(noEvents).count() == 0)
+    assert(EventOps.dailyRetention(noEvents).count() == 0)
+    assert(EventOps.dailyRolling(noEvents).count() == 0)
+    assert(EventOps.nearbyEventPairs(noEvents).count() == 0)
+    assert(EventOps.lastViewBeforePurchase(noEvents).count() == 0)
+    // global-aggregate funnel keeps its single summary row, zeroed
+    val funnel = EventOps.viewToPurchaseFunnel(noEvents).collect()
+    assert(funnel.length == 1 && funnel.head.getLong(0) == 0L)
+  }
+
+  test("multimodal operators: empty documents → empty results") {
+    assert(Multimodal.payloadStats(noDocs).count() == 0)
+    assert(Multimodal.decodeFeatures(noDocs).count() == 0)
+    assert(Multimodal.sampleFrames(noDocs).count() == 0)
+  }
+}

@@ -164,6 +164,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to same-user views within the hour") {
+    implicit val sq = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val views = vMem.toDF().toDF("event_id", "user_id", "ts")
+    val purchases = pMem.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.viewPurchaseJoin(views, purchases)
+      .writeStream.format("memory").queryName("ss_vp_join").outputMode("append").start()
+    try {
+      vMem.addData(
+        (10L, 1L, ts("2024-01-01 10:00:00")),  // 30 min before purchase → match
+        (11L, 1L, ts("2024-01-01 08:00:00")),  // 2.5 h before → outside window
+        (12L, 2L, ts("2024-01-01 10:20:00")))  // other user
+      pMem.addData((20L, 1L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ss_vp_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSet == Set((20L, 10L, 1L)))
+      // late-arriving view inside the window still joins (watermark not passed)
+      vMem.addData((13L, 1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("ss_vp_join").count() == 2)
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
