@@ -65,6 +65,10 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctStats(Tables.lineitem(s, d))),
     "q_udaf_weighted_avg" -> ((s, d) => Relational.weightedAvgDiscount(Tables.lineitem(s, d))),
     "q_unpivot" -> ((s, d) => Relational.unpivotMeasures(Tables.lineitem(s, d))),
+    "q5_local_supplier" -> ((s, d) =>
+      Relational.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d))),
     // --- event ops ---
     "ev_props_stats" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
     "ev_asof_last_view" -> ((s, d) => EventOps.lastViewBeforePurchase(Tables.events(s, d))),
@@ -350,6 +354,19 @@ object SparkEntry {
         |       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_unpivot" ->
       """SELECT metric, count(*) AS n, round(sum(value), 2) AS total
         |FROM (

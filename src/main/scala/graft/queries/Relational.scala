@@ -286,6 +286,40 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** TPC-H Q5 shape (local supplier volume): revenue per nation for
+    * orders whose customer and line-supplier share the nation, one
+    * region, one year. The 6-way join exercises a DOUBLE fact-dim
+    * relationship (lineitem→supplier on suppkey AND customer→supplier
+    * nation equality). nation/region are always broadcast (constant
+    * size); customer/supplier carry no hint — at test SF Catalyst
+    * broadcasts them under the threshold, at 100 TB (SF-proportional
+    * tables) AQE shuffles them, which is the correct plan both times.
+    * lineitem⋈orders stays the one unavoidable fact-fact shuffle, on
+    * pre-projected columns.
+    */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame,
+                          supplier: DataFrame): DataFrame =
+    lineitem
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(orders
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+
   /** Unpivot (wide → long): three measure columns become (metric,
     * value) rows via `stack` — the generator-based unpivot Spark
     * plans as a single codegen'd Expand, no shuffle until the
