@@ -55,7 +55,9 @@ object EventOps {
   def propsJson(events: DataFrame): DataFrame =
     events
       .select(from_json(col("props"), lit("k LONG")).getField("k").as("k"), col("value"))
-      .groupBy(pmod(col("k"), lit(10)).cast("long").as("k_bucket"))
+      // % (sign-of-dividend remainder), not pmod: matches the oracle's
+      // SQL % semantics even if a payload ever carries negative k
+      .groupBy((col("k") % 10).cast("long").as("k_bucket"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum("k"), lit(0L)).as("sum_k"),
         round(sum("value"), 4).as("sum_value"))
