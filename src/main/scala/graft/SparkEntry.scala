@@ -69,6 +69,7 @@ object SparkEntry {
       Relational.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d))),
+    "q6_sql_forecast" -> ((s, d) => Relational.revenueForecastSql(Tables.lineitem(s, d))),
     // --- event ops ---
     "ev_props_stats" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
     "ev_asof_last_view" -> ((s, d) => EventOps.lastViewBeforePurchase(Tables.events(s, d))),
@@ -354,6 +355,14 @@ object SparkEntry {
         |       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_sql_forecast" ->
+      """SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       count(*) AS n_lines

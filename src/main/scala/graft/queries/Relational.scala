@@ -286,6 +286,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** TPC-H Q6 (forecasting revenue change), deliberately through the
+    * SQL FRONTEND: temp view + `spark.sql` text, proving the whole
+    * surface is reachable from plain SQL (parser → analyzer →
+    * same Catalyst plan as the DataFrame API — the filters still push
+    * to the parquet scan). The oracle is the byte-identical statement.
+    */
+  def revenueForecastSql(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
   /** TPC-H Q5 shape (local supplier volume): revenue per nation for
     * orders whose customer and line-supplier share the nation, one
     * region, one year. The 6-way join exercises a DOUBLE fact-dim

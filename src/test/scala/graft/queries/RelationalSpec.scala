@@ -49,6 +49,13 @@ class RelationalSpec extends SparkSpec {
       s"aggregate not codegen'd:\n$plan")
   }
 
+  test("SQL-frontend query (Q6) pushes its filters into the parquet scan") {
+    val plan = formattedPlan(Relational.revenueForecastSql(Tables.lineitem(spark, sf0001)))
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"SQL-path filters not pushed:\n$plan")
+    assert(!plan.contains("l_orderkey"), "column pruning failed on the SQL path")
+  }
+
   test("approx percentiles track exact within 2% relative tolerance") {
     val orders = Tables.orders(spark, sf0001)
     val exact = Relational.pricePercentiles(orders).collect()
