@@ -96,6 +96,13 @@ object SparkEntry {
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
+    "dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNovel(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),  // today's batch
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))  // existing corpus
+    }),
     "dedup_groups_md5" -> ((s, d) =>
       Dedup.connectedGroups(Dedup.simhashMd5NearDups(Tables.documents(s, d)))),
     "text_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
@@ -553,6 +560,13 @@ object SparkEntry {
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
         |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
         |FROM documents""".stripMargin,
+    "dedup_incremental" ->
+      """SELECT a.doc_id, md5(a.text) AS text_hash
+        |FROM documents a
+        |WHERE a.doc_id % 10 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents b
+        |                  WHERE b.doc_id % 10 <> 0 AND md5(b.text) = md5(a.text))
+        |ORDER BY a.doc_id""".stripMargin,
     "dedup_keep_best" ->
       """SELECT md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp,
         |       arg_max(doc_id, CAST(n_chars AS BIGINT) * 4294967296 - doc_id) AS keep_id,

@@ -294,6 +294,21 @@ object Dedup {
       .orderBy("keep_id")
   }
 
+  /** Incremental exact dedup — which docs of a NEW batch are novel
+    * against an existing corpus: anti-join on the content digest. The
+    * daily-ingest pattern at 100 TB: the corpus side reduces to a
+    * digest column (16 bytes/row regardless of document size, stored
+    * once as a bucketed digest table and reused every increment); the
+    * new batch is increment-sized. Neither side ever carries text
+    * through the shuffle.
+    */
+  def incrementalNovel(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(corpus.select(md5(col("text")).as("text_hash")).distinct(),
+        Seq("text_hash"), "left_anti")
+      .select("doc_id", "text_hash") // USING-join fronts the key column
+      .orderBy("doc_id")
+
   /** Near-dup GROUP resolution: connected components over a candidate
     * pair list — the step that turns pairwise near-dups into an
     * actionable keep/kill list (every doc maps to its group's min

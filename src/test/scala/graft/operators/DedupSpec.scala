@@ -150,6 +150,16 @@ class DedupSpec extends SparkSpec {
     assert(!out(2L)._2 && out(2L)._1 == 0L)
   }
 
+  test("incrementalNovel: new batch anti-joined against corpus digests") {
+    val corpus = docs(1L -> "seen before", 2L -> "also seen")
+    val batch = docs(10L -> "seen before", 11L -> "genuinely new", 12L -> "also new")
+    val out = Dedup.incrementalNovel(batch, corpus).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(11L, 12L))
+    // empty corpus → everything is novel; empty batch → nothing
+    assert(Dedup.incrementalNovel(batch, docs()).count() == 3)
+    assert(Dedup.incrementalNovel(docs(), corpus).count() == 0)
+  }
+
   test("connectedGroups resolves transitive near-dup chains to min-id groups") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 9L))
       .toDF("doc_a", "doc_b")
