@@ -124,6 +124,7 @@ object SparkEntry {
     "text_dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
     "text_hash_sample" -> ((s, d) => TextAnalysis.hashSample(Tables.documents(s, d))),
     "text_topk_by_source" -> ((s, d) => TextAnalysis.topKBySource(Tables.documents(s, d))),
+    "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     // --- multimodal ---
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) =>
@@ -597,6 +598,14 @@ object SparkEntry {
         |              AS INTEGER) AS bucket
         |  FROM documents) t
         |WHERE bucket < 10 ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tt AS (SELECT doc_id, w FROM t WHERE length(w) > 0),
+        |f AS (SELECT w, count(*) AS cnt FROM tt GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM tt)
+        |SELECT doc_id, round(avg(ln(cnt / n_total)), 6) AS avg_logp, count(*) AS n_toks
+        |FROM tt JOIN f USING (w) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_topk_by_source" ->
       """SELECT source, rnk, doc_id, n_words FROM (
         |  SELECT source, doc_id,

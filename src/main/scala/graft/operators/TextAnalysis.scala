@@ -138,6 +138,33 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  /** Corpus-LM fluency score (the CCNet/perplexity-filter shape with
+    * a unigram model): per document, the mean log-probability of its
+    * tokens under corpus unigram frequencies. Low scores = rare-token
+    * soup (boilerplate, garbled OCR, spam); the standard cheap
+    * quality signal before anything model-based.
+    *
+    * Shape: token frequencies are one shuffle with map-side combine
+    * (vocabulary-sized); the corpus total is a 1-row agg broadcast by
+    * the cross join (scalar-subquery pattern); scoring joins tokens
+    * to the frequency table — vocabulary-sized build side, stream the
+    * corpus through it. Scores round to 6 decimals so double-sum
+    * order never shows.
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+    val freqs = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(freqs, "w")
+      .crossJoin(total)
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cnt").cast("double") / col("n_total"))), 6).as("avg_logp"),
+        count(lit(1)).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus word frequencies: explode (generator surface) + count +
     * top-n. Map-side combine keeps the shuffle at vocabulary size,
     * not token count.

@@ -85,6 +85,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProb: common-word docs score higher than rare-word docs") {
+    val d = Seq(
+      (1L, "the the the the"),       // only common tokens
+      (2L, "the qzx the wvy"),       // half rare
+      (3L, "the the the the"))       // duplicate of 1 (boosts 'the' freq)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out(1L)._1 > out(2L)._1, s"common-word doc should score higher: $out")
+    assert(out(1L) == out(3L))
+    assert(out(2L)._2 == 4L)
+    // exact value check: corpus = 12 tokens, cnt(the)=10, cnt(qzx)=cnt(wvy)=1
+    val expect1 = math.log(10.0 / 12.0)
+    assert(math.abs(out(1L)._1 - BigDecimal(expect1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("languageId is deterministic and labels every doc") {
     val docs = Tables.documents(spark, sf0001)
     val out = TextAnalysis.languageId(docs).cache()
