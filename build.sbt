@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt routes the forked process's stdout through its
+// logger and prefixes every line with "[info] " — which broke the
+// driver's JSON parse of Bench output in rounds 1-2 (parsed: null).
+// StdoutOutput inherits the parent's raw stdout/stderr.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
