@@ -14,8 +14,9 @@ run / fork := true
 // Without this, sbt routes the forked process's stdout through its
 // logger and prefixes every line with "[info] " — which broke the
 // driver's JSON parse of Bench output in rounds 1-2 (parsed: null).
-// StdoutOutput inherits the parent's raw stdout/stderr.
-outputStrategy := Some(StdoutOutput)
+// StdoutOutput inherits the parent's raw stdout/stderr. Scoped to
+// `run` only so forked TEST output keeps sbt's buffering (parallel
+// suites would interleave raw stdout).
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -23,9 +23,13 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
-    // Median of N full runs: n=1 is noise (JIT, page cache, GC); the
-    // median is robust to a single slow outlier run.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Interleaved rounds (run 1 = all queries, run 2 = all queries, …)
+    // so a GC pause / janino-compile storm lands on one ROUND, not one
+    // query's every sample. Round-2/3 medians-of-3 still swung up to
+    // 9× on identical code; N=5 + reporting BOTH median and min makes
+    // real regressions separable from noise: min is the reproducible
+    // steady-state cost, median shows the typical run.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val runs: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -41,12 +45,15 @@ object Bench {
       s(s.length / 2)
     }
     val names = runs.head.map(_._1)
-    val med = names.map(n => n -> median(runs.map(_.toMap.apply(n))))
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val byName = names.map(n => n -> runs.map(_.toMap.apply(n)))
+    val med = byName.map { case (n, xs) => n -> median(xs) }
+    val mins = byName.map { case (n, xs) => n -> xs.min }
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
+    val totalMin = mins.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"total_min":$totalMin%.3f,"sf":"$sfDir","iters":$iters}"""
     // Three sinks so the metric survives any log-prefixing harness:
     // stdout (human), stderr (sbt passes through un-prefixed), and a
     // file the driver can always read.

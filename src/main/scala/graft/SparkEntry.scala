@@ -184,6 +184,45 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Generated oracle for [[graft.operators.Similarity.cosineNearDupPairs]]:
+    * the splitmix64 hyperplane matrix
+    * ([[graft.functions.HyperplaneSignature.comp]]) is embedded as
+    * double literals (shortest-round-trip `Double.toString`, so DuckDB
+    * parses back the identical bits), and each plane's dot product is
+    * written as the same left-associated j-ascending sum the Scala
+    * loop computes — bit-identical doubles ⇒ identical bucket signs ⇒
+    * identical candidate pairs. Scoring mirrors `graft_cosine` via
+    * `list_cosine_similarity` rounded to 6 (the proven
+    * `sim_bruteforce_topk` parity).
+    */
+  private def cosineNearDupOracle: String = {
+    val nTables = 4; val bits = 8; val dim = 64
+    val maxBucket = 256; val threshold = 0.2
+    import graft.functions.HyperplaneSignature.comp
+    val arms = (0 until nTables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        val plane = t * bits + b
+        val dot = (0 until dim)
+          .map(j => s"v[${j + 1}]*(${comp(plane, j)})").mkString(" + ")
+        s"(CASE WHEN $dot >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("CAST(", "\n     + ", " AS BIGINT)")
+      s"SELECT vec_id, v, $t AS table_idx,\n  $bucket AS bucket FROM e"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS ($arms),
+       |capped AS (SELECT table_idx, bucket, vec_id, v FROM (
+       |  SELECT table_idx, bucket, vec_id, v,
+       |         row_number() OVER (PARTITION BY table_idx, bucket ORDER BY vec_id) AS rn
+       |  FROM b) t WHERE rn <= $maxBucket),
+       |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |             round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+       |      FROM capped a JOIN capped c USING (table_idx, bucket)
+       |      WHERE a.vec_id < c.vec_id)
+       |SELECT DISTINCT vec_a, vec_b, cos_sim FROM p
+       |WHERE cos_sim >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Oracle for [[graft.operators.Dedup.connectedGroups]] over the md5
     * SimHash near-dup pairs: transitive closure via a recursive CTE,
     * group id = min reachable doc (exactly the Hash-Min fixpoint).
@@ -209,6 +248,7 @@ object SparkEntry {
     * ops) fall back to the driver's rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "sim_cosine_neardup" -> cosineNearDupOracle,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_groups_md5" -> groupsMd5Oracle,
     "dedup_simhash_md5" ->

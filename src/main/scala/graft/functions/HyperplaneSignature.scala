@@ -40,14 +40,7 @@ case class HyperplaneSignature(child: Expression, nTables: Int, bitsPerTable: In
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplanes"
 
-  // component j of hyperplane `plane`, in [-1, 1) — splitmix64 of the
-  // (plane, j) pair; identical on every executor with zero state
-  private def comp(plane: Int, j: Int): Double = {
-    var z = (plane.toLong << 32 | j.toLong) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-  }
+  import HyperplaneSignature.comp
 
   def compute(a: ArrayData): ArrayData = {
     val dim = a.numElements()
@@ -80,4 +73,19 @@ case class HyperplaneSignature(child: Expression, nTables: Int, bitsPerTable: In
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object HyperplaneSignature {
+  /** Component j of hyperplane `plane`, in [-1, 1) — splitmix64 of
+    * the (plane, j) pair; identical on every executor with zero
+    * state. Public so the DuckDB oracle can embed the same matrix as
+    * SQL literals (`Double.toString` is shortest-round-trip, so the
+    * literal parses back to the identical bits).
+    */
+  def comp(plane: Int, j: Int): Double = {
+    var z = (plane.toLong << 32 | j.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
 }
