@@ -118,6 +118,7 @@ object SparkEntry {
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "text_quality_by_source" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d))),
     "text_lang_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    "text_lang_id_rel" -> ((s, d) => TextAnalysis.languageIdRelational(Tables.documents(s, d))),
     "text_top_words" -> ((s, d) => TextAnalysis.topWords(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "text_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
@@ -249,6 +250,34 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "sim_cosine_neardup" -> cosineNearDupOracle,
+    // relational twin of the mapPartitions language-ID fast path:
+    // same trigram profile (train on doc_id%4=0, top-300 per lang by
+    // cnt desc/gram asc, weight 301-rank), same argmax tiebreaks
+    "text_lang_id_rel" ->
+      """WITH lowered AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |tg AS (SELECT doc_id, lang,
+        |              unnest(list_transform(range(1, length(t) - 1),
+        |                     i -> substr(t, CAST(i AS INTEGER), 3))) AS gram
+        |       FROM lowered),
+        |train AS (SELECT lang, gram, count(*) AS cnt FROM tg
+        |          WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, gram, 301 - rank AS wt FROM (
+        |           SELECT lang, gram,
+        |                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |           FROM train) r
+        |         WHERE rank <= 300),
+        |scores AS (SELECT tg.doc_id, plang, CAST(sum(wt) AS BIGINT) AS score
+        |           FROM tg JOIN prof USING (gram) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, plang, score FROM (
+        |           SELECT doc_id, plang, score,
+        |                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+        |           FROM scores WHERE score > 0) b
+        |         WHERE rn = 1)
+        |SELECT d.doc_id, d.lang AS true_lang,
+        |       coalesce(b.plang, 'und') AS pred_lang,
+        |       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_groups_md5" -> groupsMd5Oracle,
     "dedup_simhash_md5" ->

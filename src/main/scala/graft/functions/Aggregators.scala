@@ -50,4 +50,37 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
     override def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
   }
+
+  /** Bounded top-k over (score, id) pairs, ordered score desc then id
+    * asc — the partial-aggregate replacement for
+    * `row_number().over(Window.partitionBy(q))` top-k finishers.
+    *
+    * Why it exists: a window top-k shuffles EVERY scored row onto the
+    * partition keys — with few queries (the similarity-search shape:
+    * ~10 qids vs |corpus| scored rows) parallelism collapses to
+    * n_queries tasks and shuffle volume is n_queries × corpus. This
+    * aggregator keeps an O(k) buffer, combines map-side, and ships
+    * only n_partitions × k pairs per query through the exchange.
+    * Ordering is total (ids unique within a group) so results are
+    * deterministic and identical to the window form — pinned by a
+    * differential spec.
+    */
+  class TopKPairs(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] = Ordering.by(p => (-p._1, p._2))
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      insert(b, x)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b.foldLeft(a)(insert)
+    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    private def insert(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+      if (b.size < k) (b :+ x).sorted(ord)
+      else if (ord.lt(x, b.last)) (b.init :+ x).sorted(ord)
+      else b
+    }
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
 }

@@ -44,26 +44,59 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Exact top-k cosine neighbors for every query vector (default:
-    * vec_id < nQueries), excluding self. Queries are broadcast; the
-    * corpus side streams. Ranking on rounded cosine + vec_id for
-    * determinism.
+  /** Per-query top-k finisher over `(qid, cid, cos_sim)` scored rows,
+    * as a bounded-heap partial aggregate
+    * ([[graft.functions.Aggregators.TopKPairs]]): map-side combine
+    * reduces each partition's candidates to k pairs BEFORE the
+    * exchange, so the shuffle carries n_partitions × k rows per query
+    * instead of every scored row. The window formulation this
+    * replaces ([[topKPerQueryWindow]], kept for the differential
+    * spec) shuffled |corpus| × |queries| rows onto ≤ |queries|
+    * partition keys — a scale-killer when queries are few.
     */
-  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.TopKPairs(k))
+    scored.groupBy("qid")
+      .agg(topk(col("cos_sim"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "pair")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("pair._2").as("cid"), col("pair._1").as("cos_sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The pre-round-4 window finisher — identical results, kept only
+    * as the differential oracle for [[topKPerQuery]].
+    */
+  private[graft] def topKPerQueryWindow(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = embeddings.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), round(VectorFunctions.cosineSim(col("qv"), col("cv")), 6).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "cid", "cos_sim")
       .orderBy("qid", "rnk")
   }
+
+  /** Scored candidate rows for [[bruteForceTopK]] (shared with the
+    * differential spec).
+    */
+  private[graft] def bruteForceScored(embeddings: DataFrame, nQueries: Int): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val corpus = embeddings.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(VectorFunctions.cosineSim(col("qv"), col("cv")), 6).as("cos_sim"))
+  }
+
+  /** Exact top-k cosine neighbors for every query vector (default:
+    * vec_id < nQueries), excluding self. Queries are broadcast; the
+    * corpus side streams and is reduced map-side to k candidates per
+    * (partition, query) — no row-level shuffle. Ranking on rounded
+    * cosine + vec_id for determinism.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
+    topKPerQuery(bruteForceScored(embeddings, nQueries), k)
 
   /** Deterministic IVF seed centroids: the embeddings of the `nCells`
     * lowest vec_ids (a fixed, reproducible starting point;
@@ -165,11 +198,7 @@ object Similarity {
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("cid"),
         round(VectorFunctions.cosineSim(col("qv"), col("v")), 6).as("cos_sim"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("qid", "rnk", "cid", "cos_sim")
-      .orderBy("qid", "rnk")
+    topKPerQuery(scored, k)
   }
 
   /** Per-label centroids in long form (label, dimension, mean):

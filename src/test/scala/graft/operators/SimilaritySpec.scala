@@ -108,4 +108,16 @@ class SimilaritySpec extends SparkSpec {
     assert(one.subsetOf(four))
     assert(four.nonEmpty, "4-table LSH found no pairs at threshold 0.2")
   }
+
+  test("bounded-heap top-k finisher matches the window formulation row-for-row") {
+    val e = Tables.embeddings(spark, sf0001)
+    val scored = Similarity.bruteForceScored(e, nQueries = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(Similarity.bruteForceTopK(e, k = 5, nQueries = 10)) ==
+      rows(Similarity.topKPerQueryWindow(scored, 5)))
+    // and across partitionings (merge path of the aggregator)
+    assert(rows(Similarity.bruteForceTopK(e.repartition(13), k = 5, nQueries = 10)) ==
+      rows(Similarity.topKPerQueryWindow(scored, 5)))
+  }
 }

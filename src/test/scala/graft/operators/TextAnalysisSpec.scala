@@ -113,4 +113,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
     out.unpersist()
   }
+
+  test("languageIdRelational matches the mapPartitions fast path row-for-row") {
+    val docs = Tables.documents(spark, sf0001)
+    val fast = TextAnalysis.languageId(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val rel = TextAnalysis.languageIdRelational(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(fast.toSeq == rel.toSeq)
+  }
 }
