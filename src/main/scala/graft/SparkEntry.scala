@@ -70,6 +70,10 @@ object SparkEntry {
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d))),
     "q6_sql_forecast" -> ((s, d) => Relational.revenueForecastSql(Tables.lineitem(s, d))),
+    "q17_corr_subquery_sql" -> ((s, d) =>
+      Relational.belowHalfAvgQuantityRevenueSql(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q17_corr_subquery_df" -> ((s, d) =>
+      Relational.belowHalfAvgQuantityRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
     // --- event ops ---
     "ev_props_stats" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
     "ev_asof_last_view" -> ((s, d) => EventOps.lastViewBeforePurchase(Tables.events(s, d))),
@@ -87,6 +91,7 @@ object SparkEntry {
     // --- dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
+    "dedup_exact_stats_approx" -> ((s, d) => Dedup.exactStatsApprox(Tables.documents(s, d))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxDist = 3)),
@@ -432,6 +437,23 @@ object SparkEntry {
         |       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same correlated statement verbatim — DuckDB decorrelates it
+    // with its own machinery; hash equality proves Catalyst's rewrite
+    // (and the hand-decorrelated DataFrame twin) preserve semantics
+    "q17_corr_subquery_sql" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |       round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q17_corr_subquery_df" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |       round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q6_sql_forecast" ->
       """SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue,
         |       count(*) AS n

@@ -58,6 +58,22 @@ object Dedup {
       countDistinct(md5(col("text"))).as("n_distinct"),
       (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
 
+  /** Sketch twin of [[exactStats]] — the 100 TB default. `countDistinct`
+    * expands to a full shuffle of every distinct digest
+    * (Expand + two-phase distinct agg); `approx_count_distinct`
+    * (HLL++) keeps a constant-size mergeable sketch per partition, so
+    * the corpus-wide "how much would dedup save" report is one
+    * map-side pass + a KB-sized merge regardless of corpus size.
+    * rsd defaults to 0.05 (Spark's default); no SQL oracle (sketch
+    * estimates are engine-specific) — a tolerance spec pins the
+    * estimate against the exact count.
+    */
+  def exactStatsApprox(documents: DataFrame, rsd: Double = 0.05): DataFrame =
+    documents.agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(md5(col("text")), rsd).as("n_distinct_est"),
+      (count(lit(1)) - approx_count_distinct(md5(col("text")), rsd)).as("n_dupes_est"))
+
   /** k-word shingles from a *materialized* words-array column. The
     * lambda only references the bound array (cheap); callers must
     * materialize `split` into its own projection first — inlining the

@@ -305,6 +305,54 @@ object Relational {
         |  AND l_quantity < 24""".stripMargin)
   }
 
+  /** TPC-H Q17 shape: line revenue restricted to rows below half the
+    * per-part average quantity, through the SQL FRONTEND as a genuine
+    * CORRELATED scalar aggregate subquery. This is the query class
+    * [[aboveAverageOrders]] deliberately bypasses (its scalar is
+    * uncorrelated, precomputable): here the subquery references the
+    * outer `p_partkey`, so Catalyst must decorrelate —
+    * RewriteCorrelatedScalarSubquery turns it into a per-partkey
+    * aggregate left-joined to the outer scan (partial-agg + one equi
+    * shuffle; never a per-row re-scan). The plan spec pins the
+    * rewrite; the DataFrame twin [[belowHalfAvgQuantityRevenue]]
+    * is the decorrelated form written by hand.
+    *
+    * `l_quantity` is integer-valued, so per-part averages are exact
+    * in double arithmetic regardless of accumulation order — the
+    * filter is engine-independent without rounding tricks.
+    */
+  def belowHalfAvgQuantityRevenueSql(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    part.createOrReplaceTempView("part")
+    lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_lines,
+        |       round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  /** DataFrame twin of [[belowHalfAvgQuantityRevenueSql]] — the
+    * decorrelated plan written explicitly: per-partkey half-average
+    * (partial agg), equi-join back to lineitem, then the brand
+    * rollup. Same results by construction; differential spec + shared
+    * oracle pin it.
+    */
+  def belowHalfAvgQuantityRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val halfAvg = lineitem
+      .groupBy(col("l_partkey").as("agg_key"))
+      .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
+    lineitem
+      .join(halfAvg, col("l_partkey") === col("agg_key"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .join(part, col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("total_price"))
+      .orderBy("p_brand")
+  }
+
   /** TPC-H Q5 shape (local supplier volume): revenue per nation for
     * orders whose customer and line-supplier share the nation, one
     * region, one year. The 6-way join exercises a DOUBLE fact-dim

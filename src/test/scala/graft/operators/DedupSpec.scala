@@ -22,6 +22,16 @@ class DedupSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 2L, 2L))
   }
 
+  test("exactStatsApprox (HLL sketch) tracks exact within rsd") {
+    val d = graft.Tables.documents(spark, sf0001)
+    val exact = Dedup.exactStats(d).collect().head
+    val approx = Dedup.exactStatsApprox(d).collect().head
+    assert(approx.getLong(0) == exact.getLong(0)) // n_docs is exact
+    val rel = math.abs(approx.getLong(1) - exact.getLong(1)).toDouble /
+      math.max(exact.getLong(1), 1L)
+    assert(rel < 0.05, s"HLL estimate off by ${rel * 100}%")
+  }
+
   test("wordShingles produces k-grams; short text → empty") {
     val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val sh = d.select(Dedup.wordShingles(col("text"), 3).as("s"))

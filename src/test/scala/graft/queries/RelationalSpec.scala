@@ -56,6 +56,25 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("l_orderkey"), "column pruning failed on the SQL path")
   }
 
+  test("correlated scalar subquery is decorrelated into an aggregate+join") {
+    val df = Relational.belowHalfAvgQuantityRevenueSql(
+      Tables.part(spark, sf0001), Tables.lineitem(spark, sf0001))
+    // RewriteCorrelatedScalarSubquery: no subquery survives to the
+    // optimized plan — it becomes a per-partkey Aggregate joined back
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"),
+      s"correlated subquery not decorrelated:\n$optimized")
+    val plan = formattedPlan(df)
+    assert(plan.contains("HashAggregate"), "expected the decorrelated aggregate")
+    // and it matches the hand-decorrelated DataFrame twin row-for-row
+    val sqlRows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dfRows = Relational.belowHalfAvgQuantityRevenue(
+      Tables.part(spark, sf0001), Tables.lineitem(spark, sf0001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sqlRows == dfRows)
+    assert(sqlRows.nonEmpty)
+  }
+
   test("approx percentiles track exact within 2% relative tolerance") {
     val orders = Tables.orders(spark, sf0001)
     val exact = Relational.pricePercentiles(orders).collect()
