@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming twins of the batch event operators
   * ([[graft.operators.EventOps]]): tumbling-window aggregation with
@@ -127,6 +127,47 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** End-to-end streaming→batch pipeline: watermarked exact dedup →
+    * session-window aggregation → `foreachBatch` parquet sink. This is
+    * the continuously-ingesting shape of a training-data pipeline: two
+    * chained stateful operators (Spark ≥3.4 supports stateful
+    * chaining in append mode with watermark propagation) feed a batch
+    * sink via `foreachBatch` — the escape hatch that hands each
+    * finalized micro-batch to ordinary DataFrame writer code.
+    *
+    * Exactly-once on top of at-least-once replay: each batch writes to
+    * its own `batch_id=<id>` directory with `overwrite`, so a restart
+    * that re-delivers a micro-batch replaces its output instead of
+    * appending duplicates (the standard idempotent-foreachBatch
+    * pattern; on a cluster the same code targets an object-store
+    * prefix and readers see it as one partitioned table).
+    *
+    * Output rows: (user_id, start_us, end_us, n_events), where end_us
+    * is the session_window close = last event + gap (the batch twin
+    * [[graft.operators.EventOps.sessionize]] reports last-event time;
+    * the replay spec reconciles the two).
+    */
+  def dedupSessionizeToParquet(events: DataFrame, outDir: String,
+                               gap: String = "30 minutes",
+                               watermark: String = "1 hour"): StreamingQuery =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
 
   /** Convenience: wire a streaming query to an in-memory sink for
     * tests/demos. Caller stops the query.

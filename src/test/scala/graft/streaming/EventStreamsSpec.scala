@@ -143,6 +143,53 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch pipeline: replayed dedup+sessionize parquet equals the batch twins") {
+    // End-to-end streaming→batch: sf0.001 events replayed time-ordered
+    // with injected duplicate event_ids, through watermarked dedup →
+    // session windows → foreachBatch parquet sink; the batch twins
+    // (dedup_exact + ev_sessionize) are oracle-green, so row-set
+    // equality transitively oracle-checks the whole pipeline.
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_febatch_out").toString
+    val gapUs = 30L * 60 * 1000000
+    val batchDf = graft.Tables.events(spark, sf0001)
+    val rows = batchDf.select("event_id", "ts", "user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    def toTs(ns: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(
+      ns / 1000000000L, ns % 1000000000L))
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStreams.dedupSessionizeToParquet(events, outDir)
+    try {
+      chunks.foreach { c =>
+        val base = c.map { case (id, ns, uid) => (id, toTs(ns), uid) }
+        val dups = base.grouped(10).map(_.head).toSeq // every 10th row again
+        mem.addData(base ++ dups: _*)
+        q.processAllAvailable()
+      }
+      // sentinel far past every session end flushes the watermark so
+      // append mode emits all real sessions; its own (unclosed)
+      // session never reaches the sink
+      mem.addData((-1L, toTs(rows.last._2 + 30L * 86400 * 1000000000L), -1L))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us") - gapUs, r.getAs[Long]("n_events")))
+        .toSet
+      val batch = EventOps.sessionize(batchDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches streaming events with the customer dim") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, Double)]
