@@ -70,6 +70,13 @@ object SparkEntry {
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d))),
     "q6_sql_forecast" -> ((s, d) => Relational.revenueForecastSql(Tables.lineitem(s, d))),
+    "q_outer_join_count" -> ((s, d) =>
+      Relational.customerOrderCounts(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_full_outer_nation" -> ((s, d) =>
+      Relational.nationCustomerSupplierBalance(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q21_exists_shape" -> ((s, d) =>
+      Relational.onlyReturnedSupplier(Tables.supplier(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
     "q17_corr_subquery_sql" -> ((s, d) =>
       Relational.belowHalfAvgQuantityRevenueSql(Tables.part(s, d), Tables.lineitem(s, d))),
     "q17_corr_subquery_df" -> ((s, d) =>
@@ -131,6 +138,8 @@ object SparkEntry {
     "text_hash_sample" -> ((s, d) => TextAnalysis.hashSample(Tables.documents(s, d))),
     "text_topk_by_source" -> ((s, d) => TextAnalysis.topKBySource(Tables.documents(s, d))),
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
+    "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     // --- multimodal ---
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) =>
@@ -454,6 +463,38 @@ object SparkEntry {
         |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_outer_join_count" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_full_outer_nation" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_building_customers
+        |           FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, count(*) AS n_debtor_suppliers
+        |           FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |       coalesce(n_building_customers, 0) AS n_building_customers,
+        |       coalesce(n_debtor_suppliers, 0) AS n_debtor_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+    // same correlated EXISTS / NOT EXISTS statement verbatim — DuckDB
+    // plans it with its own subquery machinery; hash equality proves
+    // Catalyst's RewritePredicateSubquery (semi/anti joins) is
+    // semantics-preserving
+    "q21_exists_shape" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
     "q6_sql_forecast" ->
       """SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue,
         |       count(*) AS n
@@ -689,6 +730,40 @@ object SparkEntry {
         |              AS INTEGER) AS bucket
         |  FROM documents) t
         |WHERE bucket < 10 ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        |           FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(ws) AS word FROM d) GROUP BY 1, 2),
+        |wstat AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        |                 max(c) AS top_word FROM wc GROUP BY 1),
+        |bg AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(ws)),
+        |                              i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |       FROM d),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+        |          FROM bc GROUP BY 1)
+        |SELECT wstat.doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |       round(CAST(n_words - n_distinct AS DOUBLE) / n_words, 6) AS frac_dup_words,
+        |       round(CAST(top_word AS DOUBLE) / n_words, 6) AS top_word_frac,
+        |       coalesce(round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6), 0.0)
+        |         AS top_bigram_frac
+        |FROM wstat LEFT JOIN bstat ON wstat.doc_id = bstat.doc_id
+        |ORDER BY wstat.doc_id""".stripMargin,
+    "text_chunking" ->
+      """WITH d AS (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        |           FROM documents),
+        |n AS (SELECT doc_id, ws,
+        |             CAST(greatest(ceil((len(ws) - 10) / 40.0), 1) AS BIGINT) AS nc
+        |      FROM d),
+        |c AS (SELECT doc_id, ws, unnest(range(0, nc)) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id,
+        |       CAST(len(ws[(chunk_id*40+1):(chunk_id*40+50)]) AS BIGINT) AS n_chunk_words,
+        |       array_to_string(ws[(chunk_id*40+1):(chunk_id*40+50)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tt AS (SELECT doc_id, w FROM t WHERE length(w) > 0),

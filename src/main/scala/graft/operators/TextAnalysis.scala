@@ -138,6 +138,80 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  /** Gopher-style repetition signals: per document, the duplicate-word
+    * fraction, the most-frequent-word share, and the most-frequent-
+    * bigram share — the standard "is this boilerplate / a scraper
+    * loop" quality gates. Shape: explode words once, then two
+    * partial-agg shuffles on the high-cardinality (doc_id[, gram])
+    * keys; bigrams come from a `lead` window over (doc_id, pos) —
+    * doc_id has corpus cardinality, so the window never concentrates
+    * (unlike a low-cardinality partition key). Text itself crosses
+    * the wire only as individual grams with map-side combine.
+    */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val wordStats = words
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_word"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigramStats = words
+      .withColumn("next", lead("word", 1).over(w))
+      .filter(col("next").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("word"), col("next")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram"))
+    wordStats
+      .join(bigramStats, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_words"),
+        round((col("n_words") - col("n_distinct")).cast("double") / col("n_words"), 6)
+          .as("frac_dup_words"),
+        round(col("top_word").cast("double") / col("n_words"), 6).as("top_word_frac"),
+        coalesce(
+          round(col("top_bigram").cast("double") / col("n_bigrams"), 6), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-size overlapping word-window chunking — the "split long
+    * documents into training-context-sized pieces" pass every LLM
+    * data pipeline ends with. Chunks of `chunkSize` words advance by
+    * `chunkSize - overlap`; every document yields ≥1 chunk (short
+    * docs emit themselves). Map-only: split → sequence → explode →
+    * slice are all codegen'd builtins, no shuffle, no UDF — at
+    * 100 TB this is a pure narrow stage that parallelizes per input
+    * split. The words array is materialized into its own projection
+    * before any lambda touches it (interpreted higher-order lambdas
+    * re-evaluate inlined child expressions per element).
+    */
+  def chunkDocuments(documents: DataFrame, chunkSize: Int = 50,
+                     overlap: Int = 10): DataFrame = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val step = chunkSize - overlap
+    documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws0"))
+      .select(col("doc_id"),
+        filter(col("ws0"), w => length(w) > 0).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L),
+          greatest(ceil((size(col("ws")) - lit(overlap)).cast("double") / step), lit(1.0))
+            .cast("long") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(slice(col("ws"), (col("chunk_id") * step + 1).cast("int"), lit(chunkSize)))
+          .cast("long").as("n_chunk_words"),
+        array_join(
+          slice(col("ws"), (col("chunk_id") * step + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Corpus-LM fluency score (the CCNet/perplexity-filter shape with
     * a unigram model): per document, the mean log-probability of its
     * tokens under corpus unigram frequencies. Low scores = rare-token

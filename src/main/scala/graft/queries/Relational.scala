@@ -424,4 +424,76 @@ object Relational {
       .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy("r_name", "o_year")
+
+  /** LEFT OUTER join + aggregate: order count per customer INCLUDING
+    * zero-order customers (`count(o_orderkey)` skips the null-extended
+    * rows, so the no-order customers report 0 — the outer-join
+    * semantics `left_semi`/inner joins can't express). Scale: same
+    * single equi shuffle as the inner join; null-extension is free.
+    */
+  def customerOrderCounts(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .select("c_custkey")
+      .join(orders.select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** FULL OUTER join of two aggregates with deliberately disjoint key
+    * coverage (BUILDING-segment customers vs negative-balance
+    * suppliers per nation): rows survive from either side with the
+    * other side null-extended, `coalesce` folding the gaps. Scale:
+    * both inputs are pre-aggregated to nation cardinality before the
+    * join, so the outer join itself touches ~25 rows at any SF.
+    */
+  def nationCustomerSupplierBalance(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val custSide = customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey").as("c_nk"))
+      .agg(count(lit(1)).as("n_building_customers"))
+    val suppSide = supplier
+      .filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey").as("s_nk"))
+      .agg(count(lit(1)).as("n_debtor_suppliers"))
+    custSide
+      .join(suppSide, col("c_nk") === col("s_nk"), "full_outer")
+      .select(
+        coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        coalesce(col("n_building_customers"), lit(0L)).as("n_building_customers"),
+        coalesce(col("n_debtor_suppliers"), lit(0L)).as("n_debtor_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  /** TPC-H Q21 shape (waiting-supplier): suppliers with a RETURNED
+    * line in a finished multi-supplier order where no OTHER supplier's
+    * line in that order was returned — a correlated EXISTS plus a
+    * correlated NOT EXISTS, through the SQL frontend. Catalyst's
+    * RewritePredicateSubquery turns them into a LEFT SEMI and a LEFT
+    * ANTI join on l_orderkey (plan-spec-pinned): at 100 TB that is
+    * two extra key-only fact shuffles, never a per-row re-scan.
+    * (The reference testdata has no receipt/commit dates, so
+    * "late" ≙ l_returnflag = 'R'.)
+    */
+  def onlyReturnedSupplier(supplier: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    supplier.createOrReplaceTempView("supplier")
+    orders.createOrReplaceTempView("orders")
+    lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+  }
 }

@@ -23,6 +23,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == Seq())
   }
 
+  test("repetitionSignals: duplicate/top-gram fractions on crafted docs") {
+    val d = Seq((1L, "a a b"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // doc 1: 3 words, 2 distinct → dup 1/3; top word "a" 2/3;
+    // bigrams "a a" and "a b" once each → top 1/2
+    assert(out(1L) == ((3L, 0.333333, 0.666667, 0.5)))
+    // doc 2: single word → no bigrams → fraction 0.0
+    assert(out(2L) == ((1L, 0.0, 1.0, 0.0)))
+  }
+
+  test("chunkDocuments: overlapping windows cover the doc; short docs emit themselves") {
+    val words120 = (1 to 120).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words120), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L)
+    // ceil((120-10)/40) = 3 chunks: words 1-50, 41-90, 81-120
+    assert(doc1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(doc1.map(_._3).toSeq == Seq(50L, 50L, 40L))
+    assert(doc1(0)._4.startsWith("w1 w2 ") && doc1(0)._4.endsWith(" w50"))
+    assert(doc1(1)._4.startsWith("w41 ") && doc1(1)._4.endsWith(" w90"))
+    assert(doc1(2)._4.startsWith("w81 ") && doc1(2)._4.endsWith(" w120"))
+    // consecutive chunks overlap by exactly `overlap` words
+    assert(doc1(0)._4.split(" ").takeRight(10).toSeq == doc1(1)._4.split(" ").take(10).toSeq)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "tiny doc")))
+  }
+
   test("fingerprints: case/punct-insensitive canonical hash") {
     val d = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap

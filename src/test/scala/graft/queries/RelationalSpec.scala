@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * regression in plan shape fails CI, not just a benchmark.
   */
 class RelationalSpec extends SparkSpec {
+  import spark.implicits._
 
   private def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.queryExecution.explainString(
@@ -73,6 +74,34 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(sqlRows == dfRows)
     assert(sqlRows.nonEmpty)
+  }
+
+  test("correlated EXISTS / NOT EXISTS rewrite to left semi and left anti joins") {
+    val df = Relational.onlyReturnedSupplier(
+      Tables.supplier(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("exists"),
+      s"predicate subquery not rewritten:\n$optimized")
+    assert(optimized.contains("LeftSemi"), "EXISTS did not become a semi join")
+    assert(optimized.contains("LeftAnti"), "NOT EXISTS did not become an anti join")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("left outer count keeps zero-order customers; full outer keeps one-sided nations") {
+    val customer = Seq((1L, "BUILDING", 10L), (2L, "AUTO", 10L), (3L, "BUILDING", 20L))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+    val orders = Seq((100L, 1L), (101L, 1L)).toDF("o_orderkey", "o_custkey")
+    val counts = Relational.customerOrderCounts(customer, orders)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
+
+    val supplier = Seq((9L, -5.0, 30L), (10L, 7.0, 10L)).toDF("s_suppkey", "s_acctbal", "s_nationkey")
+    val fo = Relational.nationCustomerSupplierBalance(customer, supplier)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // nation 10/20 only on the customer side, nation 30 only on the
+    // (negative-balance) supplier side — all three survive
+    assert(fo.toSet == Set((10L, 1L, 0L), (20L, 1L, 0L), (30L, 0L, 1L)))
   }
 
   test("approx percentiles track exact within 2% relative tolerance") {
