@@ -140,6 +140,10 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
+    "text_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, d))),
+    "sim_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8Report(Tables.embeddings(s, d))),
     // --- multimodal ---
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) =>
@@ -764,6 +768,30 @@ object SparkEntry {
         |       CAST(len(ws[(chunk_id*40+1):(chunk_id*40+50)]) AS BIGINT) AS n_chunk_words,
         |       array_to_string(ws[(chunk_id*40+1):(chunk_id*40+50)], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_stratified_sample" ->
+      """SELECT doc_id, source, bucket, pct FROM (
+        |  SELECT doc_id, source,
+        |         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 100
+        |              AS INTEGER) AS bucket,
+        |         CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 2 = 0
+        |              THEN 20 ELSE 5 END AS pct
+        |  FROM documents) t
+        |WHERE bucket < pct ORDER BY doc_id""".stripMargin,
+    // floor-quantization (no round-half tie convention) and errors ≫
+    // summation noise at round(…,6) make this cross-engine exact
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn,
+        |             (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),
+        |err AS (SELECT vec_id, v, sc,
+        |         CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x ->
+        |                     abs(x - (mn + floor((x - mn) / sc) * sc))) END AS errs
+        |        FROM m)
+        |SELECT vec_id, CAST(len(v) AS INTEGER) AS dim, round(sc, 6) AS scale,
+        |       round(list_max(errs), 6) AS max_err,
+        |       round(list_sum(errs) / len(v), 6) AS mean_err
+        |FROM err ORDER BY vec_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tt AS (SELECT doc_id, w FROM t WHERE length(w) > 0),

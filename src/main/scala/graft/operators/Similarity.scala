@@ -214,6 +214,42 @@ object Similarity {
       .agg(round(avg("v"), 6).as("mean_v"), count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** Int8 scalar quantization report: per-vector affine (min, max)
+    * quantization to 256 levels — the storage format that cuts an
+    * embedding corpus 4× before ANN indexing — with the
+    * reconstruction-error audit a pipeline needs before committing
+    * to it. Codes use `floor((x - min) / scale)` (truncation, not
+    * round-half — deterministic across engines, no tie convention).
+    *
+    * Scale shape: pure map-only projection, one row per vector, no
+    * shuffle; the lambda only references materialized attribute
+    * columns (mn / sc), never inlined subexpressions, so interpreted
+    * HOF evaluation stays O(dim) per row. Error sums are O(1e-1) of
+    * values ~1e-3, so round(…, 6) is far above any summation-order
+    * noise and the report hash-matches DuckDB exactly.
+    */
+  def quantizeInt8Report(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("mn"),
+        ((array_max(col("v")) - array_min(col("v"))) / 255.0).as("sc"))
+      .select(col("vec_id"), col("v"),
+        when(col("sc") === 0, transform(col("v"), _ => lit(0.0)))
+          .otherwise(transform(col("v"), x =>
+            abs(x - (col("mn") + floor((x - col("mn")) / col("sc")) * col("sc")))))
+          .as("errs"),
+        col("sc"))
+      .select(
+        col("vec_id"),
+        size(col("v")).as("dim"),
+        round(col("sc"), 6).as("scale"),
+        round(array_max(col("errs")), 6).as("max_err"),
+        round(
+          aggregate(col("errs"), lit(0.0), (acc, x) => acc + x) / size(col("v")), 6)
+          .as("mean_err"))
+      .orderBy("vec_id")
+
   /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold, bucketed by banded multi-table random-hyperplane LSH
     * ([[graft.functions.HyperplaneSignature]]): per table, vectors

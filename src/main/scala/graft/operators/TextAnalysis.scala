@@ -121,6 +121,26 @@ object TextAnalysis {
       .filter(col("bucket") < pct)
       .orderBy("doc_id")
 
+  /** Stratified deterministic sampling: per-source rates on top of
+    * the [[hashSample]] md5-bucket primitive — even-numbered sources
+    * keep `boostedPct`%, odd keep `defaultPct`% (stand-in for a
+    * quality-tier lookup; on a real pipeline the rate column joins in
+    * from a curation table). Map-only like hashSample: no shuffle, no
+    * RNG, identical on any cluster — the "oversample the good
+    * domains" pass of corpus curation.
+    */
+  def stratifiedSample(documents: DataFrame, defaultPct: Int = 5,
+                       boostedPct: Int = 20): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+          lit(100L)).cast("int").as("bucket"),
+        when(pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"), lit(2)) === 0,
+          boostedPct).otherwise(defaultPct).as("pct"))
+      .filter(col("bucket") < col("pct"))
+      .select("doc_id", "source", "bucket", "pct")
+      .orderBy("doc_id")
+
   /** Per-source curation top-k: keep the `k` longest documents (word
     * count, doc_id tiebreak) of every source — the "best N per
     * domain" selection pass. Rank inside each source partition via a

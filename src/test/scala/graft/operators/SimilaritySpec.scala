@@ -109,6 +109,20 @@ class SimilaritySpec extends SparkSpec {
     assert(four.nonEmpty, "4-table LSH found no pairs at threshold 0.2")
   }
 
+  test("quantizeInt8Report: error bounded by one step; constant vectors degrade to zero") {
+    import spark.implicits._
+    val real = Similarity.quantizeInt8Report(Tables.embeddings(spark, sf0001)).collect()
+    assert(real.length == 500)
+    real.foreach { r =>
+      val (scale, maxErr, meanErr) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(maxErr <= scale + 1e-9, s"max_err $maxErr exceeds one quantization step $scale")
+      assert(meanErr <= maxErr + 1e-9)
+    }
+    val const = Seq((1L, Array(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8Report(const).collect().head
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) == ((0.0, 0.0, 0.0)))
+  }
+
   test("bounded-heap top-k finisher matches the window formulation row-for-row") {
     val e = Tables.embeddings(spark, sf0001)
     val scored = Similarity.bruteForceScored(e, nQueries = 10)

@@ -52,6 +52,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "tiny doc")))
   }
 
+  test("stratifiedSample: per-source rates over the deterministic hash bucket") {
+    val d = graft.Tables.documents(spark, sf0001)
+    val out = TextAnalysis.stratifiedSample(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, source, bucket, pct) =>
+      assert(bucket < pct)
+      val even = source.filter(_.isDigit).toLong % 2 == 0
+      assert(pct == (if (even) 20 else 5), s"wrong rate for $source")
+    }
+    // the boosted tier samples at ~4x the default rate
+    val (evenN, oddN) = out.partition(_._4 == 20)
+    assert(evenN.length > oddN.length)
+    // buckets agree with the hashSample primitive (same md5 arithmetic)
+    val hs = TextAnalysis.hashSample(d, pct = 100).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, _, bucket, _) => assert(hs(id) == bucket) }
+  }
+
   test("fingerprints: case/punct-insensitive canonical hash") {
     val d = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
