@@ -250,9 +250,15 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
     val freqs = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(freqs, "w")
-      .crossJoin(total)
+    // corpus total = Σ cnt over the VOCABULARY table via an
+    // unpartitioned window — one single-partition pass over vocab
+    // rows (bounded ≪ corpus; same cost class as broadcasting it),
+    // instead of a 1-row cross join that would put a
+    // BroadcastNestedLoopJoin on the plan. The corpus-side pipeline
+    // stays a single equi join on w.
+    val freqsWithTotal = freqs.withColumn("n_total",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    toks.join(freqsWithTotal, "w")
       .groupBy("doc_id")
       .agg(round(avg(log(col("cnt").cast("double") / col("n_total"))), 6).as("avg_logp"),
         count(lit(1)).as("n_toks"))
