@@ -37,6 +37,47 @@ class SourcesSpec extends SparkSpec {
     assert(total == Tables.lineitem(spark, sf0001).count())
   }
 
+  test("orc round-trip preserves rows; filter pushdown reaches the orc scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val orders = Tables.orders(spark, sf0001)
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      orders.orderBy("o_orderkey").collect().toSeq)
+    val filtered = back.filter(col("o_totalprice") > 100000.0).select("o_orderkey")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,"),
+      s"filter not pushed to orc scan:\n$plan")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    // The 100 TB fact⋈fact pattern: both sides pre-bucketed on the
+    // join key → SortMergeJoin reads bucket n against bucket n with
+    // NO Exchange. Shuffle paid once at write time, amortized over
+    // every subsequent join.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf0001).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_bkt")
+      Tables.lineitem(spark, sf0001).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_bkt")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf0001).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("graft_part").toString
     val orders = Tables.orders(spark, sf0001)
