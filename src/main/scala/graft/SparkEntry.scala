@@ -70,6 +70,11 @@ object SparkEntry {
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d))),
     "q6_sql_forecast" -> ((s, d) => Relational.revenueForecastSql(Tables.lineitem(s, d))),
+    "q_except_all" -> ((s, d) => Relational.exceptAllPriorities(Tables.orders(s, d))),
+    "q_intersect_all" -> ((s, d) => Relational.intersectAllPriorities(Tables.orders(s, d))),
+    "q_null_safe_join" -> ((s, d) => Relational.nullSafeRegionPairs(Tables.nation(s, d))),
+    "q_string_agg" -> ((s, d) => Relational.statusListByPriority(Tables.orders(s, d))),
+    "ev_gap_fill" -> ((s, d) => EventOps.gapFilledHourlyCounts(Tables.events(s, d))),
     "q_outer_join_count" -> ((s, d) =>
       Relational.customerOrderCounts(Tables.customer(s, d), Tables.orders(s, d))),
     "q_full_outer_nation" -> ((s, d) =>
@@ -467,6 +472,38 @@ object SparkEntry {
         |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_orderpriority FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus <> 'P'
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus <> 'O') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_null_safe_join" ->
+      """WITH a AS (SELECT n_nationkey AS a_key, nullif(n_regionkey, 2) AS a_rk FROM nation),
+        |     b AS (SELECT n_nationkey AS b_key, nullif(n_regionkey, 2) AS b_rk FROM nation)
+        |SELECT a_rk AS rk, count(*) AS n_pairs
+        |FROM a JOIN b ON a_rk IS NOT DISTINCT FROM b_rk
+        |GROUP BY 1 ORDER BY rk NULLS FIRST""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH h AS (SELECT event_type,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM h GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hour FROM r)
+        |SELECT g.event_type, g.hour * 3600000000 AS hour_us, coalesce(n, 0) AS n
+        |FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour
+        |ORDER BY 1, 2""".stripMargin,
     "q_outer_join_count" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -261,4 +261,29 @@ object EventOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("hour_us", "event_type")
   }
+
+  /** Time-series gap filling: hourly counts per event_type with the
+    * missing hours inside each type's observed range emitted as 0 —
+    * the densify pass dashboards and forecasting inputs need. The
+    * hour grid comes from per-type (min, max) + `sequence`/`explode`
+    * (one tiny row per type expands to its range), NOT a cross join
+    * against a global calendar — so the plan is two partial-agg
+    * shuffles and one left join, no cartesian anywhere, and each
+    * type only materializes hours it can actually contain.
+    */
+  def gapFilledHourlyCounts(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val hourly = withTsUs(events)
+      .groupBy(expr(s"ts_us div $hourUs").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly
+      .groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    grid
+      .join(hourly, Seq("event_type", "hour"), "left_outer")
+      .select(col("event_type"), (col("hour") * hourUs).as("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour_us")
+  }
 }

@@ -123,6 +123,53 @@ object Relational {
     f.intersect(o).orderBy("custkey")
   }
 
+  /** Multiset set ops (EXCEPT ALL / INTERSECT ALL): per-priority
+    * order bags with duplicates preserved — `except` would collapse
+    * the multiplicities that are the point here. Folded to
+    * (priority, n) so the result is deterministic.
+    */
+  def exceptAllPriorities(orders: DataFrame): DataFrame =
+    orders.select("o_orderpriority")
+      .exceptAll(orders.filter(col("o_orderstatus") === "F").select("o_orderpriority"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  def intersectAllPriorities(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderstatus") =!= "P").select("o_orderpriority")
+      .intersectAll(orders.filter(col("o_orderstatus") =!= "O").select("o_orderpriority"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nation
+    * self-pairs on a deliberately nulled region key — null matches
+    * null, which plain `===` silently drops. Spark plans
+    * EqualNullSafe as a genuine equi key (coalesce-keyed hash join),
+    * so this costs the same single shuffle as `===` at any scale.
+    */
+  def nullSafeRegionPairs(nation: DataFrame): DataFrame = {
+    val a = nation.select(col("n_nationkey").as("a_key"),
+      nullif(col("n_regionkey"), lit(2L)).as("a_rk"))
+    val b = nation.select(col("n_nationkey").as("b_key"),
+      nullif(col("n_regionkey"), lit(2L)).as("b_rk"))
+    a.join(b, col("a_rk") <=> col("b_rk"))
+      .groupBy(col("a_rk").as("rk"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("rk").asc_nulls_first)
+  }
+
+  /** Ordered string aggregation (LISTAGG/string_agg): per priority,
+    * the sorted distinct status list — `collect_set` + `array_sort` +
+    * `array_join` keeps the result deterministic under any partition
+    * order (never aggregate strings in arrival order at scale).
+    */
+  def statusListByPriority(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** ROLLUP grouping sets: per (flag,status), per flag, grand total.
     * Spark expands rollup into a single Expand + aggregate — one pass
     * over the data, not one pass per grouping set.

@@ -81,6 +81,20 @@ class EventOpsSpec extends SparkSpec {
     assert(e.getLong(1) == 1L && e.getLong(2) == 300L * 1000000)
   }
 
+  test("gapFilledHourlyCounts emits zero rows for missing hours inside each type's range") {
+    val events = Seq(
+      (1L, "2024-01-01 10:10:00", 1L, "click"),
+      (2L, "2024-01-01 13:20:00", 1L, "click"), // hours 11,12 missing
+      (3L, "2024-01-01 10:30:00", 2L, "view"))  // single-hour type: no gap
+    val df = ev(events: _*)
+    val out = EventOps.gapFilledHourlyCounts(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val clicks = out.filter(_._1 == "click")
+    assert(clicks.map(_._3).toSeq == Seq(1L, 0L, 0L, 1L))
+    assert(clicks.map(_._2).toSeq == (10 to 13).map(h => us(f"2024-01-01 $h%02d:00:00")))
+    assert(out.filter(_._1 == "view").toSeq == Seq(("view", us("2024-01-01 10:00:00"), 1L)))
+  }
+
   test("dailyRetention counts users active on consecutive days") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),

@@ -104,6 +104,21 @@ class RelationalSpec extends SparkSpec {
     assert(fo.toSet == Set((10L, 1L, 0L), (20L, 1L, 0L), (30L, 0L, 1L)))
   }
 
+  test("null-safe join matches null keys to each other; multiset ops keep duplicates") {
+    val nation = Seq((1L, 2L), (2L, 2L), (3L, 0L)).toDF("n_nationkey", "n_regionkey")
+    // region 2 is nulled → nations 1,2 pair under <=> (4 pairs), nation 3 self-pairs
+    val pairs = Relational.nullSafeRegionPairs(nation).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(pairs == Map(-1L -> 4L, 0L -> 1L))
+
+    val orders = Seq(("1-URGENT", "F"), ("1-URGENT", "F"), ("1-URGENT", "O"))
+      .toDF("o_orderpriority", "o_orderstatus")
+    // bag {U,U,U} except-all bag {U,U} (status F) leaves exactly one
+    val ea = Relational.exceptAllPriorities(orders).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ea == Map("1-URGENT" -> 1L))
+  }
+
   test("approx percentiles track exact within 2% relative tolerance") {
     val orders = Tables.orders(spark, sf0001)
     val exact = Relational.pricePercentiles(orders).collect()
