@@ -90,6 +90,7 @@ object SparkEntry {
     "ev_props_stats" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
     "ev_asof_last_view" -> ((s, d) => EventOps.lastViewBeforePurchase(Tables.events(s, d))),
     "ev_asof_native" -> ((s, d) => EventOps.lastViewBeforePurchaseNative(Tables.events(s, d))),
+    "ev_asof_tolerance" -> ((s, d) => EventOps.lastViewWithinNative(Tables.events(s, d))),
     "ev_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "ev_hourly_counts" -> ((s, d) => EventOps.hourlyCounts(Tables.events(s, d))),
     "ev_by_segment" -> ((s, d) =>
@@ -657,6 +658,17 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts_us, max(v.ts_us) AS last_view_us
         |FROM e p LEFT JOIN e v
         |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts_us <= p.ts_us
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1,2,3 ORDER BY 1""".stripMargin,
+    // tolerance twin: a view in [p.ts - 30min, p.ts] is the as-of
+    // match iff one exists (any in-window view beats all older ones)
+    "ev_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT p.event_id, p.user_id, p.ts_us, max(v.ts_us) AS last_view_us
+        |FROM e p LEFT JOIN e v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts_us <= p.ts_us AND v.ts_us >= p.ts_us - 1800000000
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1,2,3 ORDER BY 1""".stripMargin,
     "ev_asof_last_view" ->

@@ -18,13 +18,19 @@ object AsOf {
     */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame =
-    joinMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime)
+           leftTime: String, rightTime: String,
+           tolerance: Option[Long] = None): DataFrame =
+    joinMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime, tolerance)
 
   /** Multi-key variant (composite join keys, e.g. (tenant, user)). */
+  /** `tolerance` (same units as the long time columns, e.g. micros)
+    * bounds staleness pandas-merge_asof-style: a match older than
+    * `leftTime - tolerance` is emitted as nulls instead.
+    */
   def joinMulti(left: DataFrame, right: DataFrame,
                 leftKeys: Seq[String], rightKeys: Seq[String],
-                leftTime: String, rightTime: String): DataFrame = {
+                leftTime: String, rightTime: String,
+                tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and equal-length: $leftKeys vs $rightKeys")
     val spark = left.sparkSession
@@ -51,7 +57,7 @@ object AsOf {
     val plan = AsOfJoinPlan(
       lPlan, rPlanNN,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlanNN, _)),
-      attr(lPlan, leftTime), attr(rPlanNN, rightTime))
+      attr(lPlan, leftTime), attr(rPlanNN, rightTime), tolerance)
     GraftSqlShim.ofRows(spark, plan)
   }
 }

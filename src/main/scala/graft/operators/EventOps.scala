@@ -182,6 +182,25 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** [[lastViewBeforePurchaseNative]] with a staleness bound: views
+    * older than `toleranceMinutes` before the purchase don't count
+    * (pandas merge_asof `tolerance`, running inside the native exec's
+    * merge — same single co-partitioned pass, the bound is a per-row
+    * long comparison).
+    */
+  def lastViewWithinNative(events: DataFrame, toleranceMinutes: Int = 30): DataFrame = {
+    val e = withTsUs(events)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_us").as("view_us"))
+    AsOf.join(purchases, views, "user_id", "v_user", "ts_us", "view_us",
+      tolerance = Some(toleranceMinutes.toLong * 60 * 1000000))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("view_us").as("last_view_us"))
+      .orderBy("event_id")
+  }
+
   /** Sessionization: split each user's event stream on gaps >
     * `gapMinutes`, emit per-session stats. One shuffle on user_id;
     * both windows share the same partitioning so Catalyst plans a

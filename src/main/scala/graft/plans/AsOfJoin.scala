@@ -30,7 +30,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -40,8 +41,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -49,7 +50,17 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
+
+  // tolerance subtracts raw time values, so it is defined only for
+  // integral (long) time columns — micros in this engine's tables
+  tolerance.foreach { _ =>
+    require(leftTime.dataType == org.apache.spark.sql.types.LongType &&
+      rightTime.dataType == org.apache.spark.sql.types.LongType,
+      s"as-of tolerance requires long time columns, got " +
+        s"${leftTime.dataType}/${rightTime.dataType}")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -94,11 +105,13 @@ case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIt.buffered
 
+      val tol = tolerance
       new Iterator[InternalRow] {
         // last right row (copy) whose time <= current left time for the
         // current key; reset when the key advances.
         private var lastMatch: InternalRow = _
         private var lastMatchKey: InternalRow = _
+        private var lastMatchTime: Long = Long.MinValue
         override def hasNext: Boolean = lIt.hasNext
         override def next(): InternalRow = {
           val l = lIt.next()
@@ -115,10 +128,16 @@ case class AsOfJoinExec(
             val kc = keyOrd.compare(rk, lk)
             if (kc < 0) { rBuf.next() }
             else if (kc == 0 && timeOrd.compare(rTimeProj(rBuf.head), lt) <= 0) {
+              if (tol.isDefined) lastMatchTime = rTimeProj(rBuf.head).getLong(0)
               lastMatch = rBuf.next().copy(); lastMatchKey = lk
             } else advancing = false
           }
-          outProj(if (lastMatch != null) joined(l, lastMatch) else joined(l, nullRight))
+          // tolerance: keep the pointer state (a later left row can
+          // still match a NEWER right row), but emit null when the
+          // best match is staler than allowed for THIS left row
+          val withinTol = lastMatch != null &&
+            tol.forall(t => lt.getLong(0) - lastMatchTime <= t)
+          outProj(if (withinTol) joined(l, lastMatch) else joined(l, nullRight))
         }
       }
     }

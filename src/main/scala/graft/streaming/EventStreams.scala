@@ -117,6 +117,47 @@ object EventStreams {
       }
   }
 
+  case class TimedUserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class ActivityState(n_events: Long, total_value: Double, last_ms: Long)
+  case class ActivitySummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Keyed state WITH expiry: per-user activity accumulates silently
+    * and is emitted exactly once — as a closed summary — when the
+    * user goes quiet for `gap` (event time). This is the
+    * production-shaped twin of [[runningUserTotals]]: EventTimeTimeout
+    * + `setTimeoutTimestamp(lastEvent, gap)` means abandoned keys
+    * LEAVE the state store instead of leaking, so state size is
+    * O(active users in the last gap+watermark), not O(all users ever)
+    * — the invariant that lets this run for months. Timeouts fire
+    * when the WATERMARK passes last+gap, so late data inside the
+    * watermark still lands in its session.
+    */
+  def activitySummariesWithTimeout(events: Dataset[TimedUserEvent],
+                                   watermark: String = "10 minutes",
+                                   gap: String = "30 minutes"): Dataset[ActivitySummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActivityState, ActivitySummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[TimedUserEvent], state: GroupState[ActivityState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ActivitySummary(userId, s.n_events, s.total_value))
+          } else {
+            val prev = state.getOption.getOrElse(ActivityState(0L, 0.0, Long.MinValue))
+            var n = prev.n_events; var tot = prev.total_value; var last = prev.last_ms
+            it.foreach { e => n += 1; tot += e.value; last = math.max(last, e.ts.getTime) }
+            state.update(ActivityState(n, tot, last))
+            state.setTimeoutTimestamp(last, gap)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen, with state bounded by the watermark (an id older than the
     * watermark can be evicted because any duplicate of it would be

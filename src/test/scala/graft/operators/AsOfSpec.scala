@@ -43,6 +43,33 @@ class AsOfSpec extends SparkSpec {
     assert(native == windowed)
   }
 
+  test("tolerance: stale matches emit nulls, pointer state survives for later rows") {
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0)).toDF("qkey", "qt", "px")
+    val trades = Seq((1L, 12L), (1L, 30L), (1L, 21L)).toDF("tkey", "tt")
+    val out = AsOf.join(trades, quotes, "tkey", "qkey", "tt", "qt", tolerance = Some(5L))
+      .select("tt", "qt").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // tt=12: match qt=10, gap 2 ≤ 5 ✓; tt=21: qt=20, gap 1 ✓;
+    // tt=30: best is still qt=20 but gap 10 > 5 → null (not dropped)
+    assert(out == Map(12L -> Some(10L), 21L -> Some(20L), 30L -> None))
+  }
+
+  test("tolerance twin equals the window formulation with a staleness post-filter") {
+    val events = Tables.events(spark, sf0001)
+    val tolUs = 30L * 60 * 1000000
+    val native = EventOps.lastViewWithinNative(events, toleranceMinutes = 30)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val windowed = EventOps.lastViewBeforePurchase(events)
+      .select(col("event_id"), col("ts_us"),
+        when(col("last_view_us") >= col("ts_us") - tolUs, col("last_view_us")).as("lv"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(native == windowed)
+    assert(native.values.exists(_.isEmpty) && native.values.exists(_.nonEmpty),
+      "fixture lacks both stale and fresh matches — tolerance not exercised")
+  }
+
   test("native as-of join emits exactly one row per left row") {
     val e = EventOps.withTsUs(Tables.events(spark, sf0001))
     val purchases = e.filter(col("event_type") === "purchase")

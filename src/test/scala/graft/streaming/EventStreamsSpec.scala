@@ -236,6 +236,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EventTimeTimeout: quiet users emit a closed summary and leave the state store") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventStreams.TimedUserEvent]
+    val q = EventStreams.activitySummariesWithTimeout(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("timeout_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStreams.TimedUserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        EventStreams.TimedUserEvent(1L, ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      // user 1 still active: nothing emitted yet
+      assert(spark.table("timeout_test").count() == 0)
+      // a far-future event advances the watermark past user 1's
+      // last+gap → their state times out and emits exactly once
+      mem.addData(EventStreams.TimedUserEvent(2L, ts("2024-01-01 13:00:00"), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("timeout_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
