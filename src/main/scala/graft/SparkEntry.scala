@@ -70,6 +70,7 @@ object SparkEntry {
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d))),
     "q6_sql_forecast" -> ((s, d) => Relational.revenueForecastSql(Tables.lineitem(s, d))),
+    "q_range_window" -> ((s, d) => Relational.trailing90DayOrderTotals(Tables.orders(s, d))),
     "q_except_all" -> ((s, d) => Relational.exceptAllPriorities(Tables.orders(s, d))),
     "q_intersect_all" -> ((s, d) => Relational.intersectAllPriorities(Tables.orders(s, d))),
     "q_null_safe_join" -> ((s, d) => Relational.nullSafeRegionPairs(Tables.nation(s, d))),
@@ -108,6 +109,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxDist = 3)),
+    "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinNearDups(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // md5-seeded oracle twins of the xxhash64 fast paths (hash-checkable end-to-end)
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d))),
@@ -473,6 +475,20 @@ object SparkEntry {
         |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS trailing_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "dedup_levenshtein" ->
+      """WITH p AS (SELECT doc_id, substr(lower(text), 1, 16) AS block,
+        |                  substr(text, 1, 200) AS head FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_except_all" ->
       """SELECT o_orderpriority, count(*) AS n FROM (
         |  SELECT o_orderpriority FROM orders

@@ -260,6 +260,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Edit-distance near-duplicates: pairs whose (truncated) texts are
+    * within `maxDist` Levenshtein edits, blocked on a shared prefix —
+    * the classic catch for fat-fingered re-uploads and tiny-edit
+    * copies that shingle methods can miss on short texts.
+    *
+    * Shape at 100 TB: candidate pairs come from a self-join on the
+    * `blockLen`-char canonical prefix (Σ block² like every blocking
+    * join here, and a mass-duplicated prefix hits the same AQE skew
+    * handling as LSH buckets); `levenshtein` runs only within blocks
+    * and only on `cmpLen`-truncated texts, so the per-pair cost is a
+    * bounded O(cmpLen²) codegen'd builtin, never full-document DP.
+    * Prefix blocking trades recall for boundedness exactly like a
+    * band cap: an edit inside the first `blockLen` chars escapes this
+    * pass (the MinHash pipeline is the recall backstop).
+    */
+  def levenshteinNearDups(documents: DataFrame, maxDist: Int = 5,
+                          blockLen: Int = 16, cmpLen: Int = 200): DataFrame = {
+    val prepared = documents.select(
+      col("doc_id"),
+      substring(lower(col("text")), 1, blockLen).as("block"),
+      substring(col("text"), 1, cmpLen).as("head"))
+    val a = prepared.select(col("block"), col("doc_id").as("doc_a"), col("head").as("ha"))
+    val b = prepared.select(col("block"), col("doc_id").as("doc_b"), col("head").as("hb"))
+    a.join(b, "block")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ha"), col("hb")))
+      .filter(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Eval-set decontamination: flag training documents sharing any
     * `shingleK`-word shingle with the held-out/benchmark set (here: a
     * deterministic doc_id stand-in for a real eval-doc table). The

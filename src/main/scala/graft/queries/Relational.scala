@@ -170,6 +170,24 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** RANGE-frame window (value-based, not row-based): per customer,
+    * the trailing-90-day order total at each order. RANGE frames
+    * include all peers at equal order dates — semantics a ROWS frame
+    * can't express when keys tie. One shuffle on o_custkey (corpus
+    * cardinality); the frame is evaluated over epoch seconds so the
+    * bound is integral in every engine.
+    */
+  def trailing90DayOrderTotals(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate")))  // epoch seconds (UTC session) = DuckDB epoch()
+      .rangeBetween(-90L * 86400, 0)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("trailing_total", round(sum("o_totalprice").over(w), 2))
+      .select("o_orderkey", "o_custkey", "trailing_total")
+      .orderBy("o_orderkey")
+  }
+
   /** ROLLUP grouping sets: per (flag,status), per flag, grand total.
     * Spark expands rollup into a single Expand + aggregate — one pass
     * over the data, not one pass per grouping set.

@@ -170,6 +170,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalNovel(docs(), corpus).count() == 0)
   }
 
+  test("levenshteinNearDups: prefix-blocked edit-distance pairs, bounded head compare") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("keeps", "kept")),            // 2 edits, same prefix → pair
+      (3L, base + " " + ("x " * 40).trim),            // same 200-char head? no — longer tail
+      (4L, "the quick brown fox " + ("z" * 60)),      // same 16-char block, head far → no pair
+      (5L, "a totally different start " + base))      // different block → never compared
+      .toDF("doc_id", "text")
+    val out = Dedup.levenshteinNearDups(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.map(p => (p._1, p._2)).contains((1L, 2L)), s"close pair missed: ${out.toSeq}")
+    assert(out.forall(_._3 <= 5), s"distance filter leaked: ${out.toSeq}")
+    assert(!out.exists(p => p._1 == 5L || p._2 == 5L), "cross-block pair leaked")
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L), "far head within block leaked")
+  }
+
   test("connectedGroups resolves transitive near-dup chains to min-id groups") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 9L))
       .toDF("doc_a", "doc_b")

@@ -136,6 +136,22 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("HashAggregate"))
   }
 
+  test("RANGE-frame trailing window includes date peers and honors the 90-day bound") {
+    import java.sql.Date
+    val orders = Seq(
+      (1L, 7L, Date.valueOf("2024-01-01"), 10.0),
+      (2L, 7L, Date.valueOf("2024-01-01"), 20.0),  // same-date peer of k1
+      (3L, 7L, Date.valueOf("2024-03-30"), 5.0),   // 89 days after Jan 1 → in range
+      (4L, 7L, Date.valueOf("2024-04-02"), 7.0),   // 92 days after Jan 1 → Jan rows out
+      (5L, 8L, Date.valueOf("2024-01-15"), 100.0)  // other customer: isolated
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = Relational.trailing90DayOrderTotals(orders).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // RANGE frames include ALL rows at the current date (peers), which a
+    // ROWS frame cannot express when order dates tie
+    assert(got == Map(1L -> 30.0, 2L -> 30.0, 3L -> 35.0, 4L -> 12.0, 5L -> 100.0), got.toString)
+  }
+
   test("queries are deterministic: repeated runs give identical rows") {
     val q = SparkEntryLike.sample
     val a = q(spark, sf0001).collect().toSeq
