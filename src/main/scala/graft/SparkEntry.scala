@@ -76,6 +76,7 @@ object SparkEntry {
     "q_null_safe_join" -> ((s, d) => Relational.nullSafeRegionPairs(Tables.nation(s, d))),
     "q_string_agg" -> ((s, d) => Relational.statusListByPriority(Tables.orders(s, d))),
     "ev_gap_fill" -> ((s, d) => EventOps.gapFilledHourlyCounts(Tables.events(s, d))),
+    "ev_scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(Tables.events(s, d))),
     "q_outer_join_count" -> ((s, d) =>
       Relational.customerOrderCounts(Tables.customer(s, d), Tables.orders(s, d))),
     "q_full_outer_nation" -> ((s, d) =>
@@ -146,6 +147,8 @@ object SparkEntry {
     "text_hash_sample" -> ((s, d) => TextAnalysis.hashSample(Tables.documents(s, d))),
     "text_topk_by_source" -> ((s, d) => TextAnalysis.topKBySource(Tables.documents(s, d))),
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    "text_bm25" -> ((s, d) => TextAnalysis.bm25Search(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "text_stratified_sample" -> ((s, d) =>
@@ -521,6 +524,16 @@ object SparkEntry {
         |SELECT g.event_type, g.hour * 3600000000 AS hour_us, coalesce(n, 0) AS n
         |FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour
         |ORDER BY 1, 2""".stripMargin,
+    "ev_scd2_intervals" ->
+      """WITH g AS (SELECT user_id, event_id,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+        |ch AS (SELECT *, lag(event_type) OVER w AS prev_type
+        |       FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |c2 AS (SELECT user_id, event_id, ts_us, event_type FROM ch
+        |       WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+        |       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+        |FROM c2 ORDER BY user_id, valid_from_us""".stripMargin,
     "q_outer_join_count" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
@@ -865,6 +878,42 @@ object SparkEntry {
         |SELECT doc_id, round(avg(ln(cnt / n_total)), 6) AS avg_logp, count(*) AS n_toks
         |FROM tt JOIN f USING (w) CROSS JOIN tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |       unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+        |  WHERE length(t.term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / df.df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, term) AS rnk FROM scored)
+        |SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |       unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+        |  WHERE length(t.term) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df,
+        |              ln(1.0 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        |       FROM tf CROSS JOIN stats GROUP BY term, n_docs),
+        |part AS (
+        |  SELECT tf.doc_id,
+        |         df.idf * (tf.tf * 2.2) /
+        |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS part
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(part), 6) AS score
+        |FROM part GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "text_topk_by_source" ->
       """SELECT source, rnk, doc_id, n_words FROM (
         |  SELECT source, doc_id,

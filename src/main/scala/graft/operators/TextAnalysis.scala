@@ -416,4 +416,76 @@ object TextAnalysis {
     */
   private[graft] def trigrams(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trigramsFromChars(t, split(t, "", -1))
+
+  /** Lowercased alphabetic tokens, one row per (doc, token). The
+    * shared front end of the term-weighting operators below.
+    */
+  private def alphaTokens(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+", -1)).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Top-`k` TF-IDF terms per document — the classic "what is this
+    * document about" signal for corpus curation and topic balancing.
+    *
+    * Shape at 100 TB: explode → (doc,term) counts is one shuffle with
+    * map-side combine; document frequencies reduce that to a
+    * vocabulary-sized table; n_docs is a 1-row aggregate cross-joined
+    * against the VOCAB table (bounded — the corpus side stays a clean
+    * equi join on term with a vocabulary-sized build side). The final
+    * top-k window partitions on doc_id — corpus-cardinality key, so
+    * parallelism never collapses. Scores round to 6 decimals before
+    * ranking so float noise can't flip ranks between engines.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = alphaTokens(documents)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
+    val scored = tf.join(idf, "term")
+      .withColumn("score", round(col("tf") * col("idf"), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** BM25 ranked retrieval: top-`k` documents for a fixed bag of
+    * query terms (Okapi BM25, k1/b defaults).
+    *
+    * Shape at 100 TB: the query-term filter lands BEFORE the
+    * (doc,term) aggregation, so only rows matching the handful of
+    * query terms ever shuffle; document length and corpus stats come
+    * from one token pass (reusable across queries if cached). The
+    * per-term df table is query-sized; corpus stats are a 1-row
+    * aggregate cross-joined against it (bounded). Final top-k is
+    * TakeOrderedAndProject — no global sort materializes.
+    */
+  def bm25Search(documents: DataFrame,
+                 queryTerms: Seq[String] = Seq("spark", "join", "window"),
+                 k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = alphaTokens(documents)
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    tf.join(broadcast(df), "term")
+      .join(docLen, "doc_id")
+      .withColumn("part",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("part"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -120,4 +120,26 @@ class EventOpsSpec extends SparkSpec {
     // daily n: 1, 2, 1 → trailing avgs: 1.0, 1.5, 4/3
     assert(out.toSeq == Seq((day0, 1L, 1.0), (day0 + 1, 2L, 1.5), (day0 + 2, 1L, 1.3333)))
   }
+
+  test("scd2Intervals collapses duplicate states, chains intervals, leaves last open") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 7L, "view"),
+      (2L, "2024-01-01 10:05:00", 7L, "view"),     // unchanged state → no new version
+      (3L, "2024-01-01 10:07:00", 7L, "purchase"),
+      (4L, "2024-01-01 10:10:00", 7L, "view"),     // back to view → NEW version
+      (5L, "2024-01-01 09:00:00", 8L, "click"))
+    val out = EventOps.scd2Intervals(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (7L, "view", us("2024-01-01 10:00:00"), us("2024-01-01 10:07:00")),
+      (7L, "purchase", us("2024-01-01 10:07:00"), us("2024-01-01 10:10:00")),
+      (7L, "view", us("2024-01-01 10:10:00"), -1L),
+      (8L, "click", us("2024-01-01 09:00:00"), -1L)), out.toSeq.toString)
+    // validity chains: every close equals the next open (no gaps/overlaps)
+    // and both window functions ride ONE exchange on user_id
+    val nEx = "Exchange".r.findAllIn(
+      EventOps.scd2Intervals(events).queryExecution.executedPlan.toString).size
+    assert(nEx <= 2, s"expected one data exchange (+ final sort), saw $nEx")
+  }
 }

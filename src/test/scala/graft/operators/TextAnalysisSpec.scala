@@ -170,4 +170,41 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(fast.toSeq == rel.toSeq)
   }
+
+  test("tfidfTopTerms: rare terms outrank common ones; ranks break ties on term") {
+    val d = Seq(
+      (1L, "alpha alpha alpha common common"),
+      (2L, "beta common common"),
+      (3L, "common common common"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // "common" appears in all 3 docs → idf = ln(1) = 0 → score 0
+    // doc 1: alpha tf=3 idf=ln(3) → top; common second (score 0)
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.head._2 == "alpha" && doc1.head._4 == 1L)
+    assert(math.abs(doc1.head._3 - BigDecimal(3.0 * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(doc1(1)._2 == "common" && doc1(1)._3 == 0.0)
+    // doc 3 has only "common" → a single rank-1 row, no padding
+    assert(out.count(_._1 == 3L) == 1)
+  }
+
+  test("bm25Search filters to query terms before aggregating and ranks matching docs") {
+    val d = Seq(
+      (1L, "spark join window spark spark"), // 3×spark + join + window
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "filler filler"),                 // no query terms → absent
+      (4L, "join window"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(d, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(!out.map(_._1).contains(3L), "non-matching doc leaked into BM25 results")
+    val scores = out.toMap
+    // doc 1 matches all three query terms → strictly best
+    assert(scores(1L) > scores(2L) && scores(1L) > scores(4L), scores.toString)
+    // plan: top-k is TakeOrderedAndProject, not a global sort
+    val plan = TextAnalysis.bm25Search(d, k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in BM25 top-k:\n$plan")
+  }
 }
