@@ -71,6 +71,7 @@ object SparkEntry {
         Tables.supplier(s, d))),
     "q6_sql_forecast" -> ((s, d) => Relational.revenueForecastSql(Tables.lineitem(s, d))),
     "q_range_window" -> ((s, d) => Relational.trailing90DayOrderTotals(Tables.orders(s, d))),
+    "q_rank_profile" -> ((s, d) => Relational.priceQuartileProfile(Tables.orders(s, d))),
     "q_except_all" -> ((s, d) => Relational.exceptAllPriorities(Tables.orders(s, d))),
     "q_intersect_all" -> ((s, d) => Relational.intersectAllPriorities(Tables.orders(s, d))),
     "q_null_safe_join" -> ((s, d) => Relational.nullSafeRegionPairs(Tables.nation(s, d))),
@@ -155,6 +156,8 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     "sim_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8Report(Tables.embeddings(s, d))),
+    "sim_vector_stats" -> ((s, d) =>
+      Similarity.vectorStats(Tables.embeddings(s, d))),
     // --- multimodal ---
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) =>
@@ -484,6 +487,19 @@ object SparkEntry {
         |         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
         |         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS trailing_total
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_rank_profile" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         ntile(4) OVER w AS quartile,
+        |         percent_rank() OVER w AS pr,
+        |         cume_dist() OVER w AS cd
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+        |       count(*) AS n_orders,
+        |       round(avg(o_totalprice), 2) AS avg_price,
+        |       round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_levenshtein" ->
       """WITH p AS (SELECT doc_id, substr(lower(text), 1, 16) AS block,
         |                  substr(text, 1, 200) AS head FROM documents)
@@ -855,6 +871,13 @@ object SparkEntry {
         |              THEN 20 ELSE 5 END AS pct
         |  FROM documents) t
         |WHERE bucket < pct ORDER BY doc_id""".stripMargin,
+    "sim_vector_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+        |       round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+        |       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        |       round(list_max(list_transform(v, x -> abs(x))), 6) AS max_abs
+        |FROM e ORDER BY vec_id""".stripMargin,
     // floor-quantization (no round-half tie convention) and errors ≫
     // summation noise at round(…,6) make this cross-engine exact
     "sim_quantize_int8" ->

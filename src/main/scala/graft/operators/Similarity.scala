@@ -250,6 +250,32 @@ object Similarity {
           .as("mean_err"))
       .orderBy("vec_id")
 
+  /** Per-vector audit stats via higher-order array functions —
+    * `aggregate` (sequential fold → deterministic sum order),
+    * `filter`, `transform`, `array_max` — the embedding-hygiene
+    * check (norms, dead/positive dims, outliers) a pipeline runs
+    * before indexing a corpus.
+    *
+    * Scale shape: map-only projection, one row per vector, no
+    * shuffle; lambdas fold over the materialized array column
+    * directly (never an inlined subexpression — the interpreted-HOF
+    * re-evaluation trap), so the pass is O(dim) per row. For a hot
+    * inner loop the codegen'd `graft_cosine` Expression shows the
+    * upgrade path; for an audit pass the HOF surface is the right
+    * cost/clarity trade.
+    */
+  def vectorStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(
+        col("vec_id"),
+        size(col("v")).cast("long").as("dim"),
+        round(sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)), 6)
+          .as("l2_norm"),
+        size(filter(col("v"), x => x > 0)).cast("long").as("n_pos"),
+        round(array_max(transform(col("v"), x => abs(x))), 6).as("max_abs"))
+      .orderBy("vec_id")
+
   /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold, bucketed by banded multi-table random-hyperplane LSH
     * ([[graft.functions.HyperplaneSignature]]): per table, vectors

@@ -188,6 +188,32 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Distribution-rank window breadth — ntile / percent_rank /
+    * cume_dist over one window spec, then a per-bucket profile: the
+    * "quality deciles" shape used to bucket a corpus by a score
+    * before proportional sampling.
+    *
+    * One shuffle on the partition key; all three rank functions share
+    * a single Window (one sort). The tie-break on o_orderkey makes
+    * bucket assignment deterministic, so the profile hash-matches any
+    * engine with standard ntile remainder semantics.
+    */
+  def priceQuartileProfile(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(avg("o_totalprice"), 2).as("avg_price"),
+        round(max("pr"), 6).as("max_pr"),
+        round(max("cd"), 6).as("max_cd"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   /** ROLLUP grouping sets: per (flag,status), per flag, grand total.
     * Spark expands rollup into a single Expand + aggregate — one pass
     * over the data, not one pass per grouping set.

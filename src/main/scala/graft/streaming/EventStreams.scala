@@ -164,6 +164,22 @@ object EventStreams {
     * dropped as late anyway). The streaming face of Dedup.exact — the
     * first stage of a continuously-ingesting training-data pipeline.
     */
+  /** Stream-static join: enrich the event stream with a broadcast
+    * dimension (customer segment) and aggregate per (segment, type) —
+    * the canonical "join the firehose to the warehouse dim" shape.
+    * The static side is re-resolved per micro-batch (Spark semantics),
+    * so a dim refresh lands without restarting the query; as a
+    * broadcast hash join it adds zero streaming state and no shuffle
+    * on the stream side before the aggregation. Output matches
+    * [[graft.operators.EventOps.eventsBySegment]] in complete mode.
+    */
+  def eventsBySegment(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)

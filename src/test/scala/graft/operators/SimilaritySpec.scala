@@ -123,6 +123,25 @@ class SimilaritySpec extends SparkSpec {
     assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) == ((0.0, 0.0, 0.0)))
   }
 
+  test("vectorStats: exact norms/counts on known vectors; map-only plan") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(3.0f, -4.0f)),           // l2 = 5, n_pos = 1, max_abs = 4
+      (2L, Array(0.0f, 0.0f, 0.0f)),      // all-zero vector: l2 = 0, n_pos = 0
+      (3L, Array(1.0f, 1.0f, 1.0f, 1.0f)) // l2 = 2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.vectorStats(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 5.0, 1L, 4.0),
+      (2L, 3L, 0.0, 0L, 0.0),
+      (3L, 4L, 2.0, 4L, 1.0)), out.toSeq.toString)
+    // audit pass must stay shuffle-free (ordering aside): no Exchange
+    // before the sort that presents results
+    val plan = Similarity.vectorStats(e).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle in map-only audit:\n$plan")
+  }
+
   test("bounded-heap top-k finisher matches the window formulation row-for-row") {
     val e = Tables.embeddings(spark, sf0001)
     val scored = Similarity.bruteForceScored(e, nQueries = 10)

@@ -152,6 +152,19 @@ class RelationalSpec extends SparkSpec {
     assert(got == Map(1L -> 30.0, 2L -> 30.0, 3L -> 35.0, 4L -> 12.0, 5L -> 100.0), got.toString)
   }
 
+  test("rank profile: ntile remainder goes to first buckets; pr/cd hit 0 and 1") {
+    val orders = (1 to 6).map(i => (i.toLong, "1-URGENT", i * 10.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val out = Relational.priceQuartileProfile(orders).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    // 6 rows into 4 buckets → sizes 2,2,1,1 (remainder to the first buckets)
+    assert(out.map(t => t._1 -> t._2).toSeq == Seq(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // percent_rank of the first row is 0; cume_dist of the last is 1
+    assert(out.head._3 == BigDecimal(1.0 / 5).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, out.head.toString) // max pr in bucket 1 = rank 2 → 1/5
+    assert(out.last._4 == 1.0)
+  }
+
   test("queries are deterministic: repeated runs give identical rows") {
     val q = SparkEntryLike.sample
     val a = q(spark, sf0001).collect().toSeq

@@ -259,6 +259,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join matches the batch twin; unmatched stream rows drop (inner join)") {
+    implicit val sq = spark.sqlContext
+    val customer = Seq((1L, "BUILDING"), (2L, "AUTO")).toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.toMemorySink(
+      EventStreams.eventsBySegment(events, customer),
+      "segment_test", org.apache.spark.sql.streaming.OutputMode.Complete())
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("segment_test").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventOps.eventsBySegment(
+        sample.toDF("ts", "user_id", "event_type", "value"), customer).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // user 3 has no dim row → inner join drops it until the dim "refreshes"
+      mem.addData((ts("2024-01-01 13:00:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      assert(!spark.table("segment_test").collect().exists(_.getString(0) == "MACHINERY"))
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
