@@ -72,6 +72,7 @@ object SparkEntry {
     "q6_sql_forecast" -> ((s, d) => Relational.revenueForecastSql(Tables.lineitem(s, d))),
     "q_range_window" -> ((s, d) => Relational.trailing90DayOrderTotals(Tables.orders(s, d))),
     "q_rank_profile" -> ((s, d) => Relational.priceQuartileProfile(Tables.orders(s, d))),
+    "q_merge_upsert" -> ((s, d) => Relational.applyChangeSet(Tables.customer(s, d))),
     "q_except_all" -> ((s, d) => Relational.exceptAllPriorities(Tables.orders(s, d))),
     "q_intersect_all" -> ((s, d) => Relational.intersectAllPriorities(Tables.orders(s, d))),
     "q_null_safe_join" -> ((s, d) => Relational.nullSafeRegionPairs(Tables.nation(s, d))),
@@ -500,6 +501,26 @@ object SparkEntry {
         |       round(avg(o_totalprice), 2) AS avg_price,
         |       round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT c_custkey AS key,
+        |         CASE WHEN c_custkey % 10 = 3 THEN 'U' ELSE 'D' END AS op,
+        |         round(c_acctbal + 100, 2) AS new_bal
+        |  FROM customer WHERE c_custkey % 10 IN (3, 7)
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'I', 0.0
+        |  FROM customer WHERE c_custkey % 10 = 1),
+        |snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+        |survivors AS (
+        |  SELECT snap.key,
+        |         CASE WHEN ch.op = 'U' THEN ch.new_bal ELSE snap.bal END AS bal
+        |  FROM snap LEFT JOIN ch ON snap.key = ch.key
+        |  WHERE ch.op IS NULL OR ch.op <> 'D'),
+        |ins AS (
+        |  SELECT ch.key, ch.new_bal AS bal FROM ch
+        |  WHERE ch.op = 'I'
+        |    AND NOT EXISTS (SELECT 1 FROM snap WHERE snap.key = ch.key))
+        |SELECT * FROM survivors UNION ALL SELECT * FROM ins ORDER BY key""".stripMargin,
     "dedup_levenshtein" ->
       """WITH p AS (SELECT doc_id, substr(lower(text), 1, 16) AS block,
         |                  substr(text, 1, 200) AS head FROM documents)

@@ -188,6 +188,43 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** MERGE-style changelog apply (upsert + delete + insert) against a
+    * snapshot — the write-side CDC shape that pairs with
+    * [[graft.operators.EventOps.scd2Intervals]]'s read side: given a
+    * batch of keyed changes (U/D/I ops), produce the next snapshot.
+    * The changeset here is derived deterministically from the
+    * snapshot itself so the whole operation is oracle-checkable.
+    *
+    * Shape at 100 TB: a changeset is normally ≪ the snapshot, so
+    * updates/deletes apply via snapshot LEFT JOIN broadcast(changes)
+    * — the snapshot never shuffles — and inserts arrive as an
+    * anti-join union (also broadcastable). This is the merge-on-read
+    * compaction plan; a full-outer formulation would force both
+    * sides to shuffle and is only needed when the changeset is
+    * snapshot-sized.
+    */
+  def applyChangeSet(customer: DataFrame): DataFrame = {
+    val m = pmod(col("c_custkey"), lit(10))
+    val changes = customer
+      .filter(m.isin(3, 7))
+      .select(col("c_custkey").as("key"),
+        when(m === 3, "U").otherwise("D").as("op"),
+        round(col("c_acctbal") + 100, 2).as("new_bal"))
+      .unionByName(customer.filter(m === 1)
+        .select((col("c_custkey") + 10000000L).as("key"),
+          lit("I").as("op"), lit(0.0).as("new_bal")))
+    val snapshot = customer.select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val survivors = snapshot
+      .join(broadcast(changes), Seq("key"), "left_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        when(col("op") === "U", col("new_bal")).otherwise(col("bal")).as("bal"))
+    val inserts = changes.filter(col("op") === "I")
+      .join(snapshot, Seq("key"), "left_anti")
+      .select(col("key"), col("new_bal").as("bal"))
+    survivors.unionByName(inserts).orderBy("key")
+  }
+
   /** Distribution-rank window breadth — ntile / percent_rank /
     * cume_dist over one window spec, then a per-bucket profile: the
     * "quality deciles" shape used to bucket a corpus by a score

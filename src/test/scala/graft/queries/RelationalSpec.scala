@@ -152,6 +152,18 @@ class RelationalSpec extends SparkSpec {
     assert(got == Map(1L -> 30.0, 2L -> 30.0, 3L -> 35.0, 4L -> 12.0, 5L -> 100.0), got.toString)
   }
 
+  test("changelog apply: updates rewrite, deletes drop, inserts append; snapshot never shuffles") {
+    // keys 3 (→U, +100), 7 (→D), 1 (→I of key 10000001); 5 untouched
+    val snapshot = Seq((1L, 50.0), (3L, 10.0), (5L, 20.0), (7L, 30.0))
+      .toDF("c_custkey", "c_acctbal")
+    val out = Relational.applyChangeSet(snapshot).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.toSeq == Seq(1L -> 50.0, 3L -> 110.0, 5L -> 20.0, 10000001L -> 0.0),
+      out.toSeq.toString)
+    val plan = Relational.applyChangeSet(snapshot).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "changes not broadcast — snapshot would shuffle")
+  }
+
   test("rank profile: ntile remainder goes to first buckets; pr/cd hit 0 and 1") {
     val orders = (1 to 6).map(i => (i.toLong, "1-URGENT", i * 10.0))
       .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
