@@ -73,6 +73,7 @@ object SparkEntry {
     "q_range_window" -> ((s, d) => Relational.trailing90DayOrderTotals(Tables.orders(s, d))),
     "q_rank_profile" -> ((s, d) => Relational.priceQuartileProfile(Tables.orders(s, d))),
     "q_merge_upsert" -> ((s, d) => Relational.applyChangeSet(Tables.customer(s, d))),
+    "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_except_all" -> ((s, d) => Relational.exceptAllPriorities(Tables.orders(s, d))),
     "q_intersect_all" -> ((s, d) => Relational.intersectAllPriorities(Tables.orders(s, d))),
     "q_null_safe_join" -> ((s, d) => Relational.nullSafeRegionPairs(Tables.nation(s, d))),
@@ -521,6 +522,15 @@ object SparkEntry {
         |  WHERE ch.op = 'I'
         |    AND NOT EXISTS (SELECT 1 FROM snap WHERE snap.key = ch.key))
         |SELECT * FROM survivors UNION ALL SELECT * FROM ins ORDER BY key""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 30000.0), 0.0),
+        |                    19.0) AS BIGINT) AS bucket
+        |  FROM orders)
+        |SELECT bucket, round(0.0 + bucket * 30000.0, 2) AS bucket_lo,
+        |       round(0.0 + (bucket + 1) * 30000.0, 2) AS bucket_hi,
+        |       count(*) AS n_orders
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "dedup_levenshtein" ->
       """WITH p AS (SELECT doc_id, substr(lower(text), 1, 16) AS block,
         |                  substr(text, 1, 200) AS head FROM documents)

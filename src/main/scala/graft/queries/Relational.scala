@@ -188,6 +188,30 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Equi-width histogram of order values — the one-pass distribution
+    * profile run before choosing quantization / partition boundaries.
+    * Bucket index is plain floor arithmetic (not `width_bucket`) so
+    * the same IEEE expression runs in any engine; the bucket width is
+    * an exact binary double (30000.0), so no boundary drift.
+    *
+    * One map stage + one n-bucket-cardinality shuffle with map-side
+    * combine — the histogram never materializes per-row data.
+    */
+  def priceHistogram(orders: DataFrame, lo: Double = 0.0, hi: Double = 600000.0,
+                     n: Int = 20): DataFrame = {
+    val w = (hi - lo) / n
+    orders
+      .select(least(greatest(floor((col("o_totalprice") - lo) / w), lit(0.0)),
+        lit((n - 1).toDouble)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("bucket"),
+        round(lit(lo) + col("bucket") * w, 2).as("bucket_lo"),
+        round(lit(lo) + (col("bucket") + 1) * w, 2).as("bucket_hi"),
+        col("n_orders"))
+      .orderBy("bucket")
+  }
+
   /** MERGE-style changelog apply (upsert + delete + insert) against a
     * snapshot — the write-side CDC shape that pairs with
     * [[graft.operators.EventOps.scd2Intervals]]'s read side: given a

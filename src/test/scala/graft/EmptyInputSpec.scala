@@ -71,4 +71,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(noDocs).count() == 0)
     assert(Multimodal.sampleFrames(noDocs).count() == 0)
   }
+
+  test("round-4 operators: empty inputs → empty results") {
+    import graft.queries.Relational
+    assert(Dedup.levenshteinNearDups(noDocs).count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(noDocs).count() == 0)
+    assert(TextAnalysis.bm25Search(noDocs).count() == 0)
+    assert(EventOps.scd2Intervals(noEvents).count() == 0)
+    assert(Similarity.vectorStats(noEmb).count() == 0)
+    val noCust = Seq.empty[(Long, Double)].toDF("c_custkey", "c_acctbal")
+    assert(Relational.applyChangeSet(noCust).count() == 0)
+    val noOrders = Seq.empty[(Long, Long, java.sql.Date, Double, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+    assert(Relational.trailing90DayOrderTotals(noOrders).count() == 0)
+    assert(Relational.priceQuartileProfile(noOrders).count() == 0)
+  }
 }

@@ -93,4 +93,20 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("round-4 operators are invariant under repartitioning") {
+    val docs = Tables.documents(spark, sf0001)
+    val orders = Tables.orders(spark, sf0001)
+    val events = Tables.events(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(operators.TextAnalysis.tfidfTopTerms(docs)) ==
+      rows(operators.TextAnalysis.tfidfTopTerms(docs.repartition(7))))
+    assert(rows(operators.TextAnalysis.bm25Search(docs)) ==
+      rows(operators.TextAnalysis.bm25Search(docs.repartition(7))))
+    assert(rows(operators.EventOps.scd2Intervals(events)) ==
+      rows(operators.EventOps.scd2Intervals(events.repartition(7))))
+    assert(rows(Relational.applyChangeSet(Tables.customer(spark, sf0001))) ==
+      rows(Relational.applyChangeSet(Tables.customer(spark, sf0001).repartition(7))))
+    assert(rows(Relational.priceHistogram(orders)) ==
+      rows(Relational.priceHistogram(orders.repartition(7))))
+  }
 }

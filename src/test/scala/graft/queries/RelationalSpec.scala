@@ -164,6 +164,23 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "changes not broadcast — snapshot would shuffle")
   }
 
+  test("histogram: floor bucketing with boundary and clamp semantics") {
+    val orders = Seq(
+      (1L, 0.0),       // exactly lo → bucket 0
+      (2L, 29999.99),  // last value of bucket 0
+      (3L, 30000.0),   // boundary lands in bucket 1 (left-closed)
+      (4L, 599999.0),  // top bucket
+      (5L, 700000.0),  // above hi → clamped into bucket 19
+      (6L, -5.0))      // below lo → clamped into bucket 0
+      .toDF("o_orderkey", "o_totalprice")
+    val out = Relational.priceHistogram(orders).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out == Map(
+      0L -> (0.0, 30000.0, 3L),
+      1L -> (30000.0, 60000.0, 1L),
+      19L -> (570000.0, 600000.0, 2L)), out.toString)
+  }
+
   test("rank profile: ntile remainder goes to first buckets; pr/cd hit 0 and 1") {
     val orders = (1 to 6).map(i => (i.toLong, "1-URGENT", i * 10.0))
       .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
