@@ -74,6 +74,10 @@ object SparkEntry {
     "q_rank_profile" -> ((s, d) => Relational.priceQuartileProfile(Tables.orders(s, d))),
     "q_merge_upsert" -> ((s, d) => Relational.applyChangeSet(Tables.customer(s, d))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
+    "q_lateral_topn" -> ((s, d) =>
+      Relational.lateralTopOrder(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_recursive_cte" -> ((s, d) =>
+      Relational.recursiveHierarchyDepths(Tables.customer(s, d))),
     "q_except_all" -> ((s, d) => Relational.exceptAllPriorities(Tables.orders(s, d))),
     "q_intersect_all" -> ((s, d) => Relational.intersectAllPriorities(Tables.orders(s, d))),
     "q_null_safe_join" -> ((s, d) => Relational.nullSafeRegionPairs(Tables.nation(s, d))),
@@ -531,6 +535,22 @@ object SparkEntry {
         |       round(0.0 + (bucket + 1) * 30000.0, 2) AS bucket_hi,
         |       count(*) AS n_orders
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE walk(key, anc, d) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT key, CAST(floor(anc / 2) AS BIGINT), d + 1 FROM walk WHERE anc > 1
+        |)
+        |SELECT CAST(d AS BIGINT) AS depth, count(*) AS n_customers FROM (
+        |  SELECT key, max(d) AS d FROM walk GROUP BY key) t
+        |GROUP BY d ORDER BY d""".stripMargin,
     "dedup_levenshtein" ->
       """WITH p AS (SELECT doc_id, substr(lower(text), 1, 16) AS block,
         |                  substr(text, 1, 200) AS head FROM documents)

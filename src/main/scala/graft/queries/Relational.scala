@@ -188,6 +188,50 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** LATERAL correlated subquery through the SQL frontend: each
+    * customer's single highest-value order — SQL's native
+    * top-1-per-group idiom. Catalyst decorrelates the LATERAL
+    * (DomainJoin → window/aggregate rewrite), so the executed plan is
+    * a per-key reduction plus one equi join — never a per-customer
+    * re-scan of orders. Inner join semantics: customers with no
+    * orders drop (LATERAL of an empty subquery).
+    */
+  def lateralTopOrder(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    customer.createOrReplaceTempView("customer")
+    orders.createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  /** Recursive CTE (SQL:1999 WITH RECURSIVE, new engine surface in
+    * Spark 4) walking a synthetic binary-tree hierarchy over customer
+    * keys (parent = key / 2) to the root and profiling the depth
+    * distribution. Depth is log2(max key) — ~18 levels at SF 1, still
+    * under 30 at any realistic scale — so UNION ALL recursion is
+    * bounded and acyclic by construction: each step strictly halves
+    * the ancestor key. Every round is one narrow map over the
+    * previous frontier; no joins inside the recursion.
+    */
+  def recursiveHierarchyDepths(customer: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    customer.createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH RECURSIVE walk(key, anc, d) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT key, CAST(floor(anc / 2) AS BIGINT), d + 1 FROM walk WHERE anc > 1
+        |)
+        |SELECT CAST(d AS BIGINT) AS depth, count(*) AS n_customers FROM (
+        |  SELECT key, max(d) AS d FROM walk GROUP BY key) t
+        |GROUP BY d ORDER BY d""".stripMargin)
+  }
+
   /** Equi-width histogram of order values — the one-pass distribution
     * profile run before choosing quantization / partition boundaries.
     * Bucket index is plain floor arithmetic (not `width_bucket`) so

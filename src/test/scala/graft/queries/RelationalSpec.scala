@@ -164,6 +164,30 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "changes not broadcast — snapshot would shuffle")
   }
 
+  test("LATERAL top-1 decorrelates to WindowGroupLimit + equi join, never a re-scan loop") {
+    val customer = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L, 5.0), (11L, 1L, 9.0), (12L, 2L, 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val df = Relational.lateralTopOrder(customer, orders)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // top order per customer; customer 3 has none → inner-lateral drops it
+    assert(out.toSeq == Seq((1L, 11L, 9.0), (2L, 12L, 3.0)))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("WindowGroupLimit"), s"no per-group limit pushdown:\n$opt")
+    assert(opt.contains("Join Inner"), "lateral not rewritten to an equi join")
+    assert(!opt.contains("CartesianProduct") &&
+      !df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "lateral fell back to a nested-loop scan per outer row")
+  }
+
+  test("recursive CTE: binary-tree ancestor walk produces exact depth counts") {
+    val customer = (1L to 6L).map(k => (k, s"c$k")).toDF("c_custkey", "c_name")
+    val out = Relational.recursiveHierarchyDepths(customer).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 1 → depth 0; keys 2,3 → 1; keys 4,5,6 → 2
+    assert(out == Map(0L -> 1L, 1L -> 2L, 2L -> 3L), out.toString)
+  }
+
   test("histogram: floor bucketing with boundary and clamp semantics") {
     val orders = Seq(
       (1L, 0.0),       // exactly lo → bucket 0
