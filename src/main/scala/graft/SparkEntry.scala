@@ -156,6 +156,7 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25Search(Tables.documents(s, d))),
+    "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "text_stratified_sample" -> ((s, d) =>
@@ -988,6 +989,18 @@ object SparkEntry {
         |SELECT doc_id, round(sum(part), 6) AS score
         |FROM part GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_topk_by_source" ->
       """SELECT source, rnk, doc_id, n_words FROM (
         |  SELECT source, doc_id,

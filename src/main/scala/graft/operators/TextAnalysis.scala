@@ -455,6 +455,35 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Greedy sequence packing: assign documents to fixed token-budget
+    * packs (pretraining batch prep — concatenate docs until the
+    * context window fills). A doc lands in the pack its cumulative
+    * token offset starts in: `pack_id = floor((cum - n_tokens) /
+    * budget)` over a deterministic (source, doc_id) order, then packs
+    * are profiled (docs, tokens, fill ratio). Docs can straddle pack
+    * boundaries — the downstream tokenizer splits them — so this is
+    * offset assignment, not bin packing (which is inherently
+    * sequential and over-packs no better for long-tail docs).
+    *
+    * Shape at 100 TB: token counts are a map stage; the running sum
+    * is one window shuffle on `source` (the natural pack domain —
+    * dozens-to-thousands of partitions); the profile is a partial
+    * agg on (source, pack_id). Nothing global, no driver state.
+    */
+  def packSequences(documents: DataFrame, budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budget.toDouble).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   /** BM25 ranked retrieval: top-`k` documents for a fixed bag of
     * query terms (Okapi BM25, k1/b defaults).
     *

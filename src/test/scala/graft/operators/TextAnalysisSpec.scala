@@ -171,6 +171,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast.toSeq == rel.toSeq)
   }
 
+  test("packSequences: docs fill packs by cumulative token offset per source") {
+    val d = Seq(
+      (1L, ("w " * 1000).trim, "s0"),  // 1000 tokens → pack 0 (offset 0)
+      (2L, ("w " * 1500).trim, "s0"),  // offset 1000 → pack 0 (straddles into 1)
+      (3L, ("w " * 100).trim, "s0"),   // offset 2500 → pack 1
+      (4L, ("w " * 10).trim, "s1"))    // other source packs independently
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.packSequences(d, budget = 2048).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("s0", 0L) -> (2L, 2500L),
+      ("s0", 1L) -> (1L, 100L),
+      ("s1", 0L) -> (1L, 10L)), out.toString)
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; ranks break ties on term") {
     val d = Seq(
       (1L, "alpha alpha alpha common common"),
