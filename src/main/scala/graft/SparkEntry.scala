@@ -157,6 +157,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25Search(Tables.documents(s, d))),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
+    "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "text_stratified_sample" -> ((s, d) =>
@@ -1001,6 +1002,17 @@ object SparkEntry {
         |SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_oov_rate" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |tt AS (SELECT * FROM t WHERE length(w) > 0),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tt GROUP BY 1
+        |                     ORDER BY cnt DESC, w LIMIT 20)),
+        |d AS (SELECT doc_id, source,
+        |        avg(CASE WHEN v.w IS NULL THEN 1.0 ELSE 0.0 END) AS oov
+        |      FROM tt LEFT JOIN v ON tt.w = v.w GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs, round(avg(oov), 6) AS avg_oov_rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_topk_by_source" ->
       """SELECT source, rnk, doc_id, n_words FROM (
         |  SELECT source, doc_id,

@@ -455,6 +455,35 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Vocabulary build + out-of-vocabulary rate: top-`vocabSize` words
+    * by corpus frequency (deterministic count-then-word tie-break),
+    * then the per-source average fraction of tokens outside that
+    * vocabulary — the coverage check run before committing to a
+    * tokenizer/vocab on a new corpus mix.
+    *
+    * Shape at 100 TB: word frequencies are one vocabulary-sized
+    * shuffle with map-side combine; the cut vocabulary is bounded
+    * (`vocabSize` rows) and broadcast, so the corpus-side OOV tagging
+    * is a map stage; per-doc and per-source aggregations are ordinary
+    * partial aggs. The only single-partition step is ranking the
+    * vocabulary itself (vocab-sized ≪ corpus, same cost class as
+    * broadcasting it).
+    */
+  def oovRate(documents: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy("doc_id", "source")
+      .agg(avg(when(col("in_vocab").isNull, 1.0).otherwise(0.0)).as("oov"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("oov"), 6).as("avg_oov_rate"))
+      .orderBy("source")
+  }
+
   /** Greedy sequence packing: assign documents to fixed token-budget
     * packs (pretraining batch prep — concatenate docs until the
     * context window fills). A doc lands in the pack its cumulative

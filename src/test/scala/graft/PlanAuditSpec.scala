@@ -1,0 +1,37 @@
+package graft
+
+/** Blanket plan audit over EVERY registered query: at 100 TB a single
+  * accidental cartesian product or unbounded nested-loop join is an
+  * outage, so the whole `SparkEntry.queries` surface is swept and any
+  * plan regression fails CI — not a benchmark three rounds later.
+  *
+  * BroadcastNestedLoopJoin is allowed only for queries that
+  * deliberately cross-join a 1-row aggregate (corpus scalars like
+  * N-docs / avgdl) against a bounded vocabulary/query-sized side —
+  * those are O(small) by construction and documented in each
+  * operator's scaladoc.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // 1-row-scalar × bounded-side cross joins, each justified in its scaladoc
+  private val boundedNestedLoop = Set(
+    "text_tfidf",          // n_docs (1 row) × vocabulary-sized df table
+    "text_bm25",           // corpus stats (1 row) × query-sized df table
+    "sim_bruteforce_topk", // corpus streams × broadcast(nQueries=10 vectors) — scoring fan-out bounded by |Q|
+    "sim_ivf_topk"         // same broadcast query set, candidates pre-pruned to probed cells
+  )
+
+  test("no registered query plans a CartesianProduct or an unbounded nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf0001).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !boundedNestedLoop(name)
+      if (cart || bnlj)
+        Some(s"$name: ${if (cart) "CartesianProduct " else ""}${if (bnlj) "BroadcastNestedLoopJoin" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-unsafe join shapes:\n${offenders.mkString("\n")}")
+  }
+}

@@ -171,6 +171,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast.toSeq == rel.toSeq)
   }
 
+  test("oovRate: coverage against the top-k vocabulary, frequency-then-word tie-break") {
+    val d = Seq(
+      (1L, "the the the cat", "s0"),  // vocab(2) = {the, cat?}: the×3, cat×1, dog×1, owl×1 → tie cat/dog/owl → cat wins alphabetically
+      (2L, "dog owl", "s1"))          // both OOV → rate 1.0
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.oovRate(d, vocabSize = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map("s0" -> (1L, 0.0), "s1" -> (1L, 1.0)), out.toString)
+  }
+
   test("packSequences: docs fill packs by cumulative token offset per source") {
     val d = Seq(
       (1L, ("w " * 1000).trim, "s0"),  // 1000 tokens → pack 0 (offset 0)
