@@ -74,6 +74,7 @@ object SparkEntry {
     "q_rank_profile" -> ((s, d) => Relational.priceQuartileProfile(Tables.orders(s, d))),
     "q_merge_upsert" -> ((s, d) => Relational.applyChangeSet(Tables.customer(s, d))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
+    "q_window_nav" -> ((s, d) => Relational.orderNavigation(Tables.orders(s, d))),
     "q_lateral_topn" -> ((s, d) =>
       Relational.lateralTopOrder(Tables.customer(s, d), Tables.orders(s, d))),
     "q_recursive_cte" -> ((s, d) =>
@@ -166,6 +167,8 @@ object SparkEntry {
       Similarity.quantizeInt8Report(Tables.embeddings(s, d))),
     "sim_vector_stats" -> ((s, d) =>
       Similarity.vectorStats(Tables.embeddings(s, d))),
+    "sim_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(Tables.embeddings(s, d))),
     // --- multimodal ---
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) =>
@@ -264,6 +267,24 @@ object SparkEntry {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Oracle for [[graft.operators.Similarity.randomProjection]] — the
+    * same splitmix matrix (offset plane ids 1000+) as SQL literals;
+    * term sums are left-associative in both engines, so the fold
+    * order matches Spark's sequential `aggregate` exactly.
+    */
+  private def randomProjectionOracle: String = {
+    val outDim = 8; val dim = 64
+    import graft.functions.HyperplaneSignature.comp
+    val cols = (0 until outDim).map { k =>
+      val dot = (0 until dim).map(j => s"v[${j + 1}]*(${comp(1000 + k, j)})").mkString(" + ")
+      s"round($dot, 6) AS p$k"
+    }.mkString(",\n       ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id,
+       |       $cols
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   /** Oracle for [[graft.operators.Dedup.connectedGroups]] over the md5
     * SimHash near-dup pairs: transitive closure via a recursive CTE,
     * group id = min reachable doc (exactly the Hash-Min fixpoint).
@@ -290,6 +311,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "sim_cosine_neardup" -> cosineNearDupOracle,
+    "sim_random_projection" -> randomProjectionOracle,
     // relational twin of the mapPartitions language-ID fast path:
     // same trigram profile (train on doc_id%4=0, top-300 per lang by
     // cnt desc/gram asc, weight 301-rank), same argmax tiebreaks
@@ -537,6 +559,21 @@ object SparkEntry {
         |       round(0.0 + (bucket + 1) * 30000.0, 2) AS bucket_hi,
         |       count(*) AS n_orders
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_orderkey, o_custkey,
+        |       first_value(o_orderkey) OVER wf AS first_key,
+        |       last_value(o_orderkey) OVER wf AS last_key,
+        |       nth_value(o_orderkey, 2) OVER wf AS second_key,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       last_value(CASE WHEN o_totalprice > 200000.0 THEN o_orderkey END
+        |                  IGNORE NULLS) OVER wr AS last_big_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |       wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
         |FROM customer c, LATERAL (

@@ -276,6 +276,30 @@ object Similarity {
         round(array_max(transform(col("v"), x => abs(x))), 6).as("max_abs"))
       .orderBy("vec_id")
 
+  /** Johnson-Lindenstrauss-style random projection: reduce each
+    * embedding to `outDim` components against a deterministic
+    * splitmix64 matrix (same generator as the hyperplane LSH, offset
+    * plane ids) — the cheap dimensionality cut before clustering or
+    * coarse ANN when 4x-8x fewer floats per vector is worth ~epsilon
+    * distance distortion.
+    *
+    * Map-only: the matrix is outDim x dim of compile-time literals
+    * (KBs, inlined into the plan — nothing broadcast, nothing
+    * collected), each component a zip_with dot product folded
+    * sequentially so the sum order is engine-portable; round(…,6)
+    * absorbs last-ulp noise.
+    */
+  def randomProjection(embeddings: DataFrame, outDim: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.functions.HyperplaneSignature.comp
+    val v = asDouble(col("embedding"))
+    val projCols = (0 until outDim).map { k =>
+      val w = array((0 until dim).map(j => lit(comp(1000 + k, j))): _*)
+      round(aggregate(zip_with(v, w, (x, p) => x * p), lit(0.0), (acc, x) => acc + x), 6)
+        .as(s"p$k")
+    }
+    embeddings.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold, bucketed by banded multi-table random-hyperplane LSH
     * ([[graft.functions.HyperplaneSignature]]): per table, vectors

@@ -188,6 +188,32 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Window navigation-function breadth — first_value / last_value /
+    * nth_value over the full-partition frame, lag over the default
+    * frame, and a running last_value(... IGNORE NULLS) ("most recent
+    * qualifying event") — the per-entity timeline enrichments of
+    * feature engineering. All five share one (o_custkey) partitioning
+    * and ordering, so Catalyst plans a single Exchange+Sort with
+    * adjacent Window operators.
+    */
+  def orderNavigation(orders: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("first_key", first("o_orderkey").over(full))
+      .withColumn("last_key", last("o_orderkey").over(full))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(ord))
+      .withColumn("last_big_key",
+        last(when(col("o_totalprice") > 200000.0, col("o_orderkey")), ignoreNulls = true)
+          .over(run))
+      .select("o_orderkey", "o_custkey", "first_key", "last_key", "second_key",
+        "prev_price", "last_big_key")
+      .orderBy("o_orderkey")
+  }
+
   /** LATERAL correlated subquery through the SQL frontend: each
     * customer's single highest-value order — SQL's native
     * top-1-per-group idiom. Catalyst decorrelates the LATERAL

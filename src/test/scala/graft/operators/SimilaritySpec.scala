@@ -142,6 +142,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"), s"unexpected shuffle in map-only audit:\n$plan")
   }
 
+  test("randomProjection: basis vectors read out exact matrix components") {
+    import spark.implicits._
+    import graft.functions.HyperplaneSignature.comp
+    // e_j projects to exactly row j of the matrix; zero vector to zeros
+    val basis5 = Array.tabulate(64)(j => if (j == 5) 1.0f else 0.0f)
+    val e = Seq((1L, basis5), (2L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(e).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toSeq).toMap
+    val expect = (0 until 8).map(k => BigDecimal(comp(1000 + k, 5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L) == expect, s"${out(1L)} vs $expect")
+    assert(out(2L) == Seq.fill(8)(0.0))
+  }
+
   test("bounded-heap top-k finisher matches the window formulation row-for-row") {
     val e = Tables.embeddings(spark, sf0001)
     val scored = Similarity.bruteForceScored(e, nQueries = 10)

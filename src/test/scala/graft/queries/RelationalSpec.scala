@@ -164,6 +164,26 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "changes not broadcast — snapshot would shuffle")
   }
 
+  test("window navigation: full-frame first/last/nth, lag, running ignore-nulls carry-forward") {
+    import java.sql.Date
+    val orders = Seq(
+      (1L, 7L, Date.valueOf("2024-01-01"), 250000.0), // big
+      (2L, 7L, Date.valueOf("2024-02-01"), 100.0),
+      (3L, 7L, Date.valueOf("2024-03-01"), 300000.0), // big
+      (4L, 9L, Date.valueOf("2024-01-05"), 50.0))     // singleton customer
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.orderNavigation(orders).collect().map { r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6))
+    }.toMap
+    assert(out(1L) == ((1L, 3L, 2L, -1.0, 1L)))        // lag null; big carry = itself
+    assert(out(2L) == ((1L, 3L, 2L, 250000.0, 1L)))    // carry-forward skips the small row
+    assert(out(3L) == ((1L, 3L, 2L, 100.0, 3L)))
+    assert(out(4L) == ((4L, 4L, -1L, -1.0, -1L)))      // singleton: nth(2)/lag/carry all null
+  }
+
   test("LATERAL top-1 decorrelates to WindowGroupLimit + equi join, never a re-scan loop") {
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
     val orders = Seq((10L, 1L, 5.0), (11L, 1L, 9.0), (12L, 2L, 3.0))
