@@ -88,6 +88,35 @@ object EventStreams {
         unix_micros(col("view_ts")).as("view_us"))
   }
 
+  /** LEFT OUTER stream-stream join: every purchase, with its
+    * attributing view if one exists in the look-back window, or nulls
+    * if not. Outer results can only emit once the watermark proves no
+    * matching view can still arrive — the join's buffered state is
+    * exactly the watermark-bounded window, so "purchase with no view"
+    * rows appear late but state never leaks. The time-bound condition
+    * is MANDATORY for outer stream-stream joins (without it Spark
+    * rejects the query rather than buffer forever).
+    */
+  def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame,
+                            watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("view_ts")).as("view_us"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

@@ -236,6 +236,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: unmatched purchase emits nulls only after the watermark closes") {
+    implicit val sq = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.viewPurchaseJoinOuter(
+      vMem.toDF().toDF("event_id", "user_id", "ts"),
+      pMem.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("ss_vp_outer").outputMode("append").start()
+    try {
+      vMem.addData((10L, 1L, ts("2024-01-01 10:00:00")))
+      pMem.addData(
+        (20L, 1L, ts("2024-01-01 10:30:00")),  // matched by view 10
+        (21L, 2L, ts("2024-01-01 10:30:00")))  // user 2 never views
+      q.processAllAvailable()
+      val matched = spark.table("ss_vp_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      // inner match emits immediately; the unmatched row must WAIT —
+      // a view could still arrive within the window
+      assert(matched.toSet == Set((20L, 10L)), matched.toSeq.toString)
+      // far-future traffic on BOTH streams pushes the watermark past
+      // purchase 21's window → its null-view row is finally released
+      vMem.addData((99L, 9L, ts("2024-01-01 15:00:00")))
+      pMem.addData((98L, 9L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val all = spark.table("ss_vp_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(all.contains((21L, -1L)), s"outer row never released: $all")
+    } finally q.stop()
+  }
+
   test("EventTimeTimeout: quiet users emit a closed summary and leave the state store") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[EventStreams.TimedUserEvent]
