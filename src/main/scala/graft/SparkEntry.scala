@@ -159,6 +159,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25Search(Tables.documents(s, d))),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
+    "text_group_sample" -> ((s, d) => TextAnalysis.groupSample(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "text_stratified_sample" -> ((s, d) =>
@@ -1050,6 +1051,13 @@ object SparkEntry {
         |      FROM tt LEFT JOIN v ON tt.w = v.w GROUP BY 1, 2)
         |SELECT source, count(*) AS n_docs, round(avg(oov), 6) AS avg_oov_rate
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_group_sample" ->
+      """SELECT doc_id, source, rnk FROM (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
     "text_topk_by_source" ->
       """SELECT source, rnk, doc_id, n_words FROM (
         |  SELECT source, doc_id,

@@ -455,6 +455,29 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Exactly-k-per-group deterministic sample: the first `k` docs of
+    * each source in md5(doc_id) order — an unbiased fixed-size draw
+    * (hash order is independent of any document property, unlike
+    * [[topKBySource]]'s intentional length bias) that is reproducible
+    * across engines and runs. Complements [[hashSample]] (fixed
+    * PERCENTAGE) and [[stratifiedSample]] (per-source percentages)
+    * with a fixed COUNT per group — the eval-set / human-review draw.
+    *
+    * Window partitions on `source`; with few sources and a huge
+    * corpus, swap the finisher for the bounded-heap TopK aggregator
+    * (`Aggregators.TopK`, differential-spec'd for the ANN keys) —
+    * same results, partial-agg plan.
+    */
+  def groupSample(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents.select(col("doc_id"), col("source"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("source", "rnk")
+  }
+
   /** Vocabulary build + out-of-vocabulary rate: top-`vocabSize` words
     * by corpus frequency (deterministic count-then-word tie-break),
     * then the per-source average fraction of tokens outside that

@@ -91,4 +91,28 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() ==
       orders.filter(year(col("o_orderdate")) === 1997).count())
   }
+
+  test("range-clustered write produces key-disjoint files (min/max skipping layout)") {
+    // repartitionByRange + sortWithinPartitions is the write layout
+    // that makes parquet row-group min/max stats selective: each file
+    // owns a disjoint key range, so a point/range predicate prunes to
+    // ~1 file instead of sampling every file. At 100 TB this is the
+    // difference between touching 1/N of the data and all of it.
+    val dir = Files.createTempDirectory("graft_range").toString
+    Tables.orders(spark, sf0001)
+      .repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length >= 4, s"expected several range files, got ${perFile.length}")
+    perFile.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"file key ranges overlap: $perFile")
+      case _ =>
+    }
+  }
 }

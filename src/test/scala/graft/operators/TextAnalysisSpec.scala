@@ -171,6 +171,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast.toSeq == rel.toSeq)
   }
 
+  test("groupSample: exactly k per source, hash-ordered, invariant under corpus growth") {
+    val d = (1L to 10L).map(i => (i, s"t$i", if (i <= 6) "s0" else "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.groupSample(d, k = 2).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(out.count(_._1 == "s0") == 2 && out.count(_._1 == "s1") == 2)
+    // the s0 picks don't change when s1 grows — selection is per-group only
+    val grown = d.union(Seq((99L, "x", "s1"), (98L, "y", "s1")).toDF("doc_id", "text", "source"))
+    val out2 = TextAnalysis.groupSample(grown, k = 2).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(out.filter(_._1 == "s0").toSeq == out2.filter(_._1 == "s0").toSeq)
+  }
+
   test("oovRate: coverage against the top-k vocabulary, frequency-then-word tie-break") {
     val d = Seq(
       (1L, "the the the cat", "s0"),  // vocab(2) = {the, cat?}: the×3, cat×1, dog×1, owl×1 → tie cat/dog/owl → cat wins alphabetically
