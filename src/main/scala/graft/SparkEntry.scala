@@ -138,6 +138,10 @@ object SparkEntry {
     // --- similarity search ---
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), iters = 3)),
+    // iters=0 twin: seed centroids are the 16 lowest vec_ids, so index
+    // build + probe + search are all DuckDB-expressible end-to-end —
+    // the oracle-checkable face of the same IVF code path
+    "sim_ivf_topk_seed" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), iters = 0)),
     "sim_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2,
         nTables = 4, bitsPerTable = 8)),
@@ -313,6 +317,37 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "sim_cosine_neardup" -> cosineNearDupOracle,
     "sim_random_projection" -> randomProjectionOracle,
+    // IVF with seed centroids (iters=0): index build (argmax cell per
+    // vector), probe (top-4 cells per query) and in-cell search all
+    // re-derived relationally; list_cosine_similarity ↔ graft_cosine
+    // parity is the same contract sim_cosine_neardup already pins
+    "sim_ivf_topk_seed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS centroid
+        |          FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, cell_id, v FROM (
+        |    SELECT e.vec_id, c.cell_id, e.v,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell_id) AS rn
+        |    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT qid, qv, cell_id FROM (
+        |    SELECT q.qid, q.qv, c.cell_id,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.cell_id) AS rn
+        |    FROM q CROSS JOIN cents c) t WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id AS cid,
+        |         round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+        |  FROM probes p JOIN assigned a USING (cell_id)
+        |  WHERE p.qid <> a.vec_id)
+        |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, cos_sim FROM (
+        |  SELECT qid, cid, cos_sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // relational twin of the mapPartitions language-ID fast path:
     // same trigram profile (train on doc_id%4=0, top-300 per lang by
     // cnt desc/gram asc, weight 301-rank), same argmax tiebreaks
