@@ -42,6 +42,31 @@ class AggregatorsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("TopKPairs property: equals sort-based top-k on random data, any partitioning") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random (sim, cid) rows with duplicate sims (exercises tie-break)
+    // and k both under- and over-sized relative to the data
+    val rowGen = Gen.listOfN(60, for {
+      sim <- Gen.choose(0, 9).map(_ / 10.0)
+      cid <- Gen.choose(0L, 999L)
+    } yield (sim, cid))
+    val params = Gen.Parameters.default
+    (1 to 15).foreach { i =>
+      val rows = rowGen.pureApply(params, Seed(i.toLong))
+        .zipWithIndex.map { case ((s, c), j) => (s, c * 1000 + j) } // unique ids
+      val k = 1 + (i % 8)
+      val topk = udaf(new Aggregators.TopKPairs(k))
+      val got = rows.toDF("sim", "cid").repartition(1 + i % 5)
+        .agg(topk(col("sim"), col("cid")).as("t"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      val expect = rows.map { case (s, c) => (s, c) }
+        .sortBy(p => (-p._1, p._2)).take(k)
+      assert(got.toSeq == expect, s"seed $i k=$k")
+    }
+  }
+
   test("approx_count_distinct within rsd of exact") {
     val li = Tables.lineitem(spark, sf0001)
     val r = graft.queries.Relational.approxDistinctStats(li).collect().head
