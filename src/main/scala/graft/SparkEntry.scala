@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxDist = 3)),
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinNearDups(Tables.documents(s, d))),
+    "dedup_pipeline" -> ((s, d) => Dedup.pipelineKeepSet(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // md5-seeded oracle twins of the xxhash64 fast paths (hash-checkable end-to-end)
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d))),
@@ -198,7 +199,12 @@ object SparkEntry {
     * the affine coefficients are embedded as literals so both engines
     * evaluate the identical integer arithmetic.
     */
-  private def minhashMd5Oracle: String = {
+  /** Minhash-md5 banded-LSH pair CTE chain over an arbitrary source
+    * relation (must expose doc_id, text) — shared by the standalone
+    * pair oracle and the end-to-end pipeline oracle. Ends with a
+    * `pairs` CTE of (doc_a, doc_b, sa, sb).
+    */
+  private def minhashPairCtes(src: String): String = {
     val n = 16; val bands = 4; val rpb = n / bands
     val minCols = (0 until n).map(i =>
       s"min((h * ${Dedup.md5A(i)} + ${Dedup.md5B(i)}) % ${Dedup.Md5M}) AS s$i").mkString(",\n               ")
@@ -208,7 +214,7 @@ object SparkEntry {
         .mkString("concat_ws(',', ", ", ", ")")
       s"SELECT doc_id, sig, $bnd AS band_idx, $key AS band_key FROM sig"
     }.mkString("\n       UNION ALL\n       ")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
        |shl AS (SELECT doc_id,
        |               list_distinct(CASE WHEN len(ws) >= 5
        |                 THEN list_transform(range(0, len(ws)-4),
@@ -220,17 +226,49 @@ object SparkEntry {
        |sig0 AS (SELECT doc_id, $minCols
        |         FROM hh GROUP BY doc_id),
        |sig AS (SELECT d.doc_id, $sigList AS sig
-       |        FROM (SELECT doc_id FROM documents) d LEFT JOIN sig0 USING (doc_id)),
+       |        FROM (SELECT doc_id FROM $src) d LEFT JOIN sig0 USING (doc_id)),
        |b AS ($bandArms),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sig AS sa, c.sig AS sb
        |          FROM b a JOIN b c USING (band_idx, band_key)
-       |          WHERE a.doc_id < c.doc_id)
+       |          WHERE a.doc_id < c.doc_id)""".stripMargin
+  }
+
+  private def minhashMd5Oracle: String = {
+    val n = 16
+    s"""WITH ${minhashPairCtes("documents")}
        |SELECT doc_a, doc_b, est_jaccard FROM (
        |  SELECT doc_a, doc_b,
        |         round(len(list_filter(range(1, ${n + 1}), i -> sa[i] = sb[i])) / $n.0, 6) AS est_jaccard
        |  FROM pairs) q
        |WHERE est_jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** End-to-end dedup pipeline oracle: exact dedup survivors →
+    * minhash banded pairs (≥ 0.5 est. Jaccard) → recursive-CTE
+    * transitive closure → keep each group's min doc_id.
+    */
+  private def dedupPipelineOracle: String = {
+    val n = 16
+    s"""WITH RECURSIVE
+       |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |surv AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+       |${minhashPairCtes("surv")},
+       |nd AS (SELECT doc_a, doc_b FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(len(list_filter(range(1, ${n + 1}), i -> sa[i] = sb[i])) / $n.0, 6) AS ej
+       |  FROM pairs) q WHERE ej >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS nb FROM nd UNION SELECT doc_b, doc_a FROM nd),
+       |reach(a, nb) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) seeds
+       |  UNION
+       |  SELECT r.a, e.nb FROM reach r JOIN edges e ON r.nb = e.a
+       |),
+       |grp AS (SELECT a AS doc_id, min(nb) AS g FROM reach GROUP BY 1),
+       |drops AS (SELECT doc_id FROM grp WHERE doc_id <> g)
+       |SELECT s.doc_id FROM surv s
+       |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = s.doc_id)
+       |ORDER BY s.doc_id""".stripMargin
   }
 
   /** Generated oracle for [[graft.operators.Similarity.cosineNearDupPairs]]:
@@ -377,6 +415,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
+    "dedup_pipeline" -> dedupPipelineOracle,
     "dedup_groups_md5" -> groupsMd5Oracle,
     "dedup_simhash_md5" ->
       s"""WITH $simhashMd5Cte

@@ -260,6 +260,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The complete dedup pipeline in one call — what a corpus-curation
+    * job actually runs: exact dedup (drop byte-identical copies, keep
+    * lowest doc_id), minhash banded-LSH near-dup pairs over the
+    * survivors, Hash-Min connected components to resolve transitive
+    * groups, then keep each group's min doc_id. Returns the final
+    * kept doc_id set.
+    *
+    * Every stage is the already-bounded building block: digest
+    * groupBy (one shuffle), Σ bucket² banded self-join, O(log
+    * diameter) CC rounds, one anti join. Text crosses the wire only
+    * into the shingle explode — never into CC or the final anti join.
+    */
+  def pipelineKeepSet(documents: DataFrame): DataFrame = {
+    val keepExact = exact(documents).select(col("keep_id").as("doc_id"))
+    val survivors = documents.join(keepExact, Seq("doc_id"), "left_semi")
+    val pairs = minhashNearDupsMd5(survivors).select("doc_a", "doc_b")
+    val nonRepresentatives = connectedGroups(pairs)
+      .filter(col("doc_id") =!= col("group_id"))
+      .select("doc_id")
+    survivors.select("doc_id")
+      .join(nonRepresentatives, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance near-duplicates: pairs whose (truncated) texts are
     * within `maxDist` Levenshtein edits, blocked on a shared prefix —
     * the classic catch for fat-fingered re-uploads and tiny-edit

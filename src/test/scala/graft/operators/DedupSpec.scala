@@ -170,6 +170,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalNovel(docs(), corpus).count() == 0)
   }
 
+  test("pipelineKeepSet: exact dups die first, near-dup groups keep min id, clean docs survive") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, base),                 // representative
+      (2L, base + " extra"),      // near-dup of 1 (8/9 shared shingles) → dropped
+      (4L, base),                 // exact dup of 1 → dropped at stage 1
+      (5L, (1 to 12).map(i => s"z$i").mkString(" "))) // unrelated → kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.pipelineKeepSet(d).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 5L), kept.toString)
+  }
+
   test("levenshteinNearDups: prefix-blocked edit-distance pairs, bounded head compare") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running"
     val d = Seq(
