@@ -209,6 +209,39 @@ object EventStreams {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
 
+  /** Running per-user totals on the Spark 4 `transformWithState`
+    * API — the arbitrary-state successor to mapGroupsWithState:
+    * composable named state variables (ValueState here; List/Map
+    * state and per-key timers in the same handle), schema-evolvable
+    * state, and RocksDB-backed stores. Semantics mirror
+    * [[runningUserTotals]] (update-mode running totals); the spec
+    * pins the two APIs equal on the same input.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserTotals] = {
+      val (n0, v0) = Option(totals.get()).getOrElse((0L, 0.0))
+      var n = n0; var v = v0
+      rows.foreach { e => n += 1; v += e.value }
+      totals.update((n, v))
+      Iterator.single(UserTotals(key, n, v))
+    }
+  }
+
+  /** [[runningUserTotals]] rewritten on `transformWithState`. */
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)

@@ -313,6 +313,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals match the mapGroupsWithState twin") {
+    implicit val sq = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningUserTotalsTws(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("tws_totals")
+      .outputMode("update").start()
+    try {
+      mem.addData(EventStreams.UserEvent(1L, "click", 1.0), EventStreams.UserEvent(1L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.UserEvent(1L, "purchase", 4.0), EventStreams.UserEvent(2L, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_totals")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // same final per-user totals the mapGroupsWithState spec pins
+      assert(rows.contains((1L, 3L, 7.0)), rows.toSeq.toString)
+      assert(rows.contains((2L, 1L, 5.0)), rows.toSeq.toString)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("runningUserTotals accumulates state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
