@@ -165,6 +165,7 @@ object SparkEntry {
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
     "text_group_sample" -> ((s, d) => TextAnalysis.groupSample(Tables.documents(s, d))),
+    "text_mix_weights" -> ((s, d) => TextAnalysis.mixWeights(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "text_stratified_sample" -> ((s, d) =>
@@ -1132,6 +1133,19 @@ object SparkEntry {
         |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
         |  FROM documents) t
         |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+    "text_mix_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT c.lang, c.n_docs,
+        |             sum(n_docs) OVER () AS n_total,
+        |             CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+        |                            WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+        |                            WHEN 'de' THEN 0.05 ELSE 0.0 END AS DOUBLE) AS target_share
+        |      FROM c)
+        |SELECT lang, n_docs,
+        |       round(n_docs / n_total, 6) AS actual_share,
+        |       target_share,
+        |       round(target_share / (n_docs / n_total), 6) AS weight
+        |FROM t ORDER BY lang""".stripMargin,
     "text_topk_by_source" ->
       """SELECT source, rnk, doc_id, n_words FROM (
         |  SELECT source, doc_id,

@@ -455,6 +455,36 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Domain-mixing weights: given a target language mixture for the
+    * training recipe, compare against the corpus's actual shares and
+    * emit the per-language sampling weight (target share / actual
+    * share) — >1 means upsample, <1 means downsample. Languages
+    * outside the target map get weight 0 (excluded from the mix).
+    *
+    * One vocabulary-sized aggregation (langs ≪ corpus) plus an
+    * unpartitioned window over the LANG table for the total — the
+    * same bounded-scalar pattern as [[unigramLogProb]]. Applying the
+    * weights downstream is a map-only join against this KB-sized
+    * table.
+    */
+  def mixWeights(documents: DataFrame,
+                 target: Seq[(String, Double)] = Seq(
+                   "en" -> 0.5, "zh" -> 0.2, "es" -> 0.15, "fr" -> 0.1, "de" -> 0.05))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val targetCol = target.foldLeft(lit(0.0)) { case (acc, (l, w)) =>
+      when(col("lang") === l, w).otherwise(acc)
+    }
+    documents.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
+      .withColumn("actual_share", round(col("n_docs").cast("double") / col("n_total"), 6))
+      .withColumn("target_share", targetCol)
+      .withColumn("weight",
+        round(col("target_share") / (col("n_docs").cast("double") / col("n_total")), 6))
+      .select("lang", "n_docs", "actual_share", "target_share", "weight")
+      .orderBy("lang")
+  }
+
   /** Exactly-k-per-group deterministic sample: the first `k` docs of
     * each source in md5(doc_id) order — an unbiased fixed-size draw
     * (hash order is independent of any document property, unlike

@@ -171,6 +171,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast.toSeq == rel.toSeq)
   }
 
+  test("mixWeights: weight = target/actual; untargeted languages get 0") {
+    val d = Seq(
+      (1L, "a", "en"), (2L, "b", "en"), (3L, "c", "en"),  // 75% actual
+      (4L, "d", "xx"))                                    // 25% actual, not in target
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.mixWeights(d, target = Seq("en" -> 0.5)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("en") == ((0.75, 0.5, BigDecimal(0.5 / 0.75)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)), out.toString)
+    assert(out("xx") == ((0.25, 0.0, 0.0)), out.toString)
+  }
+
   test("groupSample: exactly k per source, hash-ordered, invariant under corpus growth") {
     val d = (1L to 10L).map(i => (i, s"t$i", if (i <= 6) "s0" else "s1"))
       .toDF("doc_id", "text", "source")
