@@ -108,5 +108,10 @@ class ScaleSmokeSpec extends SparkSpec {
       rows(Relational.applyChangeSet(Tables.customer(spark, sf0001).repartition(7))))
     assert(rows(Relational.priceHistogram(orders)) ==
       rows(Relational.priceHistogram(orders.repartition(7))))
+    // the composed dedup pipeline (exact → LSH → CC → keep set) must
+    // give the same keep set under any partitioning — CC determinism
+    // and banded-join determinism composed
+    assert(rows(operators.Dedup.pipelineKeepSet(docs)) ==
+      rows(operators.Dedup.pipelineKeepSet(docs.repartition(7))))
   }
 }
