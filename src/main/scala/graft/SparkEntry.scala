@@ -166,6 +166,7 @@ object SparkEntry {
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
     "text_group_sample" -> ((s, d) => TextAnalysis.groupSample(Tables.documents(s, d))),
     "text_mix_weights" -> ((s, d) => TextAnalysis.mixWeights(Tables.documents(s, d))),
+    "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "text_stratified_sample" -> ((s, d) =>
@@ -1146,6 +1147,21 @@ object SparkEntry {
         |       target_share,
         |       round(target_share / (n_docs / n_total), 6) AS weight
         |FROM t ORDER BY lang""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |           FROM documents),
+        |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |       FROM t, unnest(range(1, len(ws))) AS r(i)
+        |       WHERE len(ws) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM cu)
+        |SELECT doc_id,
+        |       round(avg(ln((cb + 1) / (cu + v))), 6) AS avg_logp,
+        |       count(*) AS n_bigrams
+        |FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_topk_by_source" ->
       """SELECT source, rnk, doc_id, n_words FROM (
         |  SELECT source, doc_id,

@@ -265,6 +265,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM fluency score — the order-2 upgrade of
+    * [[unigramLogProb]]: per-doc average log P(w2|w1) under add-1
+    * smoothing, where c(w1) is the count of bigrams starting with w1
+    * and V is the context vocabulary size. Catches shuffled/garbled
+    * text that unigram frequency scoring cannot (same words, broken
+    * order).
+    *
+    * Shape at 100 TB: bigram extraction is a map stage over the
+    * materialized token array (zip of two slices — no inlined
+    * re-split per element); bigram/context counts are one partial-agg
+    * shuffle each (bigram-vocabulary-sized); V is a 1-row aggregate
+    * cross-joined against the CONTEXT table (bounded); scoring joins
+    * stream the corpus against vocabulary-sized build sides.
+    */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws0"))
+      .select(col("doc_id"), filter(col("ws0"), w => length(w) > 0).as("ws"))
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+    val v = cu.agg(count(lit(1)).as("v"))
+    bi.join(cb, Seq("w1", "w2"))
+      .join(cu.crossJoin(broadcast(v)), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(round(avg(log((col("cb") + 1) / (col("cu") + col("v")))), 6).as("avg_logp"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus word frequencies: explode (generator surface) + count +
     * top-n. Map-side combine keeps the shuffle at vocabulary size,
     * not token count.

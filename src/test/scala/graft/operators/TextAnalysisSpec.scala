@@ -171,6 +171,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast.toSeq == rel.toSeq)
   }
 
+  test("bigramLogProb: add-1 smoothed conditional log-probs, exact on a tiny corpus") {
+    val d = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    // cb: (a,b)=2, (b,a)=2; c(a)=c(b)=2; V=2 contexts
+    // every bigram scores ln((2+1)/(2+2)) = ln(0.75)
+    val lp = BigDecimal(math.log(0.75)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == List((1L, lp, 3L), (2L, lp, 1L)), out.toString)
+    // single-token doc has no bigrams → absent, not null-scored
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("mixWeights: weight = target/actual; untargeted languages get 0") {
     val d = Seq(
       (1L, "a", "en"), (2L, "b", "en"), (3L, "c", "en"),  // 75% actual
