@@ -1034,7 +1034,7 @@ object SparkEntry {
         |  SELECT doc_id, source,
         |         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 100
         |              AS INTEGER) AS bucket,
-        |         CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 2 = 0
+        |         CASE WHEN COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 1) % 2 = 0
         |              THEN 20 ELSE 5 END AS pct
         |  FROM documents) t
         |WHERE bucket < pct ORDER BY doc_id""".stripMargin,

@@ -292,8 +292,15 @@ object EventOps {
     */
   def gapFilledHourlyCounts(events: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000000
+    // Floor division (matches DuckDB `//`), not `div`'s truncation
+    // toward zero — pre-1970 timestamps have negative epoch micros and
+    // must bucket to the PRECEDING hour. Stays in integer arithmetic
+    // (a double divide loses micros past 2^53).
     val hourly = withTsUs(events)
-      .groupBy(expr(s"ts_us div $hourUs").as("hour"), col("event_type"))
+      .groupBy(
+        expr(s"ts_us div $hourUs - (CASE WHEN ts_us % $hourUs < 0 THEN 1 ELSE 0 END)")
+          .as("hour"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"))
     val grid = hourly
       .groupBy("event_type")

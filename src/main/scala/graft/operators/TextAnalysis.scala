@@ -135,8 +135,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
           lit(100L)).cast("int").as("bucket"),
-        when(pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"), lit(2)) === 0,
-          boostedPct).otherwise(defaultPct).as("pct"))
+        // coalesce: sources with no trailing digits get the default
+        // rate EXPLICITLY (1 % 2 != 0), not via null-propagation —
+        // keeps Spark and the TRY_CAST oracle in agreement on any
+        // corpus, digitless source names included.
+        when(pmod(coalesce(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"),
+          lit(1L)), lit(2)) === 0, boostedPct).otherwise(defaultPct).as("pct"))
       .filter(col("bucket") < col("pct"))
       .select("doc_id", "source", "bucket", "pct")
       .orderBy("doc_id")

@@ -98,7 +98,13 @@ object EventStreams {
     * rejects the query rather than buffer forever).
     */
   def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame,
-                            watermark: String = "1 hour"): DataFrame = {
+                            watermark: String = "1 hour",
+                            lookback: Option[String] = None): DataFrame = {
+    // The look-back window defaults to the watermark so the state bound
+    // and the documented join window stay in lockstep; callers that
+    // want a tighter business window than the lateness bound pass
+    // `lookback` explicitly.
+    val lookbackInterval = expr(s"INTERVAL ${lookback.getOrElse(watermark)}")
     val v = views
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("view_ts"))
@@ -110,7 +116,7 @@ object EventStreams {
     p.join(v,
       col("p_user") === col("v_user") &&
         col("view_ts") <= col("purchase_ts") &&
-        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+        col("view_ts") >= col("purchase_ts") - lookbackInterval,
       "left_outer")
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
         unix_micros(col("purchase_ts")).as("purchase_us"),
