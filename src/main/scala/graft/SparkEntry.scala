@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Bearly
 import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
-import graft.queries.Relational
+import graft.queries.{Relational, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,46 @@ object SparkEntry {
       Relational.belowHalfAvgQuantityRevenueSql(Tables.part(s, d), Tables.lineitem(s, d))),
     "q17_corr_subquery_df" -> ((s, d) =>
       Relational.belowHalfAvgQuantityRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
+    // --- TPC-H optimizer-breadth shapes ---
+    "q2_min_cost_supp" -> ((s, d) =>
+      TpchShapes.minCostSupplier(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d), Tables.lineitem(s, d))),
+    "q4_order_priority" -> ((s, d) =>
+      TpchShapes.orderPriorityCheck(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q7_volume_shipping" -> ((s, d) =>
+      TpchShapes.volumeShipping(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q8_market_share" -> ((s, d) =>
+      TpchShapes.marketShare(Tables.lineitem(s, d), Tables.part(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
+    "q9_product_profit" -> ((s, d) =>
+      TpchShapes.productProfit(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.nation(s, d))),
+    "q10_returned_items" -> ((s, d) =>
+      TpchShapes.returnedItemRevenue(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d))),
+    "q11_balance_concentration" -> ((s, d) =>
+      TpchShapes.balanceConcentration(Tables.supplier(s, d), Tables.nation(s, d))),
+    "q13_cust_distribution" -> ((s, d) =>
+      TpchShapes.custOrderDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    "q14_promo_revenue" -> ((s, d) =>
+      TpchShapes.promoRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      TpchShapes.topSupplier(Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q16_supplier_cnt_sql" -> ((s, d) =>
+      TpchShapes.supplierCountSql(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      TpchShapes.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "q19_disjunctive" -> ((s, d) =>
+      TpchShapes.disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q20_nested_in" -> ((s, d) =>
+      TpchShapes.qualifiedSuppliers(Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.lineitem(s, d), Tables.part(s, d))),
+    "q22_dormant_customers" -> ((s, d) =>
+      TpchShapes.dormantCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     // --- event ops ---
     "ev_props_stats" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
     "ev_asof_last_view" -> ((s, d) => EventOps.lastViewBeforePurchase(Tables.events(s, d))),
@@ -355,6 +395,164 @@ object SparkEntry {
     * ops) fall back to the driver's rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    // --- TPC-H optimizer-breadth shapes: oracles keep the CLASSIC
+    // correlated/subquery formulations where the Spark side is
+    // hand-decorrelated, so DuckDB's own planner cross-checks the
+    // rewrite rather than replaying our plan ---
+    "q2_min_cost_supp" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+        |                     min(l_extendedprice / l_quantity) AS cost
+        |              FROM lineitem GROUP BY 1, 2),
+        |euro AS (SELECT s_suppkey, s_name, n_name FROM supplier
+        |         JOIN nation ON s_nationkey = n_nationkey
+        |         JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |cand AS (SELECT p_partkey, p_brand, s_name, n_name, cost FROM part
+        |         JOIN cost ON p_partkey = l_partkey
+        |         JOIN euro ON l_suppkey = s_suppkey
+        |         WHERE p_type = 'SMALL' AND p_size <= 10)
+        |SELECT p_partkey, p_brand, s_name, n_name, round(cost, 4) AS cost
+        |FROM cand
+        |WHERE cost = (SELECT min(cost) FROM cand c2 WHERE c2.p_partkey = cand.p_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |         (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+        |             / sum(volume), 6) AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |             l_extendedprice * (1 - l_discount) AS volume,
+        |             n2.n_name AS nation
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT nation, o_year,
+        |       round(CAST(sum(CAST(amount AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         l_extendedprice * (1 - l_discount)
+        |           - p_retailprice * l_quantity * 0.1 AS amount
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%') t
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(c_acctbal, 2) AS c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_balance_concentration" ->
+      """SELECT n_name, round(sum(s_acctbal), 2) AS nation_balance
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1
+        |HAVING sum(s_acctbal) > (SELECT sum(s_acctbal) * 0.05 FROM supplier)
+        |ORDER BY nation_balance DESC, n_name""".stripMargin,
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                              THEN l_extendedprice * (1 - l_discount)
+        |                              ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |               AND l_shipdate < TIMESTAMP '1996-04-01'
+        |             GROUP BY 1)
+        |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt_sql" ->
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       round(o_totalprice, 2) AS o_totalprice, round(sum_qty, 2) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY 1 HAVING sum(l_quantity) > 300) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_nested_in" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey < 2
+        |  AND s_suppkey IN (SELECT l_suppkey FROM lineitem
+        |                    JOIN part ON l_partkey = p_partkey
+        |                    WHERE p_name LIKE 'red%'
+        |                    GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 90)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_dormant_customers" ->
+      """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal FROM (
+        |  SELECT c_custkey % 7 AS cntrycode, c_acctbal FROM customer
+        |  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_cosine_neardup" -> cosineNearDupOracle,
     "sim_random_projection" -> randomProjectionOracle,
     // IVF with seed centroids (iters=0): index build (argmax cell per
