@@ -84,6 +84,9 @@ object SparkEntry {
     "q_null_safe_join" -> ((s, d) => Relational.nullSafeRegionPairs(Tables.nation(s, d))),
     "q_string_agg" -> ((s, d) => Relational.statusListByPriority(Tables.orders(s, d))),
     "ev_gap_fill" -> ((s, d) => EventOps.gapFilledHourlyCounts(Tables.events(s, d))),
+    "ev_transitions" -> ((s, d) => EventOps.transitionMatrix(Tables.events(s, d))),
+    "q_zorder_cluster" -> ((s, d) =>
+      graft.operators.Clustering.eventZValues(Tables.events(s, d))),
     "ev_scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(Tables.events(s, d))),
     "q_outer_join_count" -> ((s, d) =>
       Relational.customerOrderCounts(Tables.customer(s, d), Tables.orders(s, d))),
@@ -896,6 +899,27 @@ object SparkEntry {
         |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
         |       count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // z-value interleave re-derived bit-for-bit in SQL (generated
+    // 2×16-term bitwise expression — same literal-embedding pattern as
+    // the splitmix/minhash twins)
+    "q_zorder_cluster" ->
+      s"""SELECT event_id, x, y, ${graft.operators.Clustering.zValueSql("x", "y")} AS zval
+         |FROM (SELECT event_id, user_id & 65535 AS x,
+         |             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) & 65535 AS y
+         |      FROM events) t
+         |ORDER BY event_id""".stripMargin,
+    "ev_transitions" ->
+      """WITH g AS (SELECT user_id, event_id,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+        |t AS (SELECT event_type AS next_type,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |               AS prev_type
+        |      FROM g),
+        |m AS (SELECT prev_type, next_type, count(*) AS n FROM t
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM m ORDER BY prev_type, next_type""".stripMargin,
     "ev_gap_fill" ->
       """WITH h AS (SELECT event_type,
         |            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour, count(*) AS n

@@ -340,4 +340,31 @@ object EventOps {
         col("ts_us").as("valid_from_us"), col("valid_to_us"))
       .orderBy("user_id", "valid_from_us")
   }
+
+  /** Event-transition matrix (first-order Markov): counts and row-
+    * normalized probabilities of event_type → next event_type per
+    * user journey — the "what do users do next" model behind
+    * recommendation and funnel analysis.
+    *
+    * Shape at 100 TB: one shuffle on user_id for the lag() window
+    * (same partitioning sessionize/SCD-2 use), then a partial→final
+    * aggregation onto |types|² ≈ tiny keys; the per-row probability
+    * denominator is a window over prev_type — |types| keys, evaluated
+    * on the already-aggregated matrix, so its exchange carries ~25
+    * rows, not events.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val matrix = withTsUs(events)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    matrix
+      .withColumn("p",
+        round(col("n") / sum("n").over(Window.partitionBy("prev_type")), 6))
+      .orderBy("prev_type", "next_type")
+  }
 }
