@@ -41,23 +41,10 @@ object Aggregators {
     override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
       b.foldLeft(a)(insert)
     override def finish(b: Seq[Double]): Seq[Double] = b
-    // Buffer invariant: sorted descending. Insert by binary-searched
-    // position (O(log k) compares + one O(k) vector patch) instead of
-    // re-sorting the whole buffer per accepted row — this runs in the
-    // map-side hot path once per input row.
-    private def insert(b: Seq[Double], x: Double): Seq[Double] = {
-      if (b.size >= k && x <= b.last) b
-      else {
-        val v = b.toVector
-        var lo = 0; var hi = v.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (v(mid) >= x) lo = mid + 1 else hi = mid
-        }
-        val patched = (v.take(lo) :+ x) ++ v.drop(lo)
-        if (patched.length > k) patched.take(k) else patched
-      }
-    }
+    // Buffer invariant: sorted descending (= ascending under the
+    // reversed ordering); see Aggregators.boundedInsert.
+    private def insert(b: Seq[Double], x: Double): Seq[Double] =
+      Aggregators.boundedInsert(b, x, k, Ordering[Double].reverse)
     override def bufferEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
     override def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
@@ -86,24 +73,30 @@ object Aggregators {
     override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       b.foldLeft(a)(insert)
     override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
-    // Same binary-searched positional insert as TopK: the buffer stays
-    // sorted by `ord` (best first) as an invariant, so no per-row
-    // O(k log k) re-sort and nothing left for finish() to sort.
-    private def insert(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
-      if (b.size >= k && ord.gteq(x, b.last)) b
-      else {
-        val v = b.toVector
-        var lo = 0; var hi = v.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (ord.lteq(v(mid), x)) lo = mid + 1 else hi = mid
-        }
-        val patched = (v.take(lo) :+ x) ++ v.drop(lo)
-        if (patched.length > k) patched.take(k) else patched
-      }
-    }
+    private def insert(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      Aggregators.boundedInsert(b, x, k, ord)
     override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Shared bounded-buffer insert (TopKPairs and the streaming top-k
+    * state op): `b` is sorted by `ord` (best first) as an invariant;
+    * insert by binary-searched position — O(log k) compares + one
+    * O(k) vector patch per accepted row, no re-sort.
+    */
+  private[graft] def boundedInsert[T](b: Seq[T], x: T, k: Int,
+                                      ord: Ordering[T]): Seq[T] = {
+    if (b.size >= k && ord.gteq(x, b.last)) b
+    else {
+      val v = b.toVector
+      var lo = 0; var hi = v.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lteq(v(mid), x)) lo = mid + 1 else hi = mid
+      }
+      val patched = (v.take(lo) :+ x) ++ v.drop(lo)
+      if (patched.length > k) patched.take(k) else patched
+    }
   }
 }

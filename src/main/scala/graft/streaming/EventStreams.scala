@@ -299,4 +299,39 @@ object EventStreams {
     */
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()) =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  case class ScoredEvent(event_type: String, event_id: Long, value: Double)
+  case class TopKRow(event_type: String, rnk: Int, event_id: Long, value: Double)
+
+  /** Streaming per-key top-k: the k highest-value events per
+    * event_type, maintained continuously — the leaderboard/"best
+    * documents so far" shape of a streaming curation pipeline.
+    *
+    * State is the SAME O(k) sorted buffer [[graft.functions.Aggregators.TopKPairs]]
+    * uses for the batch path (shared boundedInsert), keyed by
+    * event_type: per batch each key folds its new rows into the
+    * buffer and re-emits its current top-k (update mode). State size
+    * is k pairs per key — independent of stream length, so no
+    * watermark is needed for boundedness; ordering (value desc,
+    * event_id asc) is total, making results deterministic and equal
+    * to the batch window-top-k twin on the same prefix (pinned by
+    * spec).
+    */
+  def streamingTopKByType(events: Dataset[ScoredEvent], k: Int = 5): Dataset[TopKRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ord: Ordering[(Double, Long)] = Ordering.by(p => (-p._1, p._2))
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Seq[(Double, Long)], TopKRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[ScoredEvent], state: GroupState[Seq[(Double, Long)]]) =>
+          var buf = state.getOption.getOrElse(Vector.empty)
+          it.foreach { e =>
+            buf = graft.functions.Aggregators.boundedInsert(buf, (e.value, e.event_id), k, ord)
+          }
+          state.update(buf)
+          buf.iterator.zipWithIndex.map { case ((v, id), i) => TopKRow(tp, i + 1, id, v) }
+      }
+  }
 }

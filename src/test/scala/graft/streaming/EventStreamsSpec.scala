@@ -359,4 +359,47 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows.contains((1L, 3L, 7.0)))
     } finally q.stop()
   }
+
+  test("streaming top-k per type equals the batch window twin after each batch") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventStreams.ScoredEvent]
+    val q = EventStreams.streamingTopKByType(mem.toDS(), k = 2)
+      .toDF().writeStream.format("memory").queryName("topk_test")
+      .outputMode("update").start()
+    val batch1 = Seq(
+      EventStreams.ScoredEvent("click", 1L, 5.0),
+      EventStreams.ScoredEvent("click", 2L, 9.0),
+      EventStreams.ScoredEvent("view", 3L, 1.0))
+    val batch2 = Seq(
+      EventStreams.ScoredEvent("click", 4L, 7.0),   // displaces id=1 (5.0)
+      EventStreams.ScoredEvent("click", 5L, 7.0),   // tie with id=4 → loses on id
+      EventStreams.ScoredEvent("view", 6L, 0.5))
+    def batchTopK(events: Seq[EventStreams.ScoredEvent], k: Int) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      events.toDF("event_type", "event_id", "value")
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select("event_type", "rnk", "event_id", "value")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    // latest emitted top-k per type (the last update for each (type, rnk))
+    def latest(): Set[(String, Int, Long, Double)] = {
+      val rows = spark.table("topk_test").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      // memory sink appends every update; reconstruct final state by
+      // keeping the LAST row per (type, rnk) in arrival order
+      rows.zipWithIndex.groupBy { case ((tp, rnk, _, _), _) => (tp, rnk) }
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+    }
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchTopK(batch1, 2))
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchTopK(batch1 ++ batch2, 2))
+      // bounded state: id=1 (5.0) displaced by the two 7.0 rows
+      assert(!latest().exists(_._3 == 1L))
+    } finally q.stop()
+  }
 }
