@@ -151,6 +151,8 @@ object SparkEntry {
     "ev_hour_pivot" -> ((s, d) => EventOps.hourOfDayPivot(Tables.events(s, d))),
     "ev_funnel" -> ((s, d) => EventOps.viewToPurchaseFunnel(Tables.events(s, d))),
     "ev_props_json" -> ((s, d) => EventOps.propsJson(Tables.events(s, d))),
+    "ev_props_variant" -> ((s, d) => EventOps.propsVariant(Tables.events(s, d))),
+    "q_sql_udf" -> ((s, d) => Relational.sqlUdfRevenue(Tables.lineitem(s, d))),
     "ev_daily_rolling" -> ((s, d) => EventOps.dailyRolling(Tables.events(s, d))),
     "ev_retention" -> ((s, d) => EventOps.dailyRetention(Tables.events(s, d))),
     "ev_interval_join" -> ((s, d) => EventOps.nearbyEventPairs(Tables.events(s, d))),
@@ -1037,6 +1039,18 @@ object SparkEntry {
         |       min(abs(a.a_us - b.b_us)) AS min_delta_us
         |FROM a LEFT JOIN b ON abs(a.a_us - b.b_us) <= 300000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_props_variant" ->
+      """SELECT CAST(k % 10 AS BIGINT) AS k_bucket, count(*) AS n,
+        |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |       round(avg(value), 6) AS avg_value
+        |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the UDF body inlined — the oracle checks the semantics the SQL
+    // function registry must preserve
+    "q_sql_udf" ->
+      """SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "ev_props_json" ->
       """SELECT CAST(k % 10 AS BIGINT) AS k_bucket, count(*) AS n,
         |       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,

@@ -341,6 +341,23 @@ object EventOps {
       .orderBy("user_id", "valid_from_us")
   }
 
+  /** Props via the VARIANT type (Spark 4): `parse_json` once into an
+    * open semi-structured value, then typed `variant_get` paths —
+    * the schema-on-read path for event properties whose shape drifts
+    * faster than a `from_json` schema can (the twin
+    * [[propsJson]] covers the closed-schema case). VARIANT stores a
+    * parsed binary form, so repeated field extraction doesn't re-parse
+    * the JSON text per access.
+    */
+  def propsVariant(events: DataFrame): DataFrame =
+    events
+      .select(variant_get(parse_json(col("props")), "$.k", "bigint").as("k"),
+        col("value"))
+      .groupBy(pmod(col("k"), lit(10L)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("k_bucket")
+
   /** Event-transition matrix (first-order Markov): counts and row-
     * normalized probabilities of event_type → next event_type per
     * user journey — the "what do users do next" model behind

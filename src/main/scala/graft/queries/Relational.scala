@@ -718,4 +718,24 @@ object Relational {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
   }
+
+  /** SQL scalar UDF surface (Spark 4 `CREATE FUNCTION … RETURN expr`):
+    * a reusable business-metric function defined IN SQL and used from
+    * a query. The analyzer INLINES the body into the plan, so unlike
+    * a JVM/Python UDF this keeps predicate pushdown and whole-stage
+    * codegen intact — it is API surface, not an execution hazard; the
+    * spec asserts the inlining (no ScalaUDF / BatchEvalPython in the
+    * physical plan).
+    */
+  def sqlUdfRevenue(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION line_revenue(price DOUBLE, disc DOUBLE)
+        |RETURNS DOUBLE RETURN price * (1 - disc)""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag, round(sum(line_revenue(l_extendedprice, l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
 }

@@ -250,4 +250,16 @@ class RelationalSpec extends SparkSpec {
       (s, d) => Relational.topRevenueOrders(
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
   }
+
+  test("SQL UDF is inlined by the analyzer — no opaque UDF node survives to the plan") {
+    val df = Relational.sqlUdfRevenue(Tables.lineitem(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"SQL UDF not inlined:\n$plan")
+    // the body appears as raw arithmetic inside the aggregate — fully
+    // codegen-able, pruned scan (only 3 columns read)
+    assert(plan.contains("* (1.0 - "), s"inlined expression missing:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_extendedprice:double,l_discount:double,l_returnflag:string>"),
+      "column pruning through the UDF failed")
+  }
 }
