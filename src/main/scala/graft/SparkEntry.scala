@@ -158,6 +158,7 @@ object SparkEntry {
     "ev_interval_join" -> ((s, d) => EventOps.nearbyEventPairs(Tables.events(s, d))),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_normalized" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
     "dedup_exact_stats_approx" -> ((s, d) => Dedup.exactStatsApprox(Tables.documents(s, d))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
@@ -1188,6 +1189,11 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs,

@@ -270,4 +270,31 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = TextAnalysis.bm25Search(d, k = 10).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"global sort in BM25 top-k:\n$plan")
   }
+
+  test("observe: quality-gate counters ride the same pass as the filter output") {
+    import org.apache.spark.sql.functions._
+    // Pipeline observability at 100 TB: you cannot afford a second
+    // scan just to count what a gate dropped. Dataset.observe attaches
+    // accumulator-backed aggregates to the SAME action that produces
+    // the output — counters cost nothing extra and arrive with the
+    // batch.
+    // Gotcha, learned here: observe must NOT sit under a global sort —
+    // range partitioning runs a separate SAMPLING job over the child
+    // plan, so the observed accumulators count every row twice. Keep
+    // observe on the sort-free write path (writes don't sort).
+    val docs = Tables.documents(spark, sf0001)
+    val obs = new org.apache.spark.sql.Observation("quality_gate")
+    val kept = docs
+      .observe(obs, count(lit(1)).as("n_in"),
+        sum(when(length(col("text")) < 50, 1L).otherwise(0L)).as("n_short"))
+      .filter(length(col("text")) >= 50)
+      .collect()
+    val m = obs.get
+    val nIn = m("n_in").asInstanceOf[Long]
+    val nShort = m("n_short").asInstanceOf[Long]
+    // observed input count equals the table's row count — one pass saw
+    // everything — and kept + dropped reconciles exactly
+    assert(nIn == docs.count())
+    assert(kept.length.toLong == nIn - nShort)
+  }
 }
