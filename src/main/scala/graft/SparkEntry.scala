@@ -85,6 +85,11 @@ object SparkEntry {
     "q_string_agg" -> ((s, d) => Relational.statusListByPriority(Tables.orders(s, d))),
     "ev_gap_fill" -> ((s, d) => EventOps.gapFilledHourlyCounts(Tables.events(s, d))),
     "ev_transitions" -> ((s, d) => EventOps.transitionMatrix(Tables.events(s, d))),
+    "ev_anomaly_zscore" -> ((s, d) => EventOps.hourlyAnomalies(Tables.events(s, d))),
+    "ev_heavy_hitters" -> ((s, d) => EventOps.heavyHitterUsers(Tables.events(s, d))),
+    "dedup_passage_stats" -> ((s, d) => Dedup.passageStats(Tables.documents(s, d))),
+    "dedup_passage_dedup" -> ((s, d) => Dedup.passageDedup(Tables.documents(s, d))),
+    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
     "q_zorder_cluster" -> ((s, d) =>
       graft.operators.Clustering.eventZValues(Tables.events(s, d))),
     "ev_scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(Tables.events(s, d))),
@@ -139,6 +144,14 @@ object SparkEntry {
         Tables.lineitem(s, d), Tables.part(s, d))),
     "q22_dormant_customers" -> ((s, d) =>
       TpchShapes.dormantCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    "q12_priority_by_flag" -> ((s, d) =>
+      TpchShapes.priorityByFlag(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // salted skew join, oracle-pinned: the salt must not change the
+    // join RESULT, only the shuffle distribution — the oracle is the
+    // plain unsalted join aggregated to a deterministic summary.
+    "q_skew_salted" -> ((s, d) =>
+      graft.operators.Skew.saltedSupplierSummary(
+        Tables.lineitem(s, d), Tables.supplier(s, d))),
     // --- event ops ---
     "ev_props_stats" -> ((s, d) => EventOps.propsStats(Tables.events(s, d))),
     "ev_asof_last_view" -> ((s, d) => EventOps.lastViewBeforePurchase(Tables.events(s, d))),
@@ -559,6 +572,83 @@ object SparkEntry {
         |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_priority_by_flag" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew_salted" ->
+      """SELECT s_nationkey, count(*) AS n_lines,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_anomaly_zscore" ->
+      """WITH h AS (
+        |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hour_us, n,
+        |         avg(n) OVER (PARTITION BY event_type) AS mean_n,
+        |         stddev_samp(n) OVER (PARTITION BY event_type) AS sd_n
+        |  FROM h)
+        |SELECT event_type, hour_us, n, round(mean_n, 4) AS mean_n,
+        |       round((n - mean_n) / sd_n, 4) AS zscore
+        |FROM s
+        |WHERE sd_n > 0 AND abs(round((n - mean_n) / sd_n, 4)) >= 2.0
+        |ORDER BY event_type, hour_us""".stripMargin,
+    // Misra-Gries with capacity >= |distinct users| is exact, so the
+    // plain exact-count SQL pins the whole summary/merge path.
+    "ev_heavy_hitters" ->
+      """SELECT user_id, count(*) AS est_n FROM events
+        |GROUP BY user_id HAVING count(*) >= 80
+        |ORDER BY est_n DESC, user_id""".stripMargin,
+    "dedup_passage_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c0 AS (SELECT doc_id, ws,
+        |         unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i
+        |       FROM w),
+        |c AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |        array_to_string(ws[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ') AS chunk
+        |      FROM c0)
+        |SELECT chunk, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |       min(doc_id) AS first_doc
+        |FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY chunk""".stripMargin,
+    "dedup_passage_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c0 AS (SELECT doc_id, ws,
+        |         unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i
+        |       FROM w),
+        |c AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |        array_to_string(ws[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ') AS chunk
+        |      FROM c0),
+        |o AS (SELECT doc_id, i, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+        |      FROM c)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i), '') AS text_clean,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  count(*) AS n_total
+        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sim_knn_graph" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+        |        AS INTEGER) < 25),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |      FROM s a CROSS JOIN s b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, cid, cos_sim,
+        |             CAST(row_number() OVER (PARTITION BY qid
+        |                  ORDER BY cos_sim DESC, cid) AS INTEGER) AS rnk
+        |      FROM p)
+        |SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "sim_cosine_neardup" -> cosineNearDupOracle,
     "sim_random_projection" -> randomProjectionOracle,
     // IVF with seed centroids (iters=0): index build (argmax cell per

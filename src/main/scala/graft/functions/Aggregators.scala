@@ -85,6 +85,60 @@ object Aggregators {
     * insert by binary-searched position — O(log k) compares + one
     * O(k) vector patch per accepted row, no re-sort.
     */
+  /** Misra–Gries frequent-items summary over Long keys: a bounded
+    * map of ≤ `capacity` counters that answers "which keys occur
+    * more than N/capacity times" with ONE pass and O(capacity)
+    * memory — the heavy-hitter primitive for corpus-scale key
+    * profiling (hot users, hot domains, hot shingles) where an exact
+    * groupBy would shuffle billions of distinct keys.
+    *
+    * Guarantees (classic MG, plus the Agarwal et al. 2012 mergeable-
+    * summaries merge): every key with true count > N/capacity
+    * survives, and each reported estimate undercounts the true count
+    * by at most N/capacity. When capacity ≥ |distinct keys| no
+    * counter is ever evicted and the estimates are EXACT — which is
+    * how the oracle pins this aggregator end-to-end (the testdata
+    * key space fits; a 100 TB run sets capacity ≪ distinct and takes
+    * the approximation on purpose).
+    *
+    * Runs as a true partial aggregate: `reduce` map-side per
+    * partition, `merge` combines the per-partition summaries (sum
+    * counters, then subtract the (capacity+1)-th largest count and
+    * drop ≤0 — the rank-based offset keeps the error bound additive
+    * across merges).
+    */
+  class MisraGries(capacity: Int)
+      extends Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] {
+    override def zero: Map[Long, Long] = Map.empty
+    override def reduce(b: Map[Long, Long], key: Long): Map[Long, Long] =
+      b.get(key) match {
+        case Some(n) => b.updated(key, n + 1)
+        case None if b.size < capacity => b.updated(key, 1L)
+        case None =>
+          // decrement-all step: every tracked counter absorbs one of
+          // the untracked key's occurrences; zeros drop out.
+          b.flatMap { case (k, n) => if (n > 1) Some(k -> (n - 1)) else None }
+      }
+    override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+      val combined = b.foldLeft(a) { case (acc, (k, n)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + n)
+      }
+      if (combined.size <= capacity) combined
+      else {
+        val cut = combined.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+        combined.flatMap { case (k, n) =>
+          if (n > cut) Some(k -> (n - cut)) else None
+        }
+      }
+    }
+    override def finish(b: Map[Long, Long]): Seq[(Long, Long)] =
+      b.toSeq.sortBy { case (k, n) => (-n, k) }
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
   private[graft] def boundedInsert[T](b: Seq[T], x: T, k: Int,
                                       ord: Ordering[T]): Seq[T] = {
     if (b.size >= k && ord.gteq(x, b.last)) b

@@ -567,6 +567,66 @@ object Dedup {
     * maxDist bits agrees on ≥1 band. Uncapped (exactness for the
     * oracle; the capped 64-bit path is the scale story).
     */
+  /** Per-document word-window passages: text split into consecutive
+    * `w`-word chunks, one output row per (doc_id, chunk index). The
+    * building block for exact PASSAGE-level dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 — boilerplate repeats across documents far more often than
+    * whole documents do). Map-only: split + slice per row, no
+    * shuffle; `sequence` bounds the chunk count per doc so nothing
+    * materializes beyond the doc's own words.
+    */
+  private[graft] def explodedPassages(documents: DataFrame, w: Int): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("ws")) - 1) / w).cast("int"))).as("i"),
+        col("ws"))
+      .select(col("doc_id"), col("i").cast("int").as("i"),
+        array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ").as("chunk"))
+
+  /** Cross-document duplicated passages: which `w`-word chunks appear
+    * in more than one document, how often, and where first. One
+    * shuffle keyed on the chunk (at 100 TB: key on xxhash64(chunk)
+    * and never move the text — same digest trick as [[exact]];
+    * kept as the raw string here so the DuckDB oracle can pin it).
+    */
+  def passageStats(documents: DataFrame, w: Int = 8): DataFrame =
+    explodedPassages(documents, w)
+      .groupBy("chunk")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk")
+
+  /** Passage-level dedup rewrite: every occurrence of a chunk except
+    * the globally-first one (min (doc_id, i)) is dropped, and each
+    * document is re-assembled from its kept chunks in order — the
+    * pass that strips repeated boilerplate from a crawl while keeping
+    * one canonical copy. The "first occurrence" rank is a window
+    * keyed on the chunk itself — high-cardinality partition key, so
+    * the window is ONE balanced shuffle (same key as a groupBy), then
+    * re-assembly is one groupBy(doc_id) with an ordered collect.
+    */
+  def passageDedup(documents: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstOcc = Window.partitionBy("chunk").orderBy("doc_id", "i")
+    explodedPassages(documents, w)
+      .withColumn("rn", row_number().over(firstOcc))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("i"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("text_clean"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_total"))
+      .orderBy("doc_id")
+  }
+
   def simhashMd5NearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
     require(32 % nBands == 0, "maxDist+1 must divide 32")

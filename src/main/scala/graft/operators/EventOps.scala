@@ -384,4 +384,56 @@ object EventOps {
         round(col("n") / sum("n").over(Window.partitionBy("prev_type")), 6))
       .orderBy("prev_type", "next_type")
   }
+
+  /** Hourly anomaly detection: flag (event_type, hour) buckets whose
+    * count deviates from that type's mean hourly count by ≥ `z`
+    * sample standard deviations — the monitoring pass that watches an
+    * ingest firehose for outages and floods. Two stages: the hourly
+    * partial→final count agg (events-sized input, map-side combined),
+    * then mean/stddev as a window over event_type — the window input
+    * is the ALREADY AGGREGATED hourly matrix (|types| × |hours| rows,
+    * thousands not billions), so the per-type partition key being
+    * low-cardinality is harmless at any corpus size. z-scores are
+    * rounded to 4 so both engines agree on FP.
+    */
+  /** Heavy-hitter users via the [[graft.functions.Aggregators.MisraGries]]
+    * bounded summary: one pass, O(capacity) state per partition,
+    * partial summaries merged across partitions — the way to ask
+    * "which keys dominate this firehose" when the distinct-key space
+    * is too large to groupBy exactly. On the testdata capacity ≥
+    * |distinct users|, so estimates are exact and the DuckDB oracle
+    * (plain GROUP BY count HAVING) pins the whole path; the
+    * capacity < distinct approximation regime is pinned by the
+    * property spec's superset guarantee instead.
+    */
+  def heavyHitterUsers(events: DataFrame, capacity: Int = 4096,
+                       minCount: Long = 80): DataFrame = {
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(capacity))
+    events
+      .agg(mg(col("user_id")).as("hh"))
+      .select(explode(col("hh")).as("p"))
+      .select(col("p._1").as("user_id"), col("p._2").as("est_n"))
+      .filter(col("est_n") >= minCount)
+      .orderBy(desc("est_n"), col("user_id"))
+  }
+
+  def hourlyAnomalies(events: DataFrame, z: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000
+    val hourly = withTsUs(events)
+      .groupBy(
+        (expr(s"ts_us div $hourUs") * hourUs).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    hourly
+      .withColumn("mean_n", avg("n").over(byType))
+      .withColumn("sd_n", stddev_samp(col("n").cast("double")).over(byType))
+      .filter(col("sd_n") > 0)
+      .withColumn("zscore", round((col("n") - col("mean_n")) / col("sd_n"), 4))
+      .filter(abs(col("zscore")) >= z)
+      .select(col("event_type"), col("hour_us"), col("n"),
+        round(col("mean_n"), 4).as("mean_n"), col("zscore"))
+      .orderBy("event_type", "hour_us")
+  }
 }

@@ -98,6 +98,37 @@ object Similarity {
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
     topKPerQuery(bruteForceScored(embeddings, nQueries), k)
 
+  /** k-nearest-neighbor graph over a deterministic hash-sample of the
+    * corpus: every sampled vector gets its k most-similar sampled
+    * neighbors — the adjacency list that semantic-dedup clustering
+    * and diversity analysis start from (SemDeDup-style pipelines).
+    *
+    * Scale: the md5-bucket sample (same primitive as
+    * [[TextAnalysis.hashSample]]) bounds the quadratic term — n²
+    * pairs on samplePct% of the corpus is (pct/100)² of the full
+    * blow-up, and the sample is reproducible on any cluster. One side
+    * is broadcast (the sample fits by construction: it's the
+    * ANN-index build set, tens of MB); scoring is map-only over the
+    * other side and [[topKPerQuery]] reduces each partition to k
+    * candidates per node BEFORE the exchange. For the full-corpus
+    * graph at 100 TB, swap the sample for [[ivfAssign]] cells and run
+    * this per cell (Σ cell² ≪ n²).
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, samplePct: Int = 25): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val sampled = embeddings
+      .filter(pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L)).cast("int") < samplePct)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = sampled.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val b = sampled.select(col("vec_id").as("cid"), col("v").as("cv"))
+    val scored = a.crossJoin(broadcast(b))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorFunctions.cosineSim(col("qv"), col("cv")), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic IVF seed centroids: the embeddings of the `nCells`
     * lowest vec_ids (a fixed, reproducible starting point;
     * [[trainCentroids]] refines them with k-means).

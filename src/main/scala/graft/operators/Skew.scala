@@ -37,4 +37,19 @@ object Skew {
         salted(factKey) === replicated(dimKey) && salted("_salt") === replicated("_salt"))
       .drop("_salt")
   }
+
+  /** Oracle-checkable face of [[saltedJoin]]: lineitem⋈supplier on
+    * suppkey (the canonical "fact keyed on a skewable dim" shape)
+    * salted into 8 buckets, aggregated to per-nation line counts and
+    * quantity totals. The DuckDB oracle is the PLAIN unsalted join —
+    * salting must be invisible in the result, only the shuffle
+    * distribution changes — so the invariance the differential spec
+    * pins locally is also enforced end-to-end by the driver gate.
+    */
+  def saltedSupplierSummary(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    saltedJoin(lineitem, supplier, "l_suppkey", "s_suppkey", 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("s_nationkey")
 }

@@ -358,4 +358,27 @@ object TpchShapes {
       .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
       .orderBy("cntrycode")
   }
+
+  /** Q12 shape (shipping-mode priority split). l_shipmode /
+    * commitdate / receiptdate don't exist in the testdata, so Q12's
+    * essence — a fact→orders join feeding conditional aggregation
+    * that splits an order-priority indicator per category — is
+    * expressed per l_returnflag over one shipdate year: URGENT/HIGH
+    * line count vs the rest. Physically identical to Q12: pushed
+    * date-range scan filter, one equi join (orders broadcastable
+    * while it fits, AQE decides), one partial→final agg with two
+    * CASE sums, tiny result. Completes the Q1–Q22 shape sweep.
+    */
+  def priorityByFlag(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+      .join(orders, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
 }

@@ -42,6 +42,40 @@ class AggregatorsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("MisraGries: exact when capacity >= distinct keys, any partitioning") {
+    val keys = (1L to 20L).flatMap(k => Seq.fill(k.toInt)(k)) // key k occurs k times
+    val df = keys.toDF("k").repartition(9)
+    val mg = udaf(new Aggregators.MisraGries(64))
+    val out = df.agg(mg(col("k")).as("hh"))
+      .select(explode(col("hh")).as("p"))
+      .select(col("p._1"), col("p._2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 20L).map(k => k -> k).toMap)
+  }
+
+  test("MisraGries: capacity < distinct keeps every true heavy hitter, never overcounts") {
+    // 5 hot keys at 200 each + 400 singleton keys; N = 1400,
+    // capacity 16 → error bound N/16 = 87.5, so hot keys (true count
+    // 200 > 87.5) MUST survive any decrement schedule with estimate
+    // within [200 - 87.5, 200].
+    val keys = (1L to 5L).flatMap(k => Seq.fill(200)(k)) ++ (100L to 499L)
+    val df = keys.toDF("k").repartition(11)
+    val mg = udaf(new Aggregators.MisraGries(16))
+    val out = df.agg(mg(col("k")).as("hh"))
+      .select(explode(col("hh")).as("p"))
+      .select(col("p._1"), col("p._2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size <= 16)
+    (1L to 5L).foreach { k =>
+      assert(out.contains(k), s"heavy hitter $k evicted: $out")
+      assert(out(k) <= 200L && out(k) >= 200L - 88L, s"estimate out of bound: ${out(k)}")
+    }
+    out.foreach { case (k, n) =>
+      val truth = if (k <= 5L) 200L else 1L
+      assert(n <= truth, s"overcount for $k: $n > $truth")
+    }
+  }
+
   test("TopKPairs property: equals sort-based top-k on random data, any partitioning") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

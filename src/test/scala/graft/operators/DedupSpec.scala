@@ -227,4 +227,25 @@ class DedupSpec extends SparkSpec {
     val nd = Dedup.simhashMd5NearDups(docs(1L -> base, 2L -> base)).collect()
     assert(nd.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq == Seq((1L, 2L, 0)))
   }
+
+  test("passageStats finds cross-doc chunks; passageDedup keeps first occurrence") {
+    // w=2 chunks: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [p q]
+    val d = docs(1L -> "a b c d", 2L -> "a b x y", 3L -> "p q")
+    val stats = Dedup.passageStats(d, w = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.toSeq == Seq(("a b", 2L, 2L, 1L)))
+    val ded = Dedup.passageDedup(d, w = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(ded.toSeq == Seq(
+      (1L, "a b c d", 2L, 2L),   // doc1 owns the first "a b"
+      (2L, "x y", 1L, 2L),       // doc2's copy dropped
+      (3L, "p q", 1L, 1L)))
+    // ragged tail: last chunk shorter than w still round-trips
+    val ragged = Dedup.passageDedup(docs(9L -> "a b c"), w = 2).collect()
+    assert(ragged.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "a b c")))
+    // deterministic under partitioning
+    val ded2 = Dedup.passageDedup(d.repartition(7), w = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(ded2.toSeq == ded.toSeq)
+  }
 }

@@ -142,4 +142,31 @@ class EventOpsSpec extends SparkSpec {
       EventOps.scd2Intervals(events).queryExecution.executedPlan.toString).size
     assert(nEx <= 2, s"expected one data exchange (+ final sort), saw $nEx")
   }
+
+  test("heavyHitterUsers: exact counts and deterministic order in the exact regime") {
+    // user 2 gets 34 events, users 1 and 3 get 33 each
+    val rows = (1 to 100).map(i => (i.toLong, "2024-01-01 00:00:00", (i % 3 + 1).toLong, "view"))
+    val out = EventOps.heavyHitterUsers(ev(rows: _*), capacity = 16, minCount = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 34L), (1L, 33L), (3L, 33L)))
+    // threshold applies
+    val none = EventOps.heavyHitterUsers(ev(rows: _*), capacity = 16, minCount = 35).collect()
+    assert(none.isEmpty)
+  }
+
+  test("hourlyAnomalies flags the flood hour and only that hour") {
+    // "view": 9 quiet hours of 1 event + one flood hour of 19 →
+    // mean 2.8, sample sd 5.692, z = 2.846 ≥ 2 for the flood hour,
+    // z = -0.316 for quiet hours. "click": flat 2/hour → sd 0 →
+    // excluded entirely by the sd > 0 guard.
+    val rows =
+      (0 until 9).map(h => ((h + 1).toLong, f"2024-01-01 $h%02d:00:00", 1L, "view")) ++
+      (0 until 19).map(i => ((100 + i).toLong, f"2024-01-01 09:$i%02d:00", 1L, "view")) ++
+      (0 until 20).map(i => ((200 + i).toLong, f"2024-01-01 ${i / 2}%02d:30:00", 2L, "click"))
+    val out = EventOps.hourlyAnomalies(ev(rows: _*)).collect()
+    assert(out.length == 1, out.mkString(","))
+    val r = out.head
+    assert(r.getString(0) == "view" && r.getLong(1) == us("2024-01-01 09:00:00") &&
+      r.getLong(2) == 19L && r.getDouble(4) == 2.846)
+  }
 }

@@ -167,4 +167,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.bruteForceTopK(e.repartition(13), k = 5, nQueries = 10)) ==
       rows(Similarity.topKPerQueryWindow(scored, 5)))
   }
+
+  test("knnGraph: symmetric membership on planted clusters, sample is honored") {
+    import spark.implicits._
+    // two tight clusters of near-identical vectors; every sampled
+    // node's top neighbor must come from its own cluster
+    def vec(base: Int, jitter: Float) =
+      Array.tabulate(64)(j => (if (j % 2 == base % 2) 1.0f else 0.1f) + jitter * j)
+    val e = (0 until 20).map(i => (i.toLong, vec(i % 2, 0.001f * (i / 2)))).toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(e, k = 3, samplePct = 100).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nodes = out.map(_._1).distinct
+    assert(nodes.length == 20) // samplePct=100 keeps everyone
+    out.filter(_._2 == 1).foreach { case (q, _, c) =>
+      assert(q % 2 == c % 2, s"node $q's nearest neighbor $c crossed clusters")
+    }
+    // sub-sampling keeps a strict, deterministic subset of nodes
+    val sub = Similarity.knnGraph(e, k = 3, samplePct = 40).collect().map(_.getLong(0)).distinct
+    assert(sub.nonEmpty && sub.length < 20)
+    assert(Similarity.knnGraph(e, k = 3, samplePct = 40).collect().map(_.getLong(0)).distinct
+      .sameElements(sub))
+  }
 }

@@ -16,4 +16,17 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted == plain)
   }
+
+  test("saltedSupplierSummary equals the unsalted join summary") {
+    val li = Tables.lineitem(spark, sf0001)
+    val supp = Tables.supplier(spark, sf0001)
+    val plain = li.join(supp, col("s_suppkey") === col("l_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("s_nationkey")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val salted = Skew.saltedSupplierSummary(li, supp)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(salted == plain && salted.nonEmpty)
+  }
 }

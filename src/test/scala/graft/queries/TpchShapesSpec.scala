@@ -62,4 +62,16 @@ class TpchShapesSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 4,
       s"missing partial/final aggregates:\n$plan")
   }
+
+  test("q12: high+low split partitions every joined line exactly once") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf0001)
+    val ord = Tables.orders(spark, sf0001)
+    val out = TpchShapes.priorityByFlag(li, ord).collect()
+    assert(out.nonEmpty)
+    val total = li.filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+      .join(ord, col("o_orderkey") === col("l_orderkey")).count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+  }
 }
