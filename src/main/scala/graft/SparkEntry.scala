@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_passage_stats" -> ((s, d) => Dedup.passageStats(Tables.documents(s, d))),
     "dedup_passage_dedup" -> ((s, d) => Dedup.passageDedup(Tables.documents(s, d))),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
+    "sim_semantic_groups" -> ((s, d) => Similarity.semanticGroups(Tables.embeddings(s, d))),
     "q_zorder_cluster" -> ((s, d) =>
       graft.operators.Clustering.eventZValues(Tables.events(s, d))),
     "ev_scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(Tables.events(s, d))),
@@ -343,9 +344,13 @@ object SparkEntry {
     * `list_cosine_similarity` rounded to 6 (the proven
     * `sim_bruteforce_topk` parity).
     */
-  private def cosineNearDupOracle: String = {
+  /** Shared CTE chain for the hyperplane-LSH oracles: literal
+    * splitmix64 plane matrix → banded buckets → capped buckets →
+    * scored candidate pairs `p(vec_a, vec_b, cos_sim)`.
+    */
+  private def cosineNearDupBaseCte: String = {
     val nTables = 4; val bits = 8; val dim = 64
-    val maxBucket = 256; val threshold = 0.2
+    val maxBucket = 256
     import graft.functions.HyperplaneSignature.comp
     val arms = (0 until nTables).map { t =>
       val bucket = (0 until bits).map { b =>
@@ -356,7 +361,7 @@ object SparkEntry {
       }.mkString("CAST(", "\n     + ", " AS BIGINT)")
       s"SELECT vec_id, v, $t AS table_idx,\n  $bucket AS bucket FROM e"
     }.mkString("\n UNION ALL\n ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS ($arms),
        |capped AS (SELECT table_idx, bucket, vec_id, v FROM (
        |  SELECT table_idx, bucket, vec_id, v,
@@ -365,11 +370,30 @@ object SparkEntry {
        |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
        |             round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
        |      FROM capped a JOIN capped c USING (table_idx, bucket)
-       |      WHERE a.vec_id < c.vec_id)
-       |SELECT DISTINCT vec_a, vec_b, cos_sim FROM p
-       |WHERE cos_sim >= $threshold
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |      WHERE a.vec_id < c.vec_id)""".stripMargin
   }
+
+  private def cosineNearDupOracle: String =
+    s"""WITH $cosineNearDupBaseCte
+       |SELECT DISTINCT vec_a, vec_b, cos_sim FROM p
+       |WHERE cos_sim >= 0.2
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Oracle for [[graft.operators.Similarity.semanticGroups]]: the
+    * LSH candidate pairs above, closed transitively by a recursive
+    * CTE with group id = min reachable vec (the Hash-Min fixpoint).
+    */
+  private def semanticGroupsOracle: String =
+    s"""WITH RECURSIVE $cosineNearDupBaseCte,
+       |nd AS (SELECT DISTINCT vec_a, vec_b FROM p WHERE cos_sim >= 0.2),
+       |edges AS (SELECT vec_a AS a, vec_b AS nb FROM nd
+       |          UNION SELECT vec_b, vec_a FROM nd),
+       |reach(a, nb) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+       |  UNION
+       |  SELECT r.a, e.nb FROM reach r JOIN edges e ON r.nb = e.a
+       |)
+       |SELECT a AS vec_id, min(nb) AS group_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Oracle for [[graft.operators.Similarity.randomProjection]] — the
     * same splitmix matrix (offset plane ids 1000+) as SQL literals;
@@ -650,6 +674,7 @@ object SparkEntry {
         |SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
     "sim_cosine_neardup" -> cosineNearDupOracle,
+    "sim_semantic_groups" -> semanticGroupsOracle,
     "sim_random_projection" -> randomProjectionOracle,
     // IVF with seed centroids (iters=0): index build (argmax cell per
     // vector), probe (top-4 cells per query) and in-cell search all

@@ -375,4 +375,21 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Semantic dedup groups (SemDeDup, Abbas et al. 2023): embedding
+    * near-duplicate PAIRS from the banded hyperplane LSH
+    * ([[cosineNearDupPairs]] — Σ bucket² candidate generation, never
+    * n²) resolved into connected components
+    * ([[Dedup.connectedGroups]] — Hash-Min label propagation), so
+    * transitively-linked paraphrase clusters collapse to one group id
+    * (= min member). Downstream keeps one representative per group.
+    * Both legs are the already-scale-argued building blocks; the
+    * composition adds no new shuffle shape.
+    */
+  def semanticGroups(embeddings: DataFrame, threshold: Double = 0.2): DataFrame =
+    Dedup.connectedGroups(
+        cosineNearDupPairs(embeddings, threshold)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("group_id"))
+      .orderBy("vec_id")
 }

@@ -414,8 +414,11 @@ object TextAnalysis {
       .filter(col("rank") <= profileSize)
       .select(col("lang").as("plang"), col("gram"),
         (lit(profileSize + 1L) - col("rank")).as("wt"))
+    // prof is ≤ |langs| × profileSize rows by construction (KBs at any
+    // corpus size) — broadcast explicitly so the gram-scoring join
+    // never shuffles the exploded gram stream, with or without AQE.
     val scores = grams.select(col("doc_id"), col("gram"))
-      .join(prof, "gram")
+      .join(broadcast(prof), "gram")
       .groupBy("doc_id", "plang")
       .agg(sum("wt").as("score"))
     // argmax with the fast path's exact tiebreak: score desc, lang asc;

@@ -334,4 +334,38 @@ object EventStreams {
           buf.iterator.zipWithIndex.map { case ((v, id), i) => TopKRow(tp, i + 1, id, v) }
       }
   }
+
+  case class HeavyHitter(user_id: Long, est_n: Long)
+
+  /** Streaming heavy hitters: a single Misra-Gries summary maintained
+    * over the whole stream — "which users dominate the firehose right
+    * now" with O(capacity) state TOTAL, stream-length-independent, no
+    * watermark needed for boundedness. Per batch the new keys fold
+    * into the summary (same reduce/merge invariants as the batch
+    * [[graft.functions.Aggregators.MisraGries]] — an arrival order is
+    * just one specific merge schedule, so the same guarantees hold:
+    * every key with true count > N/capacity is present, estimates
+    * never overcount and undercount by ≤ N/capacity); the current
+    * top hitters re-emit in update mode. Keyed by a constant because
+    * the summary is global — parallelism comes from upstream
+    * partitions, the state op only folds tiny per-batch key lists
+    * (for a keyed variant, group by a dimension instead).
+    */
+  def streamingHeavyHitters(userIds: Dataset[Long], capacity: Int = 64,
+                            emitTop: Int = 10): Dataset[HeavyHitter] = {
+    val spark = userIds.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.Aggregators.MisraGries(capacity)
+    userIds
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Map[Long, Long], HeavyHitter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[Long], state: GroupState[Map[Long, Long]]) =>
+          var summary = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { k => summary = mg.reduce(summary, k) }
+          state.update(summary)
+          summary.toSeq.sortBy { case (k, n) => (-n, k) }.take(emitTop)
+            .iterator.map { case (k, n) => HeavyHitter(k, n) }
+      }
+  }
 }

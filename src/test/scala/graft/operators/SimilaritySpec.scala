@@ -168,6 +168,22 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.topKPerQueryWindow(scored, 5)))
   }
 
+  test("semanticGroups: planted clusters collapse to min-id groups; singleton excluded") {
+    import spark.implicits._
+    def base(f: Int => Double) = (i: Int) =>
+      Array.tabulate(64)(j => (f(j) + 1e-4 * i).toFloat)
+    val clusterA = base(j => math.sin(j + 1))
+    val clusterB = base(j => math.cos(3 * j + 2))
+    val lone = Array.tabulate(64)(j => (if (j % 2 == 0) 1.0f else -1.0f))
+    val e = (Seq(0, 1, 2).map(i => (i.toLong, clusterA(i))) ++
+      Seq(10, 11).map(i => (i.toLong, clusterB(i))) :+ (20L, lone))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticGroups(e, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L),
+      out.toString)
+  }
+
   test("knnGraph: symmetric membership on planted clusters, sample is honored") {
     import spark.implicits._
     // two tight clusters of near-identical vectors; every sampled

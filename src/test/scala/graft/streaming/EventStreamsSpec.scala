@@ -402,4 +402,31 @@ class EventStreamsSpec extends SparkSpec {
       assert(!latest().exists(_._3 == 1L))
     } finally q.stop()
   }
+
+  test("streamingHeavyHitters: exact regime matches batch counts across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = EventStreams.streamingHeavyHitters(mem.toDS(), capacity = 16, emitTop = 3)
+      .toDF().writeStream.format("memory").queryName("hh_test")
+      .outputMode("update").start()
+    // user 7 hot in both batches; capacity 16 > 4 distinct → exact
+    val batch1 = Seq.fill(5)(7L) ++ Seq(1L, 2L)
+    val batch2 = Seq.fill(4)(7L) ++ Seq(1L, 3L)
+    def latest(): Map[Long, Long] = {
+      val rows = spark.table("hh_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+    }
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest()(7L) == 5L)
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val m = latest()
+      assert(m(7L) == 9L, m.toString)  // state carried across batches
+      assert(m(1L) == 2L)
+    } finally q.stop()
+  }
 }
