@@ -426,7 +426,10 @@ object Dedup {
       .localCheckpoint(true)
     // Convergence signal: labels only ever DECREASE under min
     // propagation, so Σ group_id is strictly monotone until fixpoint —
-    // one scalar agg per round instead of a join-and-count.
+    // one scalar agg per round instead of a join-and-count. (Tried:
+    // riding the sum on the checkpoint job as an `observe`d metric —
+    // measurably SLOWER, the async listener-bus delivery costs more
+    // than this sub-scan of a few hundred checkpointed label rows.)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("group_id"), lit(0L))).collect().head.getLong(0)
     // one neighbor-min propagation step (as a plan, not an action)
@@ -439,11 +442,16 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // one propagation step, materialized, then a pointer jump
-      // (follow the label's own label — path compression) over the
-      // MATERIALIZED step so the self-join reads it twice for free;
-      // jumping keeps rounds at O(log diameter) instead of O(diameter)
-      val step = minNbr(labels).localCheckpoint(true)
+      // TWO propagation steps fused into one materialized plan, then a
+      // pointer jump (follow the label's own label — path compression)
+      // over the MATERIALIZED step so the self-join reads it twice for
+      // free. Fusing halves the checkpoint/scheduling barriers per
+      // label-distance doubled — at sf0.1 the loop is pure job
+      // overhead (hundreds of label rows), and on a cluster fewer
+      // materialization barriers is the same win; the recompute-on-
+      // failure window stays one round. Jump + double-step keeps
+      // rounds at O(log diameter).
+      val step = minNbr(minNbr(labels)).localCheckpoint(true)
       val next = step
         .join(step.select(col("doc_id").as("_g"), col("group_id").as("_gl")),
           col("group_id") === col("_g"), "left")
