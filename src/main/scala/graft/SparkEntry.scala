@@ -89,6 +89,7 @@ object SparkEntry {
     "ev_heavy_hitters" -> ((s, d) => EventOps.heavyHitterUsers(Tables.events(s, d))),
     "dedup_passage_stats" -> ((s, d) => Dedup.passageStats(Tables.documents(s, d))),
     "dedup_passage_dedup" -> ((s, d) => Dedup.passageDedup(Tables.documents(s, d))),
+    "dedup_passage_rate" -> ((s, d) => Dedup.passageDupRate(Tables.documents(s, d))),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
     "sim_semantic_groups" -> ((s, d) => Similarity.semanticGroups(Tables.embeddings(s, d))),
     "q_zorder_cluster" -> ((s, d) =>
@@ -147,6 +148,7 @@ object SparkEntry {
       TpchShapes.dormantCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     "q12_priority_by_flag" -> ((s, d) =>
       TpchShapes.priorityByFlag(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q_column_profile" -> ((s, d) => Relational.columnProfile(Tables.lineitem(s, d))),
     // salted skew join, oracle-pinned: the salt must not change the
     // join RESULT, only the shuffle distribution — the oracle is the
     // plain unsalted join aggregated to a deterministic summary.
@@ -605,6 +607,15 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_column_profile" ->
+      """WITH s AS (
+        |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem)
+        |SELECT col_name, count(*) AS n_rows, count(v) AS n_nonnull,
+        |       count(DISTINCT v) AS n_distinct, min(v) AS min_v, max(v) AS max_v
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_salted" ->
       """SELECT s_nationkey, count(*) AS n_lines,
         |       round(sum(l_quantity), 2) AS sum_qty
@@ -658,6 +669,20 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i), '') AS text_clean,
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  count(*) AS n_total
+        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_passage_rate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c0 AS (SELECT doc_id, ws,
+        |         unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i
+        |       FROM w),
+        |c AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |        array_to_string(ws[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ') AS chunk
+        |      FROM c0),
+        |o AS (SELECT doc_id, count(*) OVER (PARTITION BY chunk) AS n_occ FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+        |    AS dup_rate
         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sim_knn_graph" ->
       """WITH s AS (

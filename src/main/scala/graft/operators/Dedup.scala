@@ -609,6 +609,27 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("chunk")
 
+  /** Per-document boilerplate fraction: what share of a doc's
+    * `w`-word chunks also occur elsewhere in the corpus (any doc,
+    * including within-doc repeats) — the doc-level QUALITY SIGNAL
+    * derived from passage dedup ("mostly-boilerplate page" filters in
+    * crawl curation). The occurrence count is a window keyed on the
+    * chunk itself — high-cardinality, balanced, one groupBy-shaped
+    * exchange — then one partial→final agg back onto doc_id.
+    */
+  def passageDupRate(documents: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = Window.partitionBy("chunk")
+    explodedPassages(documents, w)
+      .withColumn("n_occ", count(lit(1)).over(occ))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_chunks"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Passage-level dedup rewrite: every occurrence of a chunk except
     * the globally-first one (min (doc_id, i)) is dropped, and each
     * document is re-assembled from its kept chunks in order — the

@@ -258,6 +258,33 @@ object Relational {
         |GROUP BY d ORDER BY d""".stripMargin)
   }
 
+  /** One-pass column profile (the deterministic `describe`): row
+    * count, non-null count, exact distinct count, lexicographic
+    * min/max of the canonical string form, per profiled column. The
+    * unpivot-first shape (`stack` → narrow (col_name, value) rows →
+    * ONE grouped aggregation) deliberately avoids the multi-column
+    * `countDistinct` plan, which Expand-multiplies every input row by
+    * the number of distinct aggregates; here the expansion factor is
+    * the same ×|cols| but rows are 2 narrow strings and the distinct
+    * agg is a single two-phase groupBy. At 100 TB swap the exact
+    * distinct for `approx_count_distinct` (the [[Dedup.exactStatsApprox]]
+    * pattern) — exact is kept here so DuckDB can hash-pin the op.
+    * String min/max is lexicographic on engine-identical renderings
+    * (ints, x.y doubles, timestamps) — pinned by the oracle.
+    */
+  def columnProfile(lineitem: DataFrame): DataFrame = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    lineitem
+      .select(expr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+        ") AS (col_name, v)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("col_name")
+  }
+
   /** Equi-width histogram of order values — the one-pass distribution
     * profile run before choosing quantization / partition boundaries.
     * Bucket index is plain floor arithmetic (not `width_bucket`) so

@@ -335,6 +335,74 @@ object EventStreams {
       }
   }
 
+  case class BandedDoc(band_idx: Int, band_bits: Long, doc_id: Long, fp: Long)
+  case class NearDupFlag(doc_id: Long, band_idx: Int, dup_of: Long, hamming: Int)
+
+  /** Streaming SimHash near-dup detection — the ingest-time twin of
+    * the batch [[graft.operators.Dedup.simhashNearDups]]: as documents
+    * arrive, each is fingerprinted map-only (the same codegen
+    * [[graft.functions.SimHash64]] expression — no aggregation, so it
+    * streams), banded by the same pigeonhole split (maxDist+1 bands ⇒
+    * any pair within maxDist matches exactly in ≥1 band), and checked
+    * against the KEYED STATE of fingerprints previously seen in that
+    * band bucket. A hit emits (doc_id, dup_of, hamming) immediately —
+    * the "reject known boilerplate at the door" pass of a streaming
+    * ingest pipeline, without re-scanning the corpus.
+    *
+    * State is bounded exactly like the batch bucket cap: each
+    * (band_idx, band_bits) bucket keeps the `maxBucket`
+    * lowest-doc_id fingerprints (16 bytes each) — spam floods
+    * degrade recall in the hot bucket, never memory. A doc can match
+    * in several bands; the caller dedups on (doc_id, dup_of) (kept
+    * per-band here so the operator stays a single stateful stage —
+    * stacking an aggregation on flatMapGroupsWithState output is not
+    * supported in append semantics).
+    */
+  def streamingNearDupFlags(docs: DataFrame, maxDist: Int = 3,
+                            maxBucket: Int = 256): Dataset[NearDupFlag] = {
+    val spark = docs.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val nBands = maxDist + 1
+    val bandBits = 64 / nBands
+    val bandStructs = (0 until nBands).map { bIdx =>
+      struct(lit(bIdx).as("band_idx"),
+        shiftrightunsigned(col("fp"), bIdx * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("band_bits"))
+    }
+    val banded = docs
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhash64(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"),
+        col("doc_id"), col("fp"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band_idx, d.band_bits))
+      .flatMapGroupsWithState[Vector[(Long, Long)], NearDupFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[BandedDoc], state: GroupState[Vector[(Long, Long)]]) =>
+          var bucket = state.getOption.getOrElse(Vector.empty) // (doc_id, fp), doc_id asc
+          val out = Vector.newBuilder[NearDupFlag]
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            bucket.foreach { case (prevId, prevFp) =>
+              if (prevId != d.doc_id) {
+                val dist = java.lang.Long.bitCount(prevFp ^ d.fp)
+                if (dist <= maxDist)
+                  out += NearDupFlag(d.doc_id, d.band_idx, prevId, dist)
+              }
+            }
+            // arrival-order cap (= lowest doc_ids under the usual
+            // monotone-id ingest): a full bucket stops admitting, so
+            // state is ≤ maxBucket 16-byte entries per key forever
+            if (bucket.size < maxBucket)
+              bucket = bucket :+ (d.doc_id, d.fp)
+          }
+          state.update(bucket)
+          out.result().iterator
+      }
+  }
+
   case class HeavyHitter(user_id: Long, est_n: Long)
 
   /** Streaming heavy hitters: a single Misra-Gries summary maintained

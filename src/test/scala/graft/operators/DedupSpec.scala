@@ -247,5 +247,9 @@ class DedupSpec extends SparkSpec {
     val ded2 = Dedup.passageDedup(d.repartition(7), w = 2).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(ded2.toSeq == ded.toSeq)
+    // dup_rate counts corpus-wide repeated chunks per doc
+    val rate = Dedup.passageDupRate(d, w = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rate.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
   }
 }

@@ -403,6 +403,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupFlags: catches near-dups across batches, agrees with batch twin") {
+    implicit val sq = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tweaked = ((1 to 39).map(i => s"w$i") :+ "zz").mkString(" ")  // near-dup of base
+    val other = (1 to 40).map(i => s"q$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingNearDupFlags(
+        mem.toDF().toDF("doc_id", "text"))
+      .toDF().writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    def flags() = spark.table("neardup_test").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).distinct.toSet
+    try {
+      mem.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      assert(flags().isEmpty) // base vs other: far apart
+      mem.addData((3L, tweaked), (4L, base))  // near-dup + exact dup, later batch
+      q.processAllAvailable()
+      val batchPairs = graft.operators.Dedup.simhashNearDups(
+          Seq((1L, base), (2L, other), (3L, tweaked), (4L, base)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2))).toSet
+      assert(flags() == batchPairs, s"stream=${flags()} batch=$batchPairs")
+      assert(flags().contains((4L, 1L, 0)))   // exact dup found across batches
+    } finally q.stop()
+  }
+
   test("streamingHeavyHitters: exact regime matches batch counts across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
