@@ -37,6 +37,24 @@ class SourcesSpec extends SparkSpec {
     assert(total == Tables.lineitem(spark, sf0001).count())
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    // The ingest reality at 100 TB: yesterday's files lack today's
+    // column. mergeSchema must union the schemas, null-fill the old
+    // generation, and keep predicates on the new column working.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("gen", "id", "score", "v"))
+    assert(merged.count() == 4)
+    assert(merged.filter(col("score").isNull).count() == 2)  // old gen null-filled
+    assert(merged.filter(col("score") > 0.7).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("orc round-trip preserves rows; filter pushdown reaches the orc scan") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val orders = Tables.orders(spark, sf0001)

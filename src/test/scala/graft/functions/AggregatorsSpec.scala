@@ -101,6 +101,40 @@ class AggregatorsSpec extends SparkSpec {
     }
   }
 
+  test("MisraGries property: random streams, any partitioning — bounds always hold") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    // Zipf-ish keys: a few hot, a long tail
+    val keyGen = Gen.frequency(
+      5 -> Gen.choose(1L, 3L), 3 -> Gen.choose(10L, 30L), 2 -> Gen.choose(100L, 400L))
+    (1 to 10).foreach { i =>
+      val keys = Gen.listOfN(300, keyGen).pureApply(params, Seed(1000L + i))
+      val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = keys.size.toLong
+      val capacity = Seq(4, 16, 64, 1024)(i % 4)
+      val mg = udaf(new Aggregators.MisraGries(capacity))
+      val out = keys.toDF("k").repartition(1 + i % 6)
+        .agg(mg(col("k")).as("hh"))
+        .select(explode(col("hh")).as("p"))
+        .select(col("p._1"), col("p._2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.size <= capacity, s"seed $i: summary exceeds capacity")
+      out.foreach { case (k, est) =>
+        val t = truth.getOrElse(k, 0L)
+        assert(est <= t, s"seed $i cap=$capacity: overcount $k: $est > $t")
+        assert(est >= t - n / capacity,
+          s"seed $i cap=$capacity: undercount beyond bound for $k: $est < $t - ${n / capacity}")
+      }
+      truth.foreach { case (k, t) =>
+        if (t > n / capacity)
+          assert(out.contains(k), s"seed $i cap=$capacity: heavy hitter $k (n=$t) missing")
+      }
+      if (capacity >= truth.size)
+        assert(out == truth, s"seed $i: exact regime mismatch")
+    }
+  }
+
   test("approx_count_distinct within rsd of exact") {
     val li = Tables.lineitem(spark, sf0001)
     val r = graft.queries.Relational.approxDistinctStats(li).collect().head
