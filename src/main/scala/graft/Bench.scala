@@ -70,10 +70,11 @@ object Bench {
       "q5_local_supplier", "q_star_join_region_year", "q_window_topk",
       "q_percentiles_approx", "q_recursive_cte", "dedup_exact",
       "dedup_minhash_md5", "dedup_groups_md5", "dedup_ngram_jaccard",
-      "dedup_pipeline", "sim_bruteforce_topk", "sim_ivf_topk",
-      "sim_cosine_neardup", "text_stats", "text_tfidf", "text_lang_id",
+      "dedup_pipeline", "dedup_passage_dedup", "sim_bruteforce_topk",
+      "sim_ivf_topk", "sim_cosine_neardup", "sim_semantic_groups",
+      "sim_knn_graph", "text_stats", "text_tfidf", "text_lang_id",
       "text_quality_filter", "ev_sessionize", "ev_asof_native",
-      "mm_decode_features")
+      "ev_heavy_hitters", "mm_decode_features")
     val medMap = med.toMap
     val headKvs = headline.flatMap(n => medMap.get(n).map(n -> _))
     val json =

@@ -417,13 +417,20 @@ object Dedup {
     * Output covers docs appearing in ≥1 pair; all other docs are
     * trivially their own singleton group.
     */
-  def connectedGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("group_id"))
-      .localCheckpoint(true)
+  def connectedGroups(pairs: DataFrame, maxIter: Int = 20,
+                      checkpoint: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    // `checkpoint` materializes a round and cuts lineage. Default:
+    // localCheckpoint (executor-local blocks — right for local mode
+    // and tests). On a cluster pass `df => df.checkpoint(true)` with
+    // spark.sparkContext.setCheckpointDir on durable storage, so a
+    // lost executor replays one round from the reliable copy instead
+    // of losing the chain.
+    val edges = checkpoint(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = checkpoint(
+      edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("group_id")))
     // Convergence signal: labels only ever DECREASE under min
     // propagation, so Σ group_id is strictly monotone until fixpoint —
     // one scalar agg per round instead of a join-and-count. (Tried:
@@ -451,12 +458,11 @@ object Dedup {
       // materialization barriers is the same win; the recompute-on-
       // failure window stays one round. Jump + double-step keeps
       // rounds at O(log diameter).
-      val step = minNbr(minNbr(labels)).localCheckpoint(true)
-      val next = step
+      val step = checkpoint(minNbr(minNbr(labels)))
+      val next = checkpoint(step
         .join(step.select(col("doc_id").as("_g"), col("group_id").as("_gl")),
           col("group_id") === col("_g"), "left")
-        .select(col("doc_id"), coalesce(col("_gl"), col("group_id")).as("group_id"))
-        .localCheckpoint(true)
+        .select(col("doc_id"), coalesce(col("_gl"), col("group_id")).as("group_id")))
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum
