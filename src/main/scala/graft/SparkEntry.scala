@@ -87,6 +87,7 @@ object SparkEntry {
     "ev_transitions" -> ((s, d) => EventOps.transitionMatrix(Tables.events(s, d))),
     "ev_anomaly_zscore" -> ((s, d) => EventOps.hourlyAnomalies(Tables.events(s, d))),
     "ev_heavy_hitters" -> ((s, d) => EventOps.heavyHitterUsers(Tables.events(s, d))),
+    "ev_hll_rollup" -> ((s, d) => EventOps.distinctUsersSketchRollup(Tables.events(s, d))),
     "dedup_passage_stats" -> ((s, d) => Dedup.passageStats(Tables.documents(s, d))),
     "dedup_passage_dedup" -> ((s, d) => Dedup.passageDedup(Tables.documents(s, d))),
     "dedup_passage_rate" -> ((s, d) => Dedup.passageDupRate(Tables.documents(s, d))),

@@ -396,6 +396,29 @@ object EventOps {
     * low-cardinality is harmless at any corpus size. z-scores are
     * rounded to 4 so both engines agree on FP.
     */
+  /** Distinct-user counts as RE-AGGREGATABLE Datasketches HLL
+    * sketches: one sketch per event_type, plus the overall count
+    * computed by UNIONING the per-type sketches — never re-touching
+    * the raw events. This is the at-scale idiom exact
+    * `countDistinct` can't give you: persist a KB-sized sketch per
+    * (day, type) partition once, then answer any rollup (per type,
+    * per week, global) by merging sketches. Estimates are
+    * deterministic for a given input set but engine-specific → no
+    * SQL oracle; a tolerance spec pins them against exact counts.
+    */
+  def distinctUsersSketchRollup(events: DataFrame): DataFrame = {
+    val perType = events
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    perType
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("n_users_est"))
+      .unionAll(perType
+        .agg(hll_union_agg(col("sk")).as("u"))
+        .select(lit("_all_").as("event_type"),
+          hll_sketch_estimate(col("u")).as("n_users_est")))
+      .orderBy("event_type")
+  }
+
   /** Heavy-hitter users via the [[graft.functions.Aggregators.MisraGries]]
     * bounded summary: one pass, O(capacity) state per partition,
     * partial summaries merged across partitions — the way to ask

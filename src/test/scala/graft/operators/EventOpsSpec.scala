@@ -143,6 +143,24 @@ class EventOpsSpec extends SparkSpec {
     assert(nEx <= 2, s"expected one data exchange (+ final sort), saw $nEx")
   }
 
+  test("distinctUsersSketchRollup: per-type and unioned estimates track exact") {
+    import org.apache.spark.sql.functions.countDistinct
+    val events = graft.Tables.events(spark, sf0001)
+    val est = EventOps.distinctUsersSketchRollup(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPerType = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = events.select(countDistinct("user_id")).collect().head.getLong(0)
+    exactPerType.foreach { case (tp, exact) =>
+      assert(math.abs(est(tp) - exact).toDouble / exact < 0.05,
+        s"$tp: est=${est(tp)} exact=$exact")
+    }
+    assert(math.abs(est("_all_") - exactAll).toDouble / exactAll < 0.05)
+    // union of per-type sketches can never report fewer than any part
+    assert(est("_all_") >= exactPerType.keys.map(est).max - 1)
+  }
+
   test("heavyHitterUsers: exact counts and deterministic order in the exact regime") {
     // user 2 gets 34 events, users 1 and 3 get 33 each
     val rows = (1 to 100).map(i => (i.toLong, "2024-01-01 00:00:00", (i % 3 + 1).toLong, "view"))
