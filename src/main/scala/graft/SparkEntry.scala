@@ -184,6 +184,8 @@ object SparkEntry {
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinNearDups(Tables.documents(s, d))),
     "dedup_pipeline" -> ((s, d) => Dedup.pipelineKeepSet(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_ngram_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, d))),
     // md5-seeded oracle twins of the xxhash64 fast paths (hash-checkable end-to-end)
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
@@ -1327,6 +1329,32 @@ object SparkEntry {
         |         round(inter / (na + nb - inter), 6) AS jaccard
         |  FROM p) q
         |WHERE jaccard >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // same df-capped shingle CTE as dedup_ngram_jaccard with Broder's
+    // containment metric (inter / min side) instead of Jaccard
+    "dedup_ngram_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(len(shs) AS INTEGER) AS n_sh, unnest(shs) AS sh FROM (
+        |    SELECT doc_id,
+        |           list_distinct(CASE WHEN len(ws) >= 5
+        |             THEN list_transform(range(0, len(ws)-5+1),
+        |                    i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
+        |             ELSE [] END) AS shs
+        |    FROM w) t),
+        |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+        |c AS (SELECT s.doc_id, s.n_sh, s.sh FROM sh s JOIN rare USING (sh)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM c a JOIN c b USING (sh)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4)
+        |SELECT doc_a, doc_b, inter, containment FROM (
+        |  SELECT doc_a, doc_b, inter,
+        |         round(inter / least(na, nb), 6) AS containment
+        |  FROM p) q
+        |WHERE containment >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies

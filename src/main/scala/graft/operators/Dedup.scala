@@ -291,6 +291,37 @@ object Dedup {
     * diameter) CC rounds, one anti join. Text crosses the wire only
     * into the shingle explode — never into CC or the final anti join.
     */
+  /** Shingle CONTAINMENT pairs: inter / min(|A|,|B|) — the "doc A is
+    * (mostly) inside doc B" detector Jaccard structurally misses: a
+    * quote-plus-commentary page scores near 1.0 containment but low
+    * Jaccard because the union is dominated by the larger doc. The
+    * standard companion metric for nested-duplicate and
+    * quote-extraction detection (Broder's containment from the same
+    * resemblance paper as MinHash/Jaccard). Identical plan shape and
+    * cost to [[ngramJaccardPairs]] — df-capped blocking, Σ min(df,
+    * cap)² candidate work, one grouped count per surviving pair.
+    */
+  def ngramContainmentPairs(documents: DataFrame, shingleK: Int = 5,
+                            threshold: Double = 0.6, maxDf: Int = 1000): DataFrame = {
+    val exploded = explodedShingles(documents, shingleK)
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("sh"))
+    val rare = exploded.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("sh")
+    val capped = exploded.join(rare, "sh")
+    val a = capped.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+    val b = capped.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+    a.join(b, "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "inter", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def pipelineKeepSet(documents: DataFrame): DataFrame = {
     val keepExact = exact(documents).select(col("keep_id").as("doc_id"))
     val survivors = documents.join(keepExact, Seq("doc_id"), "left_semi")

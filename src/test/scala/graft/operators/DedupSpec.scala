@@ -228,6 +228,19 @@ class DedupSpec extends SparkSpec {
     assert(nd.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("containment catches a nested doc that Jaccard misses") {
+    // doc 2 = doc 1's text embedded in a much larger page
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val large = ((1 to 10).map(i => s"w$i") ++ (1 to 60).map(i => s"x$i")).mkString(" ")
+    val d = docs(1L -> small, 2L -> large)
+    val cont = Dedup.ngramContainmentPairs(d, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.mkString(","))
+    // the same pair is far below any useful Jaccard threshold
+    val jac = Dedup.ngramJaccardPairs(d, threshold = 0.2).collect()
+    assert(jac.isEmpty)
+  }
+
   test("passageStats finds cross-doc chunks; passageDedup keeps first occurrence") {
     // w=2 chunks: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [p q]
     val d = docs(1L -> "a b c d", 2L -> "a b x y", 3L -> "p q")
