@@ -244,6 +244,7 @@ object SparkEntry {
       Similarity.randomProjection(Tables.embeddings(s, d))),
     // --- multimodal ---
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
+    "mm_payload_dedup" -> ((s, d) => Multimodal.payloadDedup(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Tables.documents(s, d)).toDF().orderBy("doc_id")),
     "mm_sample_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
@@ -1628,6 +1629,14 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_payload_dedup" ->
+      """SELECT media_type, md5(text) AS digest, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies FROM (
+        |  SELECT doc_id, text,
+        |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+        |  FROM documents) t
+        |GROUP BY 1, 2 ORDER BY media_type, keep_id""".stripMargin,
     // decode stub: md5 the payload (UTF-8 text bytes ⇒ md5(text)),
     // carve width/height/frames out of 6-hex-char chunks — exactly
     // Multimodal.decodeStub.

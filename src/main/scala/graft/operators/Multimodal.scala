@@ -52,6 +52,21 @@ object Multimodal {
       .orderBy("doc_id")
 
   /** Typed record crossing the Dataset boundary into decode. */
+  /** Content-hash dedup of binary payloads — the image/audio dedup
+    * pass: group by payload digest WITHIN media_type (identical bytes
+    * under different types are different assets), keep the lowest
+    * doc_id, report multiplicity. The groupBy key is the 16-byte
+    * digest, so payload bytes never cross the shuffle — same wire
+    * discipline as text [[Dedup.exact]], which matters far more here
+    * (payloads are MBs, not KBs).
+    */
+  def payloadDedup(documents: DataFrame): DataFrame =
+    asMedia(documents)
+      .groupBy(col("meta.media_type").as("media_type"),
+        md5(col("payload")).as("digest"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("media_type", "keep_id")
+
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
 
   /** Decoded features. STUB SEMANTICS: deterministic fake values
