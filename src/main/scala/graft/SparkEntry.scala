@@ -230,6 +230,7 @@ object SparkEntry {
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
     "text_group_sample" -> ((s, d) => TextAnalysis.groupSample(Tables.documents(s, d))),
+    "text_mix_resample" -> ((s, d) => TextAnalysis.mixResample(Tables.documents(s, d))),
     "text_mix_weights" -> ((s, d) => TextAnalysis.mixWeights(Tables.documents(s, d))),
     "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
@@ -1546,6 +1547,23 @@ object SparkEntry {
         |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
         |  FROM documents) t
         |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+    "text_mix_resample" ->
+      """WITH m AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT lang, n_docs, sum(n_docs) OVER () AS n_total,
+        |        CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 WHEN 'es' THEN 0.15
+        |                  WHEN 'fr' THEN 0.1 WHEN 'de' THEN 0.05 ELSE 0.0 END AS tgt
+        |      FROM m),
+        |w AS (SELECT lang,
+        |        CAST(round(least(round(tgt / (CAST(n_docs AS DOUBLE) / n_total), 6) * 0.5,
+        |                         1.0) * 10000) AS INTEGER) AS cut
+        |      FROM t),
+        |b AS (SELECT doc_id, lang,
+        |        CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |             % 10000 AS INTEGER) AS bucket
+        |      FROM documents)
+        |SELECT doc_id, b.lang AS lang, bucket, cut
+        |FROM b JOIN w ON b.lang = w.lang
+        |WHERE bucket < cut ORDER BY doc_id""".stripMargin,
     "text_mix_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT c.lang, c.n_docs,

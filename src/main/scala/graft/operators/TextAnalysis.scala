@@ -527,6 +527,31 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Mixture resampling: APPLY [[mixWeights]]' per-language weights as
+    * deterministic hash acceptance — a doc survives when its md5
+    * bucket (out of 10000) falls under weight-scaled-by-`scale`
+    * per-mille odds, capped at keep-everything. This is the
+    * downsample-the-over-represented-language pass that turns a
+    * computed target mixture into an actual corpus: map-only per doc
+    * after a broadcast join against the |langs|-row weight table, no
+    * RNG, identical draw on any cluster/engine. (Weights > 1 mean
+    * UNDER-represented languages — upsampling needs row replication,
+    * a different op; here they cap at keep-all, the curation default.)
+    */
+  def mixResample(documents: DataFrame, scale: Double = 0.5): DataFrame = {
+    val weights = mixWeights(documents)
+      .select(col("lang"), least(col("weight") * scale, lit(1.0)).as("p_keep"))
+    documents
+      .join(broadcast(weights), "lang")
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(10000L)).cast("int").as("bucket"),
+        round(col("p_keep") * 10000).cast("int").as("cut"))
+      .filter(col("bucket") < col("cut"))
+      .select("doc_id", "lang", "bucket", "cut")
+      .orderBy("doc_id")
+  }
+
   /** Exactly-k-per-group deterministic sample: the first `k` docs of
     * each source in md5(doc_id) order — an unbiased fixed-size draw
     * (hash order is independent of any document property, unlike

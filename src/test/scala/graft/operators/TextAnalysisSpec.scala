@@ -196,6 +196,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("xx") == ((0.25, 0.0, 0.0)), out.toString)
   }
 
+  test("mixResample: over-represented language is thinned toward the target mixture") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val kept = TextAnalysis.mixResample(docs).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // observed keep fraction tracks the computed acceptance odds
+    // p_keep = min(round6(target/actual) * 0.5, 1) for every language
+    // (tolerance covers md5-bucket binomial noise at ~70-200 docs)
+    val total = before.values.sum.toDouble
+    val target = Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.15, "fr" -> 0.1, "de" -> 0.05)
+    target.foreach { case (l, t) =>
+      val w = BigDecimal(t / (before(l) / total))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val pKeep = math.min(w * 0.5, 1.0)
+      val observed = kept.getOrElse(l, 0L).toDouble / before(l)
+      assert(math.abs(observed - pKeep) < 0.12, s"$l: observed=$observed pKeep=$pKeep")
+    }
+    // cut column is the same for every doc of a language
+    val cuts = TextAnalysis.mixResample(docs).select("lang", "cut").distinct().collect()
+    assert(cuts.length == cuts.map(_.getString(0)).distinct.length)
+  }
+
   test("groupSample: exactly k per source, hash-ordered, invariant under corpus growth") {
     val d = (1L to 10L).map(i => (i, s"t$i", if (i <= 6) "s0" else "s1"))
       .toDF("doc_id", "text", "source")
