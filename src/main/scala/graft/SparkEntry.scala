@@ -150,6 +150,9 @@ object SparkEntry {
     "q12_priority_by_flag" -> ((s, d) =>
       TpchShapes.priorityByFlag(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_column_profile" -> ((s, d) => Relational.columnProfile(Tables.lineitem(s, d))),
+    "q_pareto_share" -> ((s, d) =>
+      Relational.revenueParetoTop(Tables.customer(s, d), Tables.orders(s, d))),
+    "ev_dau_wau" -> ((s, d) => EventOps.dauWauStickiness(Tables.events(s, d))),
     // salted skew join, oracle-pinned: the salt must not change the
     // join RESULT, only the shuffle distribution — the oracle is the
     // plain unsalted join aggregated to a deterministic summary.
@@ -612,6 +615,26 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pareto_share" ->
+      """WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, rev,
+        |        CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS INTEGER) AS rnk,
+        |        sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |      FROM pc)
+        |SELECT rnk, o_custkey, round(rev, 2) AS rev,
+        |       round(cum_rev / (SELECT sum(rev) FROM pc), 6) AS cum_share
+        |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin,
+    "ev_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |            FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wd AS (SELECT DISTINCT user_id, day + d AS day
+        |       FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS d) ds),
+        |wau AS (SELECT day, count(*) AS wau FROM wd GROUP BY 1)
+        |SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "q_column_profile" ->
       """WITH s AS (
         |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem

@@ -396,6 +396,32 @@ object EventOps {
     * low-cardinality is harmless at any corpus size. z-scores are
     * rounded to 4 so both engines agree on FP.
     */
+  /** DAU / WAU / stickiness: daily distinct users, the trailing
+    * 7-day distinct-user count anchored on each day, and their ratio
+    * — the engagement report every events pipeline ships. WAU is NOT
+    * a sum of DAUs (users repeat across days): the 7-day distinct is
+    * computed by exploding each user-day onto the 7 windows it falls
+    * in, then one distinct agg per (window, user) — at 100 TB both
+    * distinct aggs swap for HLL sketches per
+    * [[distinctUsersSketchRollup]] (union-able across days), which is
+    * why the sketch op exists; exact is kept here for the oracle.
+    */
+  def dauWauStickiness(events: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val userDays = withTsUs(events)
+      .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
+      .distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Distinct-user counts as RE-AGGREGATABLE Datasketches HLL
     * sketches: one sketch per event_type, plus the overall count
     * computed by UNIONING the per-type sketches — never re-touching

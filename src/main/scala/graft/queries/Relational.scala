@@ -258,6 +258,34 @@ object Relational {
         |GROUP BY d ORDER BY d""".stripMargin)
   }
 
+  /** Pareto / cumulative-share report: customers ranked by revenue
+    * with running share of the total — "the top N% of customers
+    * produce Y% of revenue" in one query. Two windows ride ONE
+    * global ordering (rank and running sum share the sort); the
+    * total is a 1-row scalar broadcast. The global window is the
+    * point of the report (it ranks the whole customer base); at
+    * 100 TB the pre-aggregation to one row per customer happens
+    * FIRST on a partitioned shuffle, so the ordered window sees
+    * |customers| rows, not |orders|, and a top-N cutoff pushes a
+    * limit into the sort when only the head is wanted.
+    */
+  def revenueParetoTop(customer: DataFrame, orders: DataFrame, topN: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = orders
+      .groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    perCust
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum_rev", sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(perCust.agg(sum("rev").as("total_rev"))))
+      .filter(col("rnk") <= topN)
+      .select(col("rnk"), col("o_custkey"),
+        round(col("rev"), 2).as("rev"),
+        round(col("cum_rev") / col("total_rev"), 6).as("cum_share"))
+      .orderBy("rnk")
+  }
+
   /** One-pass column profile (the deterministic `describe`): row
     * count, non-null count, exact distinct count, lexicographic
     * min/max of the canonical string form, per profiled column. The
