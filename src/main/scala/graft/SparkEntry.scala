@@ -211,6 +211,7 @@ object SparkEntry {
     // build + probe + search are all DuckDB-expressible end-to-end —
     // the oracle-checkable face of the same IVF code path
     "sim_ivf_topk_seed" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), iters = 0)),
+    "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecallReport(Tables.embeddings(s, d))),
     "sim_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2,
         nTables = 4, bitsPerTable = 8)),
@@ -760,6 +761,48 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // the IVF-vs-exact recall composition, both legs re-derived
+    // relationally and joined — hash-checks the eval loop end-to-end
+    "sim_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS centroid
+        |          FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, cell_id, v FROM (
+        |    SELECT e.vec_id, c.cell_id, e.v,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell_id) AS rn
+        |    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT qid, qv, cell_id FROM (
+        |    SELECT qs.qid, qs.qv, c.cell_id,
+        |           row_number() OVER (PARTITION BY qs.qid
+        |             ORDER BY list_cosine_similarity(qs.qv, c.centroid) DESC, c.cell_id) AS rn
+        |    FROM qs CROSS JOIN cents c) t WHERE rn <= 4),
+        |iscored AS (
+        |  SELECT p.qid, a.vec_id AS cid,
+        |         round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+        |  FROM probes p JOIN assigned a USING (cell_id)
+        |  WHERE p.qid <> a.vec_id),
+        |ivf AS (SELECT qid, cid FROM (
+        |          SELECT qid, cid,
+        |                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+        |          FROM iscored) t WHERE rnk <= 5),
+        |bscored AS (
+        |  SELECT qs.qid, c2.vec_id AS cid,
+        |         round(list_cosine_similarity(qs.qv, c2.v), 6) AS cos_sim
+        |  FROM qs CROSS JOIN e c2 WHERE qs.qid <> c2.vec_id),
+        |bf AS (SELECT qid, cid FROM (
+        |         SELECT qid, cid,
+        |                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+        |         FROM bscored) t WHERE rnk <= 5),
+        |hits AS (SELECT bf.qid, count(*) AS n_hits
+        |         FROM bf JOIN ivf USING (qid, cid) GROUP BY 1)
+        |SELECT q2.qid, coalesce(n_hits, 0) AS n_hits,
+        |       round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5, 6) AS recall
+        |FROM (SELECT DISTINCT qid FROM bf) q2 LEFT JOIN hits USING (qid)
+        |ORDER BY qid""".stripMargin,
     // relational twin of the mapPartitions language-ID fast path:
     // same trigram profile (train on doc_id%4=0, top-300 per lang by
     // cnt desc/gram asc, weight 301-rank), same argmax tiebreaks

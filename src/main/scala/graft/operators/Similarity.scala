@@ -232,6 +232,31 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF recall report — the ANN eval loop run INSIDE the engine:
+    * per query, how many of the exact top-k ([[bruteForceTopK]]) the
+    * probe-limited IVF search ([[ivfTopK]], seed centroids) returned.
+    * This is the recall@k number an index owner tracks when tuning
+    * nProbe/nCells; computing it as a query (semi-join of the two
+    * result sets, grouped count) means the eval runs distributed on a
+    * SAMPLE of queries at any corpus size — no exporting result sets
+    * to a driver script. Both legs are oracle-pinned individually;
+    * the report's own oracle re-derives both relationally and joins
+    * them, so the composition is hash-checked too.
+    */
+  def ivfRecallReport(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(embeddings, k, nQueries).select(col("qid"), col("cid"))
+    val approx = ivfTopK(embeddings, k, nQueries, iters = 0).select(col("qid"), col("cid"))
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall"))
+      .orderBy("qid")
+  }
+
   /** Per-label centroids in long form (label, dimension, mean):
     * posexplode + groupBy — the elementwise-mean aggregate Spark
     * lacks natively, in partial-agg shape (shuffle = labels × dims

@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ivf_topk",        // same broadcast query set, candidates pre-pruned to probed cells
     "sim_ivf_topk_seed",   // iters=0 oracle twin of the same path (broadcast 16 centroids)
     "sim_knn_graph",       // hash-sampled index-build set × broadcast of itself — pair count bounded by (pct/100)²·n² by construction
+    "sim_ivf_recall",      // composition of the two allowed legs above (broadcast query set / 16 centroids)
     "q11_balance_concentration", // 25-row per-nation agg × 1-row global threshold (> compare defeats hash join)
     "q22_dormant_customers",     // customer stream × 1-row broadcast avg-balance scalar — map-side filter, no fan-out
     "q_pareto_share"             // per-customer aggregate × 1-row broadcast total-revenue scalar — share denominator
