@@ -306,9 +306,16 @@ object Relational {
       .select(expr(s"stack(${cols.length}, " +
         cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
         ") AS (col_name, v)"))
+      // two-level aggregation instead of countDistinct-next-to-count:
+      // mixing distinct and plain aggregates makes Catalyst Expand
+      // every row once per aggregate class (measured 4.9 s at sf0.1);
+      // collapsing to distinct (col_name, value) pairs first gets
+      // map-side combine on the heavy dedup and no Expand (0.9 s)
+      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
       .groupBy("col_name")
-      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
-        countDistinct(col("v")).as("n_distinct"),
+      .agg(sum("cnt").as("n_rows"),
+        sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
+        count(col("v")).as("n_distinct"),
         min("v").as("min_v"), max("v").as("max_v"))
       .orderBy("col_name")
   }
