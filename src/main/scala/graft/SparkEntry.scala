@@ -153,6 +153,9 @@ object SparkEntry {
     "q_pareto_share" -> ((s, d) =>
       Relational.revenueParetoTop(Tables.customer(s, d), Tables.orders(s, d))),
     "ev_dau_wau" -> ((s, d) => EventOps.dauWauStickiness(Tables.events(s, d))),
+    "ev_user_gaps" -> ((s, d) => EventOps.userGapStats(Tables.events(s, d))),
+    "q_rollup_grouping_id" -> ((s, d) =>
+      Relational.rollupWithGroupingId(Tables.orders(s, d))),
     // salted skew join, oracle-pinned: the salt must not change the
     // join RESULT, only the shuffle distribution — the oracle is the
     // plain unsalted join aggregated to a deterministic summary.
@@ -615,6 +618,22 @@ object SparkEntry {
         |    AS low_line_count
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "ev_user_gaps" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events),
+        |g AS (SELECT user_id,
+        |             ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts_us, event_id) AS gap_us
+        |      FROM t)
+        |SELECT user_id, count(*) AS n_gaps, max(gap_us) AS max_gap_us,
+        |       round(avg(CAST(gap_us AS DOUBLE)), 2) AS mean_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pareto_share" ->
       """WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1),

@@ -396,6 +396,26 @@ object EventOps {
     * low-cardinality is harmless at any corpus size. z-scores are
     * rounded to 4 so both engines agree on FP.
     */
+  /** Per-user inactivity-gap profile: max and mean gap between a
+    * user's consecutive events — the distribution that justifies a
+    * sessionization gap parameter with data instead of folklore. One
+    * window (lag over user_id, the same single exchange shape as
+    * [[scd2Intervals]]) then one partial→final agg per user.
+    */
+  def userGapStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    withTsUs(events)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        max("gap_us").as("max_gap_us"),
+        round(avg(col("gap_us").cast("double")), 2).as("mean_gap_us"))
+      .orderBy("user_id")
+  }
+
   /** DAU / WAU / stickiness: daily distinct users, the trailing
     * 7-day distinct-user count anchored on each day, and their ratio
     * — the engagement report every events pipeline ships. WAU is NOT

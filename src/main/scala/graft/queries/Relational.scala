@@ -416,6 +416,20 @@ object Relational {
       .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** ROLLUP with `grouping_id()` — the aggregation-level bitmask that
+    * lets one result table serve detail rows and subtotals to a
+    * consumer that must tell them apart without sniffing NULLs
+    * (NULL group values are ambiguous when the data itself has
+    * nulls). Standard SQL semantics (bit i set = column i
+    * aggregated), so DuckDB's GROUPING() pins Spark's
+    * `grouping_id()` bit convention exactly.
+    */
+  def rollupWithGroupingId(orders: DataFrame): DataFrame =
+    orders.rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** CUBE grouping sets over orders. */
   def cubeOrderCounts(orders: DataFrame): DataFrame =
     orders.cube("o_orderstatus", "o_orderpriority")
