@@ -143,6 +143,30 @@ class EventOpsSpec extends SparkSpec {
     assert(nEx <= 2, s"expected one data exchange (+ final sort), saw $nEx")
   }
 
+  test("dauWauStickiness: WAU is the trailing-7-day distinct, not a DAU sum") {
+    // user 1 active on days 0 and 3; user 2 on day 0 only
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 11:00:00", 2L, "view"),
+      (3L, "2024-01-04 09:00:00", 1L, "view"))
+    val out = EventOps.dauWauStickiness(ev(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val day0 = us("2024-01-01 00:00:00") / 86400000000L
+    // day0: dau 2, wau 2; day3: dau 1, but wau still 2 (both users in window)
+    assert(out.toSeq == Seq((day0, 2L, 2L, 1.0), (day0 + 3, 1L, 2L, 0.5)), out.toSeq.toString)
+  }
+
+  test("userGapStats: gaps from consecutive per-user events only") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view"),
+      (2L, "2024-01-01 10:00:10", 7L, "view"),   // gap 10 s
+      (3L, "2024-01-01 10:01:10", 7L, "view"),   // gap 60 s
+      (4L, "2024-01-01 09:00:00", 8L, "view"))   // single event → no gaps
+    val out = EventOps.userGapStats(ev(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((7L, 2L, 60000000L, 35000000.0)), out.toSeq.toString)
+  }
+
   test("distinctUsersSketchRollup: per-type and unioned estimates track exact") {
     import org.apache.spark.sql.functions.countDistinct
     val events = graft.Tables.events(spark, sf0001)

@@ -262,4 +262,25 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_extendedprice:double,l_discount:double,l_returnflag:string>"),
       "column pruning through the UDF failed")
   }
+
+  test("rollupWithGroupingId: gid partitions the three aggregation levels") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.rollupWithGroupingId(graft.Tables.orders(spark, sf0001))
+      .collect().map(r => (r.getLong(3), r.isNullAt(0), r.isNullAt(1)))
+    // gid 0 = detail (no nulls from rollup), gid 1 = per-status subtotal
+    // (priority nulled), gid 3 = grand total (both nulled); exactly one
+    assert(out.count(_._1 == 3L) == 1)
+    assert(out.filter(_._1 == 0L).forall(t => !t._2 && !t._3))
+    assert(out.filter(_._1 == 1L).forall(t => !t._2 && t._3))
+    assert(out.map(_._1).toSet == Set(0L, 1L, 3L))
+  }
+
+  test("revenueParetoTop: cumulative share is monotone and ends below 1") {
+    val out = Relational.revenueParetoTop(
+        graft.Tables.customer(spark, sf0001), graft.Tables.orders(spark, sf0001))
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    assert(out.length == 25)
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 < b._2 })
+    assert(out.last._2 > 0 && out.last._2 < 1.0)
+  }
 }
