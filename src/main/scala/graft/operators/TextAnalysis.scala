@@ -254,14 +254,15 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
     val freqs = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-    // corpus total = Σ cnt over the VOCABULARY table via an
-    // unpartitioned window — one single-partition pass over vocab
-    // rows (bounded ≪ corpus; same cost class as broadcasting it),
-    // instead of a 1-row cross join that would put a
-    // BroadcastNestedLoopJoin on the plan. The corpus-side pipeline
-    // stays a single equi join on w.
-    val freqsWithTotal = freqs.withColumn("n_total",
-      sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    // corpus total = Σ cnt as a 1-ROW aggregate broadcast against the
+    // vocabulary table (the scalar-subquery pattern text_bigram_logprob /
+    // text_tfidf / text_bm25 already use). The resulting
+    // BroadcastNestedLoopJoin has a 1-row build side — O(1) per vocab row —
+    // whereas the previous unpartitioned-window form funneled the ENTIRE
+    // vocabulary through one task: raw whitespace vocab on 100 TB of web
+    // text is billions of rows, a genuine single-executor scale-killer.
+    val freqsWithTotal =
+      freqs.crossJoin(broadcast(freqs.agg(sum("cnt").as("n_total"))))
     toks.join(freqsWithTotal, "w")
       .groupBy("doc_id")
       .agg(round(avg(log(col("cnt").cast("double") / col("n_total"))), 6).as("avg_logp"),

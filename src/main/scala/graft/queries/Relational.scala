@@ -260,14 +260,18 @@ object Relational {
 
   /** Pareto / cumulative-share report: customers ranked by revenue
     * with running share of the total — "the top N% of customers
-    * produce Y% of revenue" in one query. Two windows ride ONE
-    * global ordering (rank and running sum share the sort); the
-    * total is a 1-row scalar broadcast. The global window is the
-    * point of the report (it ranks the whole customer base); at
-    * 100 TB the pre-aggregation to one row per customer happens
-    * FIRST on a partitioned shuffle, so the ordered window sees
-    * |customers| rows, not |orders|, and a top-N cutoff pushes a
-    * limit into the sort when only the head is wanted.
+    * produce Y% of revenue" in one query. The output is only the
+    * topN head, so the scale-safe plan cuts FIRST: orderBy+limit →
+    * `TakeOrderedAndProject` (per-partition bounded heaps, no global
+    * sort), and only then runs the rank + running-share window over
+    * ≤ topN rows. The previous form ran the global window over the
+    * whole customer base on one partition — `row_number` and the
+    * running `sum` sharing the window defeats Spark's rank-filter
+    * group-limit pushdown, so nothing pruned before the sort. The
+    * ordering key (rev desc, custkey) is total, so the pre-cut is
+    * deterministic and the window ranks identically. The corpus
+    * total stays a 1-row scalar broadcast over the UNCUT per-customer
+    * aggregate.
     */
   def revenueParetoTop(customer: DataFrame, orders: DataFrame, topN: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -276,10 +280,10 @@ object Relational {
       .agg(sum("o_totalprice").as("rev"))
     val w = Window.orderBy(col("rev").desc, col("o_custkey"))
     perCust
+      .orderBy(col("rev").desc, col("o_custkey")).limit(topN)
       .withColumn("rnk", row_number().over(w))
       .withColumn("cum_rev", sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .join(broadcast(perCust.agg(sum("rev").as("total_rev"))))
-      .filter(col("rnk") <= topN)
       .select(col("rnk"), col("o_custkey"),
         round(col("rev"), 2).as("rev"),
         round(col("cum_rev") / col("total_rev"), 6).as("cum_share"))

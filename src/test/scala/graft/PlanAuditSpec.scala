@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_tfidf",          // n_docs (1 row) × vocabulary-sized df table
     "text_bm25",           // corpus stats (1 row) × query-sized df table
     "text_bigram_logprob", // V (1 row) × context-vocabulary table
+    "text_unigram_logprob", // corpus-token total (1 row) × vocabulary table — replaces the old single-partition window
     "sim_bruteforce_topk", // corpus streams × broadcast(nQueries=10 vectors) — scoring fan-out bounded by |Q|
     "sim_ivf_topk",        // same broadcast query set, candidates pre-pruned to probed cells
     "sim_ivf_topk_seed",   // iters=0 oracle twin of the same path (broadcast 16 centroids)
