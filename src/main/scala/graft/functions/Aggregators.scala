@@ -85,6 +85,21 @@ object Aggregators {
     * insert by binary-searched position — O(log k) compares + one
     * O(k) vector patch per accepted row, no re-sort.
     */
+  private[graft] def boundedInsert[T](b: Seq[T], x: T, k: Int,
+                                      ord: Ordering[T]): Seq[T] = {
+    if (b.size >= k && ord.gteq(x, b.last)) b
+    else {
+      val v = b.toVector
+      var lo = 0; var hi = v.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lteq(v(mid), x)) lo = mid + 1 else hi = mid
+      }
+      val patched = (v.take(lo) :+ x) ++ v.drop(lo)
+      if (patched.length > k) patched.take(k) else patched
+    }
+  }
+
   /** Misra–Gries frequent-items summary over Long keys: a bounded
     * map of ≤ `capacity` counters that answers "which keys occur
     * more than N/capacity times" with ONE pass and O(capacity)
@@ -106,51 +121,64 @@ object Aggregators {
     * counters, then subtract the (capacity+1)-th largest count and
     * drop ≤0 — the rank-based offset keeps the error bound additive
     * across merges).
+    *
+    * The buffer is `(offset, minRaw, rawCounters)` with effective
+    * count = raw − offset: the classic decrement-all step is a
+    * single `offset += 1` (O(1)) instead of rebuilding the whole
+    * counter map per untracked arrival. Entries die when
+    * raw ≤ offset; `minRaw` (a stale-low lower bound, refreshed at
+    * each compaction) makes the "did anything die" test O(1), and
+    * the O(capacity) compaction runs only when it does — so no dead
+    * entry ever occupies a slot and the summary state is bit-for-bit
+    * the classic MG state at every step.
     */
   class MisraGries(capacity: Int)
-      extends Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] {
-    override def zero: Map[Long, Long] = Map.empty
-    override def reduce(b: Map[Long, Long], key: Long): Map[Long, Long] =
-      b.get(key) match {
-        case Some(n) => b.updated(key, n + 1)
-        case None if b.size < capacity => b.updated(key, 1L)
+      extends Aggregator[Long, (Long, Long, Map[Long, Long]), Seq[(Long, Long)]] {
+    type Buf = (Long, Long, Map[Long, Long]) // (offset, minRaw, raw counters)
+    override def zero: Buf = (0L, Long.MaxValue, Map.empty)
+    override def reduce(b: Buf, key: Long): Buf = {
+      val (off, mn, m) = b
+      m.get(key) match {
+        case Some(raw) => (off, mn, m.updated(key, raw + 1))
+        case None if m.size < capacity =>
+          (off, math.min(mn, off + 1), m.updated(key, off + 1))
         case None =>
-          // decrement-all step: every tracked counter absorbs one of
-          // the untracked key's occurrences; zeros drop out.
-          b.flatMap { case (k, n) => if (n > 1) Some(k -> (n - 1)) else None }
+          // decrement-all via the offset; compact only if the raised
+          // offset can have killed the (lower-bounded) minimum entry.
+          val off2 = off + 1
+          if (mn > off2) (off2, mn, m)
+          else {
+            val survivors = m.filter { case (_, raw) => raw > off2 }
+            val mn2 = if (survivors.isEmpty) Long.MaxValue else survivors.values.min
+            (off2, mn2, survivors)
+          }
       }
-    override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
-      val combined = b.foldLeft(a) { case (acc, (k, n)) =>
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      def effective(x: Buf): Map[Long, Long] =
+        x._3.map { case (k, raw) => k -> (raw - x._1) }
+      val combined = effective(b).foldLeft(effective(a)) { case (acc, (k, n)) =>
         acc.updated(k, acc.getOrElse(k, 0L) + n)
       }
-      if (combined.size <= capacity) combined
-      else {
-        val cut = combined.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
-        combined.flatMap { case (k, n) =>
-          if (n > cut) Some(k -> (n - cut)) else None
+      val kept =
+        if (combined.size <= capacity) combined
+        else {
+          val cut = combined.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+          combined.flatMap { case (k, n) =>
+            if (n > cut) Some(k -> (n - cut)) else None
+          }
         }
-      }
+      val mn = if (kept.isEmpty) Long.MaxValue else kept.values.min
+      (0L, mn, kept)
     }
-    override def finish(b: Map[Long, Long]): Seq[(Long, Long)] =
-      b.toSeq.sortBy { case (k, n) => (-n, k) }
-    override def bufferEncoder: Encoder[Map[Long, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+    override def finish(b: Buf): Seq[(Long, Long)] = {
+      val (off, _, m) = b
+      m.toSeq.map { case (k, raw) => (k, raw - off) }
+        .sortBy { case (k, n) => (-n, k) }
+    }
+    override def bufferEncoder: Encoder[Buf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
     override def outputEncoder: Encoder[Seq[(Long, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
-  }
-
-  private[graft] def boundedInsert[T](b: Seq[T], x: T, k: Int,
-                                      ord: Ordering[T]): Seq[T] = {
-    if (b.size >= k && ord.gteq(x, b.last)) b
-    else {
-      val v = b.toVector
-      var lo = 0; var hi = v.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (ord.lteq(v(mid), x)) lo = mid + 1 else hi = mid
-      }
-      val patched = (v.take(lo) :+ x) ++ v.drop(lo)
-      if (patched.length > k) patched.take(k) else patched
-    }
   }
 }

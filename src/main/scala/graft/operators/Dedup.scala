@@ -291,6 +291,18 @@ object Dedup {
     * diameter) CC rounds, one anti join. Text crosses the wire only
     * into the shingle explode — never into CC or the final anti join.
     */
+  def pipelineKeepSet(documents: DataFrame): DataFrame = {
+    val keepExact = exact(documents).select(col("keep_id").as("doc_id"))
+    val survivors = documents.join(keepExact, Seq("doc_id"), "left_semi")
+    val pairs = minhashNearDupsMd5(survivors).select("doc_a", "doc_b")
+    val nonRepresentatives = connectedGroups(pairs)
+      .filter(col("doc_id") =!= col("group_id"))
+      .select("doc_id")
+    survivors.select("doc_id")
+      .join(nonRepresentatives, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Shingle CONTAINMENT pairs: inter / min(|A|,|B|) — the "doc A is
     * (mostly) inside doc B" detector Jaccard structurally misses: a
     * quote-plus-commentary page scores near 1.0 containment but low
@@ -320,18 +332,6 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "inter", "containment")
       .orderBy("doc_a", "doc_b")
-  }
-
-  def pipelineKeepSet(documents: DataFrame): DataFrame = {
-    val keepExact = exact(documents).select(col("keep_id").as("doc_id"))
-    val survivors = documents.join(keepExact, Seq("doc_id"), "left_semi")
-    val pairs = minhashNearDupsMd5(survivors).select("doc_a", "doc_b")
-    val nonRepresentatives = connectedGroups(pairs)
-      .filter(col("doc_id") =!= col("group_id"))
-      .select("doc_id")
-    survivors.select("doc_id")
-      .join(nonRepresentatives, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
   }
 
   /** Edit-distance near-duplicates: pairs whose (truncated) texts are

@@ -30,6 +30,15 @@ object EventOps {
     events.withColumn("ts_us", tsUs)
   }
 
+  /** Floor-division time bucket over `ts_us` (bucket width in µs).
+    * Matches DuckDB `//` and `date_trunc` for pre-1970 timestamps,
+    * where Spark's `div` truncates toward zero and would shift
+    * negative epoch micros into the FOLLOWING bucket. Stays in
+    * integer arithmetic — a double divide loses micros past 2^53.
+    */
+  private[graft] def tsBucket(widthUs: Long): Column =
+    expr(s"ts_us div $widthUs - (CASE WHEN ts_us % $widthUs < 0 THEN 1 ELSE 0 END)")
+
   /** Parse the JSON `props` payload and aggregate per event type.
     * Uses `regexp_extract` (codegen'd) rather than a JSON UDF; for
     * richer payloads `from_json` with an explicit schema is the
@@ -71,7 +80,7 @@ object EventOps {
     */
   def dailyRolling(events: DataFrame): DataFrame = {
     val daily = withTsUs(events)
-      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+      .select(tsBucket(86400000000L).as("day"), col("event_type"))
       .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
     daily
@@ -87,7 +96,7 @@ object EventOps {
     */
   def dailyRetention(events: DataFrame): DataFrame = {
     val userDays = withTsUs(events)
-      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .select(tsBucket(86400000000L).as("day"), col("user_id"))
       .distinct()
     val retained = userDays
       .join(userDays.select((col("day") + 1).as("day"), col("user_id")),
@@ -248,7 +257,7 @@ object EventOps {
     */
   def hourOfDayPivot(events: DataFrame): DataFrame =
     withTsUs(events)
-      .withColumn("hour_of_day", (expr("ts_us div 3600000000") % 24).cast("int"))
+      .withColumn("hour_of_day", (tsBucket(3600000000L) % 24).cast("int"))
       .groupBy("hour_of_day")
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
@@ -275,7 +284,7 @@ object EventOps {
     val hourUs = 3600L * 1000000
     withTsUs(events)
       .groupBy(
-        (expr(s"ts_us div $hourUs") * hourUs).as("hour_us"),
+        (tsBucket(hourUs) * hourUs).as("hour_us"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("hour_us", "event_type")
@@ -292,14 +301,9 @@ object EventOps {
     */
   def gapFilledHourlyCounts(events: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000000
-    // Floor division (matches DuckDB `//`), not `div`'s truncation
-    // toward zero — pre-1970 timestamps have negative epoch micros and
-    // must bucket to the PRECEDING hour. Stays in integer arithmetic
-    // (a double divide loses micros past 2^53).
     val hourly = withTsUs(events)
       .groupBy(
-        expr(s"ts_us div $hourUs - (CASE WHEN ts_us % $hourUs < 0 THEN 1 ELSE 0 END)")
-          .as("hour"),
+        tsBucket(hourUs).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
     val grid = hourly
@@ -396,6 +400,26 @@ object EventOps {
     * low-cardinality is harmless at any corpus size. z-scores are
     * rounded to 4 so both engines agree on FP.
     */
+  def hourlyAnomalies(events: DataFrame, z: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000
+    val hourly = withTsUs(events)
+      .groupBy(
+        (tsBucket(hourUs) * hourUs).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    hourly
+      .withColumn("mean_n", avg("n").over(byType))
+      .withColumn("sd_n", stddev_samp(col("n").cast("double")).over(byType))
+      .filter(col("sd_n") > 0)
+      .withColumn("zscore", round((col("n") - col("mean_n")) / col("sd_n"), 4))
+      .filter(abs(col("zscore")) >= z)
+      .select(col("event_type"), col("hour_us"), col("n"),
+        round(col("mean_n"), 4).as("mean_n"), col("zscore"))
+      .orderBy("event_type", "hour_us")
+  }
+
   /** Per-user inactivity-gap profile: max and mean gap between a
     * user's consecutive events — the distribution that justifies a
     * sessionization gap parameter with data instead of folklore. One
@@ -429,7 +453,7 @@ object EventOps {
   def dauWauStickiness(events: DataFrame): DataFrame = {
     val dayUs = 86400L * 1000000
     val userDays = withTsUs(events)
-      .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
+      .select(col("user_id"), tsBucket(dayUs).as("day"))
       .distinct()
     val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = userDays
@@ -486,23 +510,4 @@ object EventOps {
       .orderBy(desc("est_n"), col("user_id"))
   }
 
-  def hourlyAnomalies(events: DataFrame, z: Double = 2.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourUs = 3600L * 1000000
-    val hourly = withTsUs(events)
-      .groupBy(
-        (expr(s"ts_us div $hourUs") * hourUs).as("hour_us"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val byType = Window.partitionBy("event_type")
-    hourly
-      .withColumn("mean_n", avg("n").over(byType))
-      .withColumn("sd_n", stddev_samp(col("n").cast("double")).over(byType))
-      .filter(col("sd_n") > 0)
-      .withColumn("zscore", round((col("n") - col("mean_n")) / col("sd_n"), 4))
-      .filter(abs(col("zscore")) >= z)
-      .select(col("event_type"), col("hour_us"), col("n"),
-        round(col("mean_n"), 4).as("mean_n"), col("zscore"))
-      .orderBy("event_type", "hour_us")
-  }
 }

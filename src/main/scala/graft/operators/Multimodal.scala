@@ -51,7 +51,6 @@ object Multimodal {
       md5(col("payload")).as("digest"))
       .orderBy("doc_id")
 
-  /** Typed record crossing the Dataset boundary into decode. */
   /** Content-hash dedup of binary payloads — the image/audio dedup
     * pass: group by payload digest WITHIN media_type (identical bytes
     * under different types are different assets), keep the lowest
@@ -67,6 +66,7 @@ object Multimodal {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("media_type", "keep_id")
 
+  /** Typed record crossing the Dataset boundary into decode. */
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
 
   /** Decoded features. STUB SEMANTICS: deterministic fake values

@@ -248,11 +248,14 @@ object Similarity {
     val approx = ivfTopK(embeddings, k, nQueries, iters = 0).select(col("qid"), col("cid"))
     val hits = exact.join(approx, Seq("qid", "cid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    // recall denominator is the constant k (matching the oracle SQL), NOT
+    // the per-query exact result count: on a corpus with <= k non-self
+    // vectors the two diverge, and recall@k is conventionally out-of-k.
     exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 6)
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k), 6)
           .as("recall"))
       .orderBy("qid")
   }

@@ -426,13 +426,13 @@ object EventStreams {
     val mg = new graft.functions.Aggregators.MisraGries(capacity)
     userIds
       .groupByKey(_ => 0)
-      .flatMapGroupsWithState[Map[Long, Long], HeavyHitter](
+      .flatMapGroupsWithState[(Long, Long, Map[Long, Long]), HeavyHitter](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: Int, it: Iterator[Long], state: GroupState[Map[Long, Long]]) =>
-          var summary = state.getOption.getOrElse(Map.empty[Long, Long])
+        (_: Int, it: Iterator[Long], state: GroupState[(Long, Long, Map[Long, Long])]) =>
+          var summary = state.getOption.getOrElse(mg.zero)
           it.foreach { k => summary = mg.reduce(summary, k) }
           state.update(summary)
-          summary.toSeq.sortBy { case (k, n) => (-n, k) }.take(emitTop)
+          mg.finish(summary).take(emitTop)
             .iterator.map { case (k, n) => HeavyHitter(k, n) }
       }
   }
