@@ -823,7 +823,7 @@ object SparkEntry {
         |FROM (SELECT DISTINCT qid FROM bf) q2 LEFT JOIN hits USING (qid)
         |ORDER BY qid""".stripMargin,
     // relational twin of the mapPartitions language-ID fast path:
-    // same trigram profile (train on doc_id%4=0, top-300 per lang by
+    // same trigram profile (train on doc_id%8=0, top-300 per lang by
     // cnt desc/gram asc, weight 301-rank), same argmax tiebreaks
     "text_lang_id_rel" ->
       """WITH lowered AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
@@ -832,14 +832,15 @@ object SparkEntry {
         |                     i -> substr(t, CAST(i AS INTEGER), 3))) AS gram
         |       FROM lowered),
         |train AS (SELECT lang, gram, count(*) AS cnt FROM tg
-        |          WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+        |          WHERE doc_id % 8 = 0 GROUP BY 1, 2),
         |prof AS (SELECT lang AS plang, gram, 301 - rank AS wt FROM (
         |           SELECT lang, gram,
         |                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
         |           FROM train) r
         |         WHERE rank <= 300),
         |scores AS (SELECT tg.doc_id, plang, CAST(sum(wt) AS BIGINT) AS score
-        |           FROM tg JOIN prof USING (gram) GROUP BY 1, 2),
+        |           FROM tg JOIN prof USING (gram)
+        |           WHERE tg.doc_id % 8 = 1 GROUP BY 1, 2),
         |best AS (SELECT doc_id, plang, score FROM (
         |           SELECT doc_id, plang, score,
         |                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
@@ -849,6 +850,7 @@ object SparkEntry {
         |       coalesce(b.plang, 'und') AS pred_lang,
         |       CAST(coalesce(b.score, 0) AS BIGINT) AS score
         |FROM documents d LEFT JOIN best b USING (doc_id)
+        |WHERE d.doc_id % 8 = 1
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_pipeline" -> dedupPipelineOracle,

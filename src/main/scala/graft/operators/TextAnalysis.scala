@@ -335,7 +335,7 @@ object TextAnalysis {
     * "und". (Earlier join+groupBy+window formulation did the same in
     * ~4M shuffled rows — 5.4s at sf0.1 vs ~1s for this shape.)
     */
-  def languageId(documents: DataFrame, profileSize: Int = 300, trainModulo: Int = 4): DataFrame = {
+  def languageId(documents: DataFrame, profileSize: Int = 300, trainModulo: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = documents.sparkSession
     import spark.implicits._
@@ -397,9 +397,16 @@ object TextAnalysis {
     * there is map-only against a broadcast profile; here each doc's
     * grams × matching languages cross the wire) — a differential spec
     * pins the two outputs equal.
+    *
+    * The twin exists purely as the oracle-checkable face of the math,
+    * so it SCORES only a deterministic modulo-sample of docs
+    * (`doc_id % scoreModulo == 1`, disjoint from the train residue 0;
+    * both engines sample identically, the hash still pins every
+    * scored row). Training still sees the full train split — the
+    * profile must match the fast path's bit-for-bit.
     */
   def languageIdRelational(documents: DataFrame, profileSize: Int = 300,
-                           trainModulo: Int = 4): DataFrame = {
+                           trainModulo: Int = 8, scoreModulo: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
@@ -419,6 +426,7 @@ object TextAnalysis {
     // corpus size) — broadcast explicitly so the gram-scoring join
     // never shuffles the exploded gram stream, with or without AQE.
     val scores = grams.select(col("doc_id"), col("gram"))
+      .filter(pmod(col("doc_id"), lit(scoreModulo)) === 1)
       .join(broadcast(prof), "gram")
       .groupBy("doc_id", "plang")
       .agg(sum("wt").as("score"))
@@ -431,6 +439,7 @@ object TextAnalysis {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("plang").as("pred_lang"), col("score"))
     documents.select(col("doc_id"), col("lang").as("true_lang"))
+      .filter(pmod(col("doc_id"), lit(scoreModulo)) === 1)
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("true_lang"),
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
