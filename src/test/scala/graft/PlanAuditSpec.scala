@@ -29,6 +29,51 @@ class PlanAuditSpec extends SparkSpec {
     "q_pareto_share"             // per-customer aggregate × 1-row broadcast total-revenue scalar — share denominator
   )
 
+  // Unpartitioned windows whose INPUT is provably tiny (post-aggregate
+  // or post-limit), each justified where the operator is defined. An
+  // unpartitioned WindowExec over a fact-scale input funnels the whole
+  // table through one task — the round-5 finding this gate makes
+  // permanent (text_unigram_logprob's vocabulary-wide total,
+  // q_pareto_share's whole-customer-base ranking).
+  private val boundedGlobalWindow = Set(
+    "q_pareto_share",    // TakeOrderedAndProject(topN=25) precedes the window
+    "text_mix_weights",  // window input is the per-LANGUAGE aggregate (|langs| rows)
+    "text_mix_resample"  // broadcasts text_mix_weights' |langs|-row table; same window
+  )
+
+  private def windowPartitionSpecs(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    plan.collect {
+      case w: WindowExec => Seq(w.partitionSpec.length)
+      case a: AdaptiveSparkPlanExec => windowPartitionSpecs(a.inputPlan)
+    }.flatten
+  }
+
+  test("no registered query plans an unpartitioned window outside the bounded-input allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val specs =
+        try windowPartitionSpecs(fn(spark, sf0001).queryExecution.executedPlan)
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if (specs.exists(_ == 0) && !boundedGlobalWindow(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec over a potentially fact-scale input " +
+        s"(allowlist it in boundedGlobalWindow ONLY with a bounded-input proof):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("q_pareto_share pre-cuts with TakeOrderedAndProject below its global window") {
+    val plan = SparkEntry.queries("q_pareto_share")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val take = plan.indexOf("TakeOrderedAndProject")
+    val win = plan.indexOf("Window")
+    assert(take >= 0, s"expected a TakeOrderedAndProject pre-cut:\n$plan")
+    assert(win >= 0 && win < take, // parent-first print: window must sit ABOVE the take
+      s"the ranking window must consume the topN pre-cut, not the full customer base:\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct or an unbounded nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
