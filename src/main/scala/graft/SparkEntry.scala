@@ -73,6 +73,7 @@ object SparkEntry {
     "q_range_window" -> ((s, d) => Relational.trailing90DayOrderTotals(Tables.orders(s, d))),
     "q_rank_profile" -> ((s, d) => Relational.priceQuartileProfile(Tables.orders(s, d))),
     "q_merge_upsert" -> ((s, d) => Relational.applyChangeSet(Tables.customer(s, d))),
+    "q_merge_on_read" -> ((s, d) => Relational.mergeOnReadView(Tables.customer(s, d))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_window_nav" -> ((s, d) => Relational.orderNavigation(Tables.orders(s, d))),
     "q_lateral_topn" -> ((s, d) =>
@@ -150,6 +151,10 @@ object SparkEntry {
     "q12_priority_by_flag" -> ((s, d) =>
       TpchShapes.priorityByFlag(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_column_profile" -> ((s, d) => Relational.columnProfile(Tables.lineitem(s, d))),
+    // sketch-based → engine-specific estimates, no SQL oracle;
+    // tolerance spec pins it against q_column_profile's exact counts
+    "q_column_profile_approx" -> ((s, d) =>
+      Relational.columnProfileApprox(Tables.lineitem(s, d))),
     "q_pareto_share" -> ((s, d) =>
       Relational.revenueParetoTop(Tables.customer(s, d), Tables.orders(s, d))),
     "ev_dau_wau" -> ((s, d) => EventOps.dauWauStickiness(Tables.events(s, d))),
@@ -1043,6 +1048,28 @@ object SparkEntry {
         |       round(avg(o_totalprice), 2) AS avg_price,
         |       round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // merge-on-read produces the identical next-snapshot rows as the
+    // write path, so it shares q_merge_upsert's oracle SQL verbatim
+    "q_merge_on_read" ->
+      """WITH ch AS (
+        |  SELECT c_custkey AS key,
+        |         CASE WHEN c_custkey % 10 = 3 THEN 'U' ELSE 'D' END AS op,
+        |         round(c_acctbal + 100, 2) AS new_bal
+        |  FROM customer WHERE c_custkey % 10 IN (3, 7)
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'I', 0.0
+        |  FROM customer WHERE c_custkey % 10 = 1),
+        |snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+        |survivors AS (
+        |  SELECT snap.key,
+        |         CASE WHEN ch.op = 'U' THEN ch.new_bal ELSE snap.bal END AS bal
+        |  FROM snap LEFT JOIN ch ON snap.key = ch.key
+        |  WHERE ch.op IS NULL OR ch.op <> 'D'),
+        |ins AS (
+        |  SELECT ch.key, ch.new_bal AS bal FROM ch
+        |  WHERE ch.op = 'I'
+        |    AND NOT EXISTS (SELECT 1 FROM snap WHERE snap.key = ch.key))
+        |SELECT * FROM survivors UNION ALL SELECT * FROM ins ORDER BY key""".stripMargin,
     "q_merge_upsert" ->
       """WITH ch AS (
         |  SELECT c_custkey AS key,

@@ -324,6 +324,29 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** The 100 TB form of [[columnProfile]]: `approx_count_distinct`
+    * (HLL++, rsd 5%) in place of the exact distinct, which collapses
+    * the whole profile to ONE single-pass grouped aggregation — no
+    * distinct-pair pre-aggregation, no second shuffle; per-column
+    * state is a KB-sized sketch, so profiling 100 columns of 100 TB
+    * is one map-side-combined pass. Estimates are engine-specific →
+    * no SQL oracle; a tolerance spec pins them against the exact
+    * profile.
+    */
+  def columnProfileApprox(lineitem: DataFrame): DataFrame = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    lineitem
+      .select(expr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+        ") AS (col_name, v)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        approx_count_distinct(col("v")).as("n_distinct_est"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("col_name")
+  }
+
   /** Equi-width histogram of order values — the one-pass distribution
     * profile run before choosing quantization / partition boundaries.
     * Bucket index is plain floor arithmetic (not `width_bucket`) so
@@ -363,9 +386,14 @@ object Relational {
     * sides to shuffle and is only needed when the changeset is
     * snapshot-sized.
     */
-  def applyChangeSet(customer: DataFrame): DataFrame = {
+  /** The deterministic U/D/I changelog both merge paths apply —
+    * derived from the snapshot itself so the whole operation is
+    * oracle-checkable (key%10==3 → update, ==7 → delete, ==1 →
+    * insert under a shifted key).
+    */
+  private def derivedChangeSet(customer: DataFrame): DataFrame = {
     val m = pmod(col("c_custkey"), lit(10))
-    val changes = customer
+    customer
       .filter(m.isin(3, 7))
       .select(col("c_custkey").as("key"),
         when(m === 3, "U").otherwise("D").as("op"),
@@ -373,6 +401,10 @@ object Relational {
       .unionByName(customer.filter(m === 1)
         .select((col("c_custkey") + 10000000L).as("key"),
           lit("I").as("op"), lit(0.0).as("new_bal")))
+  }
+
+  def applyChangeSet(customer: DataFrame): DataFrame = {
+    val changes = derivedChangeSet(customer)
     val snapshot = customer.select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
     val survivors = snapshot
       .join(broadcast(changes), Seq("key"), "left_outer")
@@ -383,6 +415,39 @@ object Relational {
       .join(snapshot, Seq("key"), "left_anti")
       .select(col("key"), col("new_bal").as("bal"))
     survivors.unionByName(inserts).orderBy("key")
+  }
+
+  /** Merge-on-READ twin of [[applyChangeSet]]: the snapshot file stays
+    * immutable and the merge happens in the READ PATH — the
+    * deletion-vector idea from modern table formats (a delete is a
+    * tiny key vector next to the data file, not a rewrite; an update
+    * is delete + changelog row). The view composes three bounded
+    * pieces over one snapshot scan: anti join the broadcast delete
+    * vector (deletes AND update-victims — an update supersedes the
+    * stored row), union the changelog's upsert rows, restricted to
+    * updates of still-present keys plus genuinely-new inserts.
+    *
+    * Shape at 100 TB: the snapshot never shuffles and is scanned
+    * once; delete vectors and the changelog are ≪ snapshot and
+    * broadcast. Write amplification is zero — the cost moved to
+    * read, which is exactly the trade merge-on-read makes; a
+    * background [[applyChangeSet]] compaction bounds how much
+    * changelog any read re-merges. Output is row-identical to the
+    * merge-on-write path (same oracle + differential spec).
+    */
+  def mergeOnReadView(customer: DataFrame): DataFrame = {
+    val changes = derivedChangeSet(customer)
+    val snapshot = customer.select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    // deletion vector: keys whose stored row must not surface
+    val deleteVector = changes.filter(col("op").isin("D", "U")).select("key")
+    val stored = snapshot.join(broadcast(deleteVector), Seq("key"), "left_anti")
+    val upserts = changes.filter(col("op") === "U")
+      .join(snapshot.select("key"), Seq("key"), "left_semi") // U of an absent key is a no-op
+      .select(col("key"), col("new_bal").as("bal"))
+    val inserts = changes.filter(col("op") === "I")
+      .join(snapshot.select("key"), Seq("key"), "left_anti")
+      .select(col("key"), col("new_bal").as("bal"))
+    stored.unionByName(upserts).unionByName(inserts).orderBy("key")
   }
 
   /** Distribution-rank window breadth — ntile / percent_rank /

@@ -164,6 +164,47 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "changes not broadcast — snapshot would shuffle")
   }
 
+  test("merge-on-read view equals the merge-on-write snapshot row-for-row") {
+    // the tiny fixture exercises every op class (U, D, I, untouched)…
+    val snapshot = Seq((1L, 50.0), (3L, 10.0), (5L, 20.0), (7L, 30.0))
+      .toDF("c_custkey", "c_acctbal")
+    val read = Relational.mergeOnReadView(snapshot).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(read.toSeq == Seq(1L -> 50.0, 3L -> 110.0, 5L -> 20.0, 10000001L -> 0.0),
+      read.toSeq.toString)
+    // …and the sf0.001 differential pins the two paths at table scale
+    val cust = Tables.customer(spark, sf0001)
+    val write = Relational.applyChangeSet(cust).collect().map(_.toSeq).toSeq
+    val view = Relational.mergeOnReadView(cust).collect().map(_.toSeq).toSeq
+    assert(view == write)
+    // the deletion vector must broadcast — the snapshot side never shuffles
+    val plan = Relational.mergeOnReadView(cust).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"delete vector not broadcast:\n$plan")
+  }
+
+  test("columnProfileApprox: estimates within HLL++ tolerance of the exact profile, one agg pass") {
+    val li = Tables.lineitem(spark, sf0001)
+    val exact = Relational.columnProfile(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.columnProfileApprox(li).collect()
+    assert(approx.map(_.getString(0)).toSeq == exact.keys.toSeq.sorted)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1), "n_rows must be exact")
+      assert(r.getLong(2) == e.getLong(2), "n_nonnull must be exact")
+      assert(r.getString(4) == e.getString(4) && r.getString(5) == e.getString(5),
+        "min/max must be exact")
+      val est = r.getLong(3).toDouble
+      val truth = e.getLong(3).toDouble
+      assert(math.abs(est - truth) <= math.max(0.1 * truth, 2.0),
+        s"${r.getString(0)}: estimate $est vs exact $truth outside 10% tolerance")
+    }
+    // the point of the approx form: ONE aggregation, no distinct-pair
+    // pre-shuffle and no Expand
+    val plan = Relational.columnProfileApprox(li).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+  }
+
   test("window navigation: full-frame first/last/nth, lag, running ignore-nulls carry-forward") {
     import java.sql.Date
     val orders = Seq(
