@@ -224,6 +224,7 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2,
         nTables = 4, bitsPerTable = 8)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
+    "sim_outliers" -> ((s, d) => Similarity.labelOutliers(Tables.embeddings(s, d))),
     // --- text analysis ---
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
@@ -241,6 +242,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25Search(Tables.documents(s, d))),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
+    "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
     "text_group_sample" -> ((s, d) => TextAnalysis.groupSample(Tables.documents(s, d))),
     "text_mix_resample" -> ((s, d) => TextAnalysis.mixResample(Tables.documents(s, d))),
     "text_mix_weights" -> ((s, d) => TextAnalysis.mixWeights(Tables.documents(s, d))),
@@ -896,6 +898,38 @@ object SparkEntry {
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "sim_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(mean_v ORDER BY pos) AS centroid FROM (
+        |    SELECT label, pos, round(avg(v), 6) AS mean_v FROM (
+        |      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings) u
+        |    GROUP BY 1, 2) t
+        |  GROUP BY label)
+        |SELECT e.label, e.vec_id,
+        |       round(list_cosine_similarity(e.v, c.centroid), 6) AS centroid_sim
+        |FROM e JOIN cent c USING (label)
+        |WHERE round(list_cosine_similarity(e.v, c.centroid), 6) < 0.2
+        |ORDER BY label, vec_id""".stripMargin,
+    "text_vocab_growth" ->
+      """WITH wd AS (SELECT CAST(ceil(CAST(max(doc_id) + 1 AS DOUBLE) / 10) AS BIGINT) AS w
+        |            FROM documents),
+        |tok AS (SELECT t.doc_id // wd.w AS bucket, t.word
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |              FROM documents) t, wd
+        |        WHERE length(t.word) > 0),
+        |nw AS (SELECT bucket, count(*) AS n_new_words FROM (
+        |         SELECT word, min(bucket) AS bucket FROM tok GROUP BY 1) f
+        |       GROUP BY 1),
+        |tk AS (SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1)
+        |SELECT tk.bucket, tk.n_tokens,
+        |       CAST(coalesce(nw.n_new_words, 0) AS BIGINT) AS n_new_words,
+        |       CAST(sum(tk.n_tokens) OVER (ORDER BY tk.bucket) AS BIGINT) AS cum_tokens,
+        |       CAST(sum(coalesce(nw.n_new_words, 0)) OVER (ORDER BY tk.bucket) AS BIGINT)
+        |         AS vocab_size
+        |FROM tk LEFT JOIN nw USING (bucket) ORDER BY bucket""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
         |       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue

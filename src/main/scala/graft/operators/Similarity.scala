@@ -273,6 +273,34 @@ object Similarity {
       .agg(round(avg("v"), 6).as("mean_v"), count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** Label-conditional outlier report: each vector's cosine
+    * similarity to ITS label's centroid, flagging vectors below a
+    * similarity floor — the SemDeDup-adjacent hygiene pass that
+    * catches mislabeled/garbage embeddings before they poison a
+    * semantic-dedup or curation run (a far-from-centroid vector is
+    * either mislabeled or noise; both get reviewed, not averaged in).
+    *
+    * Shape at 100 TB: centroids come from [[labelCentroids]] (labels
+    * × dims rows — KBs), collapse back to one array row per label,
+    * and BROADCAST; scoring is then a map-only pass over the corpus
+    * (one broadcast hash join on label, `graft_cosine` per row). No
+    * corpus shuffle anywhere; the report filter keeps output
+    * outlier-sized.
+    */
+  def labelOutliers(embeddings: DataFrame, maxSim: Double = 0.2): DataFrame = {
+    val centroids = labelCentroids(embeddings)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("cs"))
+      .select(col("label"), expr("transform(cs, c -> c.mean_v)").as("centroid"))
+    embeddings
+      .join(broadcast(centroids), "label")
+      .select(col("label"), col("vec_id"),
+        round(VectorFunctions.cosineSim(asDouble(col("embedding")), col("centroid")), 6)
+          .as("centroid_sim"))
+      .filter(col("centroid_sim") < maxSim)
+      .orderBy("label", "vec_id")
+  }
+
   /** Int8 scalar quantization report: per-vector affine (min, max)
     * quantization to 256 levels — the storage format that cuts an
     * embedding corpus 4× before ANN indexing — with the

@@ -614,6 +614,47 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Vocabulary growth curve (Heap's law): distinct-word count and
+    * cumulative token count at fixed doc_id checkpoints — the curve
+    * that answers "is this corpus still adding new vocabulary, or are
+    * we re-crawling the same text" before committing to more
+    * ingestion. Sub-linear growth (V ≈ K·nᵝ, β≈0.5) is healthy;
+    * a flat curve means saturation, a linear one means noise/OCR
+    * garbage inflating the vocabulary.
+    *
+    * Shape at 100 TB: one vocabulary-sized aggregation taking each
+    * word's FIRST-occurrence bucket (min doc_id — map-side combined),
+    * one token-count aggregation per bucket, then the cumulative sums
+    * ride an unpartitioned window over the BUCKET table —
+    * `nBuckets` rows (a few dozen) no matter the corpus size, the
+    * same bounded-input class as [[mixWeights]] (plan-audit
+    * allowlisted). Raw text never shuffles; words do, once.
+    */
+  def vocabGrowth(documents: DataFrame, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic equal-width doc_id buckets: ceil((max_id+1)/n)
+    val width = documents.agg(
+      ceil((max("doc_id") + 1).cast("double") / nBuckets).cast("long").as("w"))
+    val toks = documents
+      .join(broadcast(width))
+      .select(col("doc_id"), expr("doc_id div w").as("bucket"),
+        explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+    val newWords = toks
+      .groupBy("word").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_words"))
+    val tokens = toks.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(newWords, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_words"), lit(0L)).as("n_new_words"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("vocab_size", sum("n_new_words").over(w))
+      .select("bucket", "n_tokens", "n_new_words", "cum_tokens", "vocab_size")
+      .orderBy("bucket")
+  }
+
   /** Greedy sequence packing: assign documents to fixed token-budget
     * packs (pretraining batch prep — concatenate docs until the
     * context window fills). A doc lands in the pack its cumulative

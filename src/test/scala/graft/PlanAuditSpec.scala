@@ -19,6 +19,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_bm25",           // corpus stats (1 row) × query-sized df table
     "text_bigram_logprob", // V (1 row) × context-vocabulary table
     "text_unigram_logprob", // corpus-token total (1 row) × vocabulary table — replaces the old single-partition window
+    "text_vocab_growth",   // bucket width (1-row max aggregate) × corpus — O(1) per row
     "sim_bruteforce_topk", // corpus streams × broadcast(nQueries=10 vectors) — scoring fan-out bounded by |Q|
     "sim_ivf_topk",        // same broadcast query set, candidates pre-pruned to probed cells
     "sim_ivf_topk_seed",   // iters=0 oracle twin of the same path (broadcast 16 centroids)
@@ -38,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedGlobalWindow = Set(
     "q_pareto_share",    // TakeOrderedAndProject(topN=25) precedes the window
     "text_mix_weights",  // window input is the per-LANGUAGE aggregate (|langs| rows)
-    "text_mix_resample"  // broadcasts text_mix_weights' |langs|-row table; same window
+    "text_mix_resample", // broadcasts text_mix_weights' |langs|-row table; same window
+    "text_vocab_growth"  // cumulative sums over the BUCKET table (nBuckets rows)
   )
 
   private def windowPartitionSpecs(

@@ -123,6 +123,26 @@ class SimilaritySpec extends SparkSpec {
     assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) == ((0.0, 0.0, 0.0)))
   }
 
+  test("labelOutliers: flags the vector pointing away from its label centroid") {
+    import spark.implicits._
+    // label "a": three near-identical vectors + one anti-aligned outlier;
+    // the centroid stays dominated by the majority direction
+    val e = Seq(
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "a", Array(0.9f, 0.1f)),
+      (3L, "a", Array(1.0f, 0.1f)),
+      (4L, "a", Array(-1.0f, -0.1f)), // outlier: cosine vs centroid ≈ -1
+      (5L, "b", Array(0.0f, 1.0f))    // singleton label = its own centroid, sim 1
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelOutliers(e, maxSim = 0.2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1 && out.head._1 == "a" && out.head._2 == 4L, out.toSeq.toString)
+    assert(out.head._3 < -0.9)
+    // centroid table must broadcast — the corpus side never shuffles
+    val plan = Similarity.labelOutliers(e).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$plan")
+  }
+
   test("vectorStats: exact norms/counts on known vectors; map-only plan") {
     import spark.implicits._
     val e = Seq(

@@ -247,6 +247,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map("s0" -> (1L, 0.0), "s1" -> (1L, 1.0)), out.toString)
   }
 
+  test("vocabGrowth: first occurrences drive vocab, cumulative counts are exact") {
+    // width = ceil(4/2) = 2 → bucket 0 = docs {0,1}, bucket 1 = docs {2,3}
+    val d = Seq(
+      (0L, "a b"),       // new: a, b
+      (1L, "a c"),       // new: c
+      (2L, "a d d"),     // new: d
+      (3L, "b c"))       // nothing new
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(d, nBuckets = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 4L, 3L, 4L, 3L), (1L, 5L, 1L, 9L, 4L)), out.toSeq.toString)
+  }
+
   test("packSequences: docs fill packs by cumulative token offset per source") {
     val d = Seq(
       (1L, ("w " * 1000).trim, "s0"),  // 1000 tokens → pack 0 (offset 0)
