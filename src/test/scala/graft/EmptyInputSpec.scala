@@ -86,4 +86,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.trailing90DayOrderTotals(noOrders).count() == 0)
     assert(Relational.priceQuartileProfile(noOrders).count() == 0)
   }
+
+  test("round-6 operators: empty inputs → empty results") {
+    import graft.queries.Relational
+    assert(TextAnalysis.vocabGrowth(noDocs).count() == 0)
+    assert(TextAnalysis.languageIdRelational(noDocs).count() == 0)
+    assert(Similarity.labelOutliers(noEmb).count() == 0)
+    assert(EventOps.dauWauStickiness(noEvents).count() == 0)
+    assert(EventOps.userGapStats(noEvents).count() == 0)
+    assert(EventOps.hourlyAnomalies(noEvents).count() == 0)
+    val noCust = Seq.empty[(Long, Double)].toDF("c_custkey", "c_acctbal")
+    assert(Relational.mergeOnReadView(noCust).count() == 0)
+    val noLineitem = Seq.empty[(Long, Double, String, java.sql.Date)]
+      .toDF("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    assert(Relational.columnProfileApprox(noLineitem).count() == 0)
+  }
 }
