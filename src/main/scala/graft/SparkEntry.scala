@@ -212,6 +212,7 @@ object SparkEntry {
     "dedup_groups_md5" -> ((s, d) =>
       Dedup.connectedGroups(Dedup.simhashMd5NearDups(Tables.documents(s, d)))),
     "text_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
+    "dedup_decon_neardup" -> ((s, d) => Dedup.decontaminateNearDup(Tables.documents(s, d))),
     // --- similarity search ---
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), iters = 3)),
@@ -325,6 +326,28 @@ object SparkEntry {
        |  FROM pairs) q
        |WHERE est_jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Near-dup decontamination oracle: same signature/band CTEs as
+    * [[minhashMd5Oracle]]; keeps only train×eval band collisions,
+    * then per train doc the (est_jaccard, eval_id)-max match —
+    * the row_number tiebreak mirrors Spark's struct-max exactly.
+    */
+  private def deconNearDupOracle: String = {
+    val n = 16
+    s"""WITH ${minhashPairCtes("documents")},
+       |te AS (
+       |  SELECT CASE WHEN doc_a % 50 = 0 THEN doc_b ELSE doc_a END AS doc_id,
+       |         CASE WHEN doc_a % 50 = 0 THEN doc_a ELSE doc_b END AS eval_id,
+       |         round(len(list_filter(range(1, ${n + 1}), i -> sa[i] = sb[i])) / $n.0, 6) AS ej
+       |  FROM pairs
+       |  WHERE (doc_a % 50 = 0) <> (doc_b % 50 = 0)),
+       |best AS (SELECT doc_id, eval_id, ej FROM (
+       |  SELECT doc_id, eval_id, ej,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY ej DESC, eval_id DESC) AS rn
+       |  FROM te) t WHERE rn = 1)
+       |SELECT doc_id, eval_id, ej AS est_jaccard FROM best
+       |WHERE ej >= 0.5 ORDER BY doc_id""".stripMargin
   }
 
   /** End-to-end dedup pipeline oracle: exact dedup survivors →
@@ -860,6 +883,7 @@ object SparkEntry {
         |WHERE d.doc_id % 8 = 1
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
+    "dedup_decon_neardup" -> deconNearDupOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "dedup_groups_md5" -> groupsMd5Oracle,
     "dedup_simhash_md5" ->

@@ -394,6 +394,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** NEAR-duplicate eval-set decontamination: the MinHash-LSH upgrade
+    * of [[decontaminate]] — exact shared shingles miss lightly edited
+    * benchmark text (reworded prompts, shuffled answer options), the
+    * leak mode that actually occurs in crawled corpora. Signatures
+    * are the same md5 affine min-sketch as [[minhashNearDupsMd5]];
+    * candidates come from a banded join of TRAIN bands against EVAL
+    * bands only (never train×train), and each flagged train doc
+    * reports its worst-matching eval doc with the agreement-estimated
+    * Jaccard.
+    *
+    * Shape at 100 TB: band keys of the benchmark side are eval-sized
+    * — broadcastable — so the train signature stream never shuffles
+    * against itself; work is Σ |train_band| × |eval_band|, bounded by
+    * the tiny side exactly like [[decontaminate]]'s shingle join.
+    */
+  def decontaminateNearDup(documents: DataFrame, evalModulo: Int = 50,
+                           shingleK: Int = 5, numHashes: Int = 16,
+                           bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val banded = md5BandedSignatures(documents, shingleK, numHashes, bands)
+    val isEval = pmod(col("doc_id"), lit(evalModulo)) === 0
+    val train = banded.filter(!isEval).select(col("band_idx"), col("band_key"),
+      col("doc_id"), col("signature").as("sig_t"))
+    val eval_ = banded.filter(isEval).select(col("band_idx"), col("band_key"),
+      col("doc_id").as("eval_id"), col("signature").as("sig_e"))
+    train.join(broadcast(eval_), Seq("band_idx", "band_key"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_t"), col("sig_e"), (x, y) => x === y), bEq => bEq))
+          .cast("double") / numHashes, 6))
+      .groupBy("doc_id")
+      // argmax with deterministic tiebreak: struct max orders by
+      // est_jaccard first, then highest eval_id
+      .agg(max(struct(col("est_jaccard"), col("eval_id"))).as("best"))
+      .select(col("doc_id"), col("best.eval_id").as("eval_id"),
+        col("best.est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("doc_id")
+  }
+
   /** Version-preference dedup: among documents sharing a canonical
     * fingerprint (case/punctuation-insensitive content identity),
     * keep the BEST copy — longest text, doc_id as tiebreak — instead
@@ -550,8 +588,14 @@ object Dedup {
     * with map-side combine) rather than a custom expression — this
     * variant exists for cross-engine checkability, not throughput.
     */
-  def minhashNearDupsMd5(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 16,
-                         bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+  /** Shared md5-MinHash banded-signature builder: per doc, the
+    * numHashes affine min-sketch plus one row per LSH band with its
+    * concatenated band key — the candidate-generation half of every
+    * md5-twin LSH op ([[minhashNearDupsMd5]] self-join,
+    * [[decontaminateNearDup]] train×eval join).
+    */
+  private def md5BandedSignatures(documents: DataFrame, shingleK: Int,
+                                  numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(numHashes <= md5A.length, s"at most ${md5A.length} hash functions")
     val rowsPerBand = numHashes / bands
@@ -563,7 +607,7 @@ object Dedup {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => coalesce(col(s"_s$i"), lit(Md5M))): _*).as("signature"))
-    val banded = sigs.select(col("doc_id"), col("signature"),
+    sigs.select(col("doc_id"), col("signature"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => struct(bnd.as("band_idx"),
           array_join(transform(
@@ -571,6 +615,11 @@ object Dedup {
             _.cast("string")), ",").as("band_key")))).as("band"))
       .select(col("doc_id"), col("signature"),
         col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+  }
+
+  def minhashNearDupsMd5(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 16,
+                         bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val banded = md5BandedSignatures(documents, shingleK, numHashes, bands)
     val a = banded.select(col("band_idx"), col("band_key"),
       col("doc_id").as("doc_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_key"),

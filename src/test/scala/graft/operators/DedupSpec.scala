@@ -160,6 +160,29 @@ class DedupSpec extends SparkSpec {
     assert(!out(2L)._2 && out(2L)._1 == 0L)
   }
 
+  test("decontaminateNearDup flags edited near-copies of eval docs, not clean docs") {
+    val evalText = (1 to 40).map(i => s"w$i").mkString(" ")
+    // light edit: one word changed mid-doc — exact-shingle decon still
+    // catches some shingles, but the POINT here is the high Jaccard
+    val edited = (1 to 40).map(i => if (i == 20) "EDIT" else s"w$i").mkString(" ")
+    val clean = (1 to 40).map(i => s"c$i").mkString(" ")
+    val d = Seq(
+      (0L, evalText),   // % 50 == 0 → eval set
+      (50L, evalText),  // also eval — must never be flagged itself
+      (1L, edited),     // near-copy of the eval doc
+      (2L, clean),      // unrelated
+      (3L, evalText))   // verbatim leak → est_jaccard 1.0
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateNearDup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 3L), out.toString)
+    assert(out(3L)._2 == 1.0)
+    // struct-max tiebreak: the verbatim leak matches BOTH eval copies
+    // equally → highest eval_id wins
+    assert(out(3L)._1 == 50L, out.toString)
+    assert(out(1L)._2 >= 0.5 && out(1L)._2 < 1.0, out.toString)
+  }
+
   test("incrementalNovel: new batch anti-joined against corpus digests") {
     val corpus = docs(1L -> "seen before", 2L -> "also seen")
     val batch = docs(10L -> "seen before", 11L -> "genuinely new", 12L -> "also new")
