@@ -45,6 +45,27 @@ object EventStreams {
         unix_micros(col("window.end")).as("end_us"),
         col("event_type"), col("n"))
 
+  /** Watermarked per-window distinct users via Datasketches HLL — the
+    * streaming face of
+    * [[graft.operators.EventOps.distinctUsersSketchRollup]]: an exact
+    * streaming `countDistinct` would hold every (window, type, user)
+    * in the state store (state grows with distinct users — unbounded
+    * on a real firehose), while the mergeable HLL sketch keeps KBs
+    * per open window regardless of cardinality, and the same sketch
+    * persisted per window unions into daily/weekly rollups downstream
+    * without re-reading events. Estimates are engine-deterministic
+    * for a given input set; the spec pins them against exact batch
+    * counts (sparse-mode sketches are exact at fixture cardinality).
+    */
+  def hourlyDistinctUsersSketch(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n_users_est"))
+      .select(
+        unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n_users_est"))
+
   /** Session windows (30-minute gap) per user — the streaming twin of
     * EventOps.sessionize, using Spark's native session_window (state
     * is merged ranges per user, bounded by the watermark).

@@ -115,6 +115,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hourly distinct-user sketches match exact batch counts per window") {
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_hll").toString
+    val batchDf = graft.Tables.events(spark, sf0001)
+    // multiple files → multiple micro-batches, so window state actually
+    // merges partial sketches across batches (the path under test)
+    batchDf.repartition(4).write.mode("overwrite").parquet(src)
+    val streamDf = spark.readStream.schema(
+      spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1).parquet(src)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = EventStreams.toMemorySink(
+      EventStreams.hourlyDistinctUsersSketch(streamDf),
+      "hll_window_test", org.apache.spark.sql.streaming.OutputMode.Complete())
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hll_window_test")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val exact = graft.operators.EventOps.withTsUs(batchDf)
+        .select((expr("ts_us div 3600000000") * 3600000000L).as("hour_us"),
+          col("event_type"), col("user_id"))
+        .groupBy("hour_us", "event_type")
+        .agg(countDistinct("user_id").as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed.keySet == exact.keySet)
+      exact.foreach { case (k, n) =>
+        val est = streamed(k).toDouble
+        assert(math.abs(est - n) <= math.max(0.05 * n, 1.0),
+          s"$k: sketch estimate $est vs exact $n outside tolerance")
+      }
+    } finally q.stop()
+  }
+
   test("replayed sf0.01 events through streaming hourlyCounts equals the oracle-green batch rows") {
     // The batch twin (ev_hourly_counts) hash-matches the DuckDB oracle;
     // full row-set equality here transitively oracle-checks the
