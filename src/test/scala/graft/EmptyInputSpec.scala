@@ -90,6 +90,7 @@ class EmptyInputSpec extends SparkSpec {
   test("round-6 operators: empty inputs → empty results") {
     import graft.queries.Relational
     assert(TextAnalysis.vocabGrowth(noDocs).count() == 0)
+    assert(Dedup.decontaminateNearDup(noDocs).count() == 0)
     assert(TextAnalysis.languageIdRelational(noDocs).count() == 0)
     assert(Similarity.labelOutliers(noEmb).count() == 0)
     assert(EventOps.dauWauStickiness(noEvents).count() == 0)

@@ -93,6 +93,36 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB shape this pins: a selective dim filter should reach
+    // the FACT scan as a runtime bloom filter (semi-join reduction)
+    // when the join is too big to broadcast — rows that cannot match
+    // die at the scan instead of crossing the shuffle. Thresholds are
+    // forced because CI data is tiny; on a cluster the defaults
+    // (creation side < 10 MB, application side > 10 GB) gate it.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = Tables.lineitem(s2, sf0001)
+    val ord = Tables.orders(s2, sf0001).filter(col("o_orderpriority") === "1-URGENT")
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter injected on the fact side:\n$plan")
+    // and the filter is transparent: same result as the plain join in
+    // the default session
+    val expected = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("round-4 operators are invariant under repartitioning") {
     val docs = Tables.documents(spark, sf0001)
     val orders = Tables.orders(spark, sf0001)
