@@ -51,16 +51,19 @@ object Bench {
     //
     // The whole loop is TIME-BOXED: the driver kills the bench process at a
     // fixed wall deadline, and a killed process prints no final JSON at all
-    // (r5: rc=124, parsed null). Past ~70% of SPARK_GRAFT_BENCH_BUDGET_S we
-    // stop STARTING rounds and report what completed — fewer iterations of
-    // a parseable number beats five iterations of nothing.
+    // (r5: rc=124, parsed null). A new round only STARTS if the previous
+    // round's duration (plus 20% variance headroom — round-to-round swings
+    // of ~1.5x are real under GC/codegen pressure) still fits inside 95%
+    // of SPARK_GRAFT_BENCH_BUDGET_S — fewer iterations of a parseable
+    // number beats five iterations of nothing.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
-    val roundDeadlineS = budgetS * 0.70
     def elapsedS: Double = (System.nanoTime() - wallStart) / 1e9
     val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
     var i = 0
-    while (i < iters && (i == 0 || elapsedS < roundDeadlineS)) {
+    var lastRoundS = 0.0
+    while (i < iters && (i == 0 || elapsedS + lastRoundS * 1.2 < budgetS * 0.95)) {
+      val r0 = System.nanoTime()
       runs += qmap.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -69,8 +72,9 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      lastRoundS = (System.nanoTime() - r0) / 1e9
       i += 1
-      System.err.println(f"[bench] round $i/$iters done at $elapsedS%.1f s (deadline $roundDeadlineS%.1f s)")
+      System.err.println(f"[bench] round $i/$iters done at $elapsedS%.1f s (round $lastRoundS%.1f s, budget $budgetS%.0f s)")
     }
     val itersCompleted = runs.length
     def median(xs: Seq[Double]): Double = {
