@@ -233,6 +233,7 @@ object SparkEntry {
     "text_lang_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "text_lang_id_rel" -> ((s, d) => TextAnalysis.languageIdRelational(Tables.documents(s, d))),
     "text_top_words" -> ((s, d) => TextAnalysis.topWords(Tables.documents(s, d))),
+    "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "text_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "text_dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
@@ -497,7 +498,8 @@ object SparkEntry {
         |         JOIN cost ON p_partkey = l_partkey
         |         JOIN euro ON l_suppkey = s_suppkey
         |         WHERE p_type = 'SMALL' AND p_size <= 10)
-        |SELECT p_partkey, p_brand, s_name, n_name, round(cost, 4) AS cost
+        |SELECT p_partkey, p_brand, s_name, n_name,
+        |       CAST(round(CAST(cost AS DECIMAL(20,10)), 4) AS DOUBLE) AS cost
         |FROM cand
         |WHERE cost = (SELECT min(cost) FROM cand c2 WHERE c2.p_partkey = cand.p_partkey)
         |ORDER BY p_partkey, s_name""".stripMargin,
@@ -937,6 +939,17 @@ object SparkEntry {
         |FROM e JOIN cent c USING (label)
         |WHERE round(list_cosine_similarity(e.v, c.centroid), 6) < 0.2
         |ORDER BY label, vec_id""".stripMargin,
+    "text_bpe_merges" ->
+      """WITH w AS (SELECT word, count(*) AS n FROM (
+        |             SELECT unnest(string_split(lower(text), ' ')) AS word
+        |             FROM documents) t
+        |           WHERE length(word) >= 2 GROUP BY 1),
+        |p AS (SELECT n,
+        |             unnest(list_transform(range(1, length(word)),
+        |                    i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+        |      FROM w)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "text_vocab_growth" ->
       """WITH wd AS (SELECT CAST(ceil(CAST(max(doc_id) + 1 AS DOUBLE) / 10) AS BIGINT) AS w
         |            FROM documents),

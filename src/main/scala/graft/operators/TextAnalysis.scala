@@ -318,6 +318,37 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("word"))
       .limit(n)
 
+  /** BPE merge candidates: corpus-wide counts of adjacent
+    * character-pair occurrences within words — the statistic the
+    * first iteration of byte-pair-encoding vocabulary induction
+    * maximizes (Sennrich et al. 2016). One call = one merge step's
+    * candidate table; a tokenizer trainer loops this (apply the top
+    * merge, recount) — the loop is driver logic over a bounded
+    * vocabulary, the COUNTING is the corpus-scale part and is what
+    * this op distributes.
+    *
+    * Shape at 100 TB: words pre-aggregate to (word, n) — the shuffle
+    * carries the vocabulary, not the corpus — then pairs explode from
+    * the VOCABULARY table weighted by word frequency. Corpus text is
+    * touched exactly once, in the word-count map stage; pair rows are
+    * |vocab| × avg word length, map-side combined into the final
+    * top-k (TakeOrdered, no global sort).
+    */
+  def bpeMergeCandidates(documents: DataFrame, k: Int = 30): DataFrame = {
+    val words = documents
+      .select(explode(split(lower(col("text")), " ", -1)).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    words
+      .select(col("n"), col("word"), split(col("word"), "", -1).as("cs"))
+      .select(col("n"), explode(transform(sequence(lit(0), size(col("cs")) - 2),
+        i => concat(element_at(col("cs"), i + 1), element_at(col("cs"), i + 2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("n").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Language ID via corpus-trained character-trigram profiles.
     *
     * Train (distributed): explode a deterministic 1-in-`trainModulo`

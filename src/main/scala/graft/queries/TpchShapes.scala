@@ -61,8 +61,17 @@ object TpchShapes {
     val minCost = cand.groupBy(col("p_partkey").as("mk")).agg(min("cost").as("min_cost"))
     cand
       .join(minCost, col("p_partkey") === col("mk") && col("cost") === col("min_cost"))
+      // round via an intermediate decimal(20,10): the raw quotient is
+      // bit-identical across engines (IEEE division), but round(x, 4)
+      // straight off the double diverges when a cost lands on a
+      // .xxxx5 boundary (Spark rounds the EXACT binary expansion
+      // half-up; DuckDB goes through a 10^4 multiply whose own
+      // rounding can cross the half). Quantizing to 10 decimals
+      // first — far above double noise, far below the boundary —
+      // gives both engines the same decimal to round. Same class of
+      // fix as Q9's decimal sums (sum-on-a-rounding-boundary).
       .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
-        round(col("cost"), 4).as("cost"))
+        round(col("cost").cast("decimal(20,10)"), 4).cast("double").as("cost"))
       .orderBy("p_partkey", "s_name")
   }
 

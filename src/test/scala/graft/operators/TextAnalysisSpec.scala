@@ -247,6 +247,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map("s0" -> (1L, 0.0), "s1" -> (1L, 1.0)), out.toString)
   }
 
+  test("bpeMergeCandidates: pair counts weight by word frequency; top pair is the BPE merge") {
+    val d = Seq(
+      (1L, "low low low lower"),   // "lo","ow" x4; "we","er" x1
+      (2L, "lowest low"))          // "lo","ow" x2 more; "we","es","st" x1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeCandidates(d, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // "lo" and "ow" appear once per occurrence of each of the 6 words
+    assert(out.take(2).toMap == Map("lo" -> 6L, "ow" -> 6L), out.toSeq.toString)
+    assert(out(2) == ("we" -> 2L), out.toSeq.toString) // lower + lowest
+  }
+
   test("vocabGrowth: first occurrences drive vocab, cumulative counts are exact") {
     // width = ceil(4/2) = 2 → bucket 0 = docs {0,1}, bucket 1 = docs {2,3}
     val d = Seq(
