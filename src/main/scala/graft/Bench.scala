@@ -77,9 +77,14 @@ object Bench {
       System.err.println(f"[bench] round $i/$iters done at $elapsedS%.1f s (round $lastRoundS%.1f s, budget $budgetS%.0f s)")
     }
     val itersCompleted = runs.length
+    // True median: for an even sample count (reachable now that the
+    // time-box can stop after 2 rounds) average the middle pair —
+    // s(len/2) alone would report the MAX of 2 samples and bias the
+    // headline high against odd-iteration baselines.
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      s(s.length / 2)
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     val names = runs.head.map(_._1)
     val byName = names.map(n => n -> runs.toSeq.map(_.toMap.apply(n)))

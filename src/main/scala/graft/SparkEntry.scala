@@ -329,6 +329,31 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Shared oracle for BOTH merge paths (q_merge_upsert writes the
+    * next snapshot, q_merge_on_read composes it at read time — the
+    * outputs are defined to be row-identical, so one SQL pins both).
+    */
+  private val mergeOracle: String =
+      """WITH ch AS (
+        |  SELECT c_custkey AS key,
+        |         CASE WHEN c_custkey % 10 = 3 THEN 'U' ELSE 'D' END AS op,
+        |         round(c_acctbal + 100, 2) AS new_bal
+        |  FROM customer WHERE c_custkey % 10 IN (3, 7)
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'I', 0.0
+        |  FROM customer WHERE c_custkey % 10 = 1),
+        |snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+        |survivors AS (
+        |  SELECT snap.key,
+        |         CASE WHEN ch.op = 'U' THEN ch.new_bal ELSE snap.bal END AS bal
+        |  FROM snap LEFT JOIN ch ON snap.key = ch.key
+        |  WHERE ch.op IS NULL OR ch.op <> 'D'),
+        |ins AS (
+        |  SELECT ch.key, ch.new_bal AS bal FROM ch
+        |  WHERE ch.op = 'I'
+        |    AND NOT EXISTS (SELECT 1 FROM snap WHERE snap.key = ch.key))
+        |SELECT * FROM survivors UNION ALL SELECT * FROM ins ORDER BY key""".stripMargin
+
   /** Near-dup decontamination oracle: same signature/band CTEs as
     * [[minhashMd5Oracle]]; keeps only train×eval band collisions,
     * then per train doc the (est_jaccard, eval_id)-max match —
@@ -1121,46 +1146,8 @@ object SparkEntry {
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // merge-on-read produces the identical next-snapshot rows as the
     // write path, so it shares q_merge_upsert's oracle SQL verbatim
-    "q_merge_on_read" ->
-      """WITH ch AS (
-        |  SELECT c_custkey AS key,
-        |         CASE WHEN c_custkey % 10 = 3 THEN 'U' ELSE 'D' END AS op,
-        |         round(c_acctbal + 100, 2) AS new_bal
-        |  FROM customer WHERE c_custkey % 10 IN (3, 7)
-        |  UNION ALL
-        |  SELECT c_custkey + 10000000, 'I', 0.0
-        |  FROM customer WHERE c_custkey % 10 = 1),
-        |snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
-        |survivors AS (
-        |  SELECT snap.key,
-        |         CASE WHEN ch.op = 'U' THEN ch.new_bal ELSE snap.bal END AS bal
-        |  FROM snap LEFT JOIN ch ON snap.key = ch.key
-        |  WHERE ch.op IS NULL OR ch.op <> 'D'),
-        |ins AS (
-        |  SELECT ch.key, ch.new_bal AS bal FROM ch
-        |  WHERE ch.op = 'I'
-        |    AND NOT EXISTS (SELECT 1 FROM snap WHERE snap.key = ch.key))
-        |SELECT * FROM survivors UNION ALL SELECT * FROM ins ORDER BY key""".stripMargin,
-    "q_merge_upsert" ->
-      """WITH ch AS (
-        |  SELECT c_custkey AS key,
-        |         CASE WHEN c_custkey % 10 = 3 THEN 'U' ELSE 'D' END AS op,
-        |         round(c_acctbal + 100, 2) AS new_bal
-        |  FROM customer WHERE c_custkey % 10 IN (3, 7)
-        |  UNION ALL
-        |  SELECT c_custkey + 10000000, 'I', 0.0
-        |  FROM customer WHERE c_custkey % 10 = 1),
-        |snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
-        |survivors AS (
-        |  SELECT snap.key,
-        |         CASE WHEN ch.op = 'U' THEN ch.new_bal ELSE snap.bal END AS bal
-        |  FROM snap LEFT JOIN ch ON snap.key = ch.key
-        |  WHERE ch.op IS NULL OR ch.op <> 'D'),
-        |ins AS (
-        |  SELECT ch.key, ch.new_bal AS bal FROM ch
-        |  WHERE ch.op = 'I'
-        |    AND NOT EXISTS (SELECT 1 FROM snap WHERE snap.key = ch.key))
-        |SELECT * FROM survivors UNION ALL SELECT * FROM ins ORDER BY key""".stripMargin,
+    "q_merge_on_read" -> mergeOracle,
+    "q_merge_upsert" -> mergeOracle,
     "q_histogram" ->
       """WITH b AS (
         |  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 30000.0), 0.0),

@@ -404,10 +404,14 @@ object Dedup {
     * reports its worst-matching eval doc with the agreement-estimated
     * Jaccard.
     *
-    * Shape at 100 TB: band keys of the benchmark side are eval-sized
-    * — broadcastable — so the train signature stream never shuffles
-    * against itself; work is Σ |train_band| × |eval_band|, bounded by
-    * the tiny side exactly like [[decontaminate]]'s shingle join.
+    * Shape at 100 TB: a REAL eval table is benchmark-sized (KBs–MBs
+    * of signatures) and AQE broadcast-converts it, so the train
+    * signature stream never shuffles against itself; work is
+    * Σ |train_band| × |eval_band|, bounded by the tiny side exactly
+    * like [[decontaminate]]'s shingle join. No broadcast hint here:
+    * the modulo-derived eval STAND-IN scales with the corpus (1/50
+    * of it), so forcing a broadcast would blow the 8 GB limit on a
+    * large run — the join strategy is left to size-based planning.
     */
   def decontaminateNearDup(documents: DataFrame, evalModulo: Int = 50,
                            shingleK: Int = 5, numHashes: Int = 16,
@@ -418,7 +422,7 @@ object Dedup {
       col("doc_id"), col("signature").as("sig_t"))
     val eval_ = banded.filter(isEval).select(col("band_idx"), col("band_key"),
       col("doc_id").as("eval_id"), col("signature").as("sig_e"))
-    train.join(broadcast(eval_), Seq("band_idx", "band_key"))
+    train.join(eval_, Seq("band_idx", "band_key"))
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_t"), col("sig_e"), (x, y) => x === y), bEq => bEq))
           .cast("double") / numHashes, 6))

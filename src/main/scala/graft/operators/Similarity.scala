@@ -251,7 +251,8 @@ object Similarity {
     // recall denominator is the constant k (matching the oracle SQL), NOT
     // the per-query exact result count: on a corpus with <= k non-self
     // vectors the two diverge, and recall@k is conventionally out-of-k.
-    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    // The distinct enumerates qids so zero-hit queries still emit a row.
+    exact.select("qid").distinct()
       .join(hits, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -165,7 +165,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("languageIdRelational matches the mapPartitions fast path row-for-row") {
     val docs = Tables.documents(spark, sf0001)
     // the relational twin scores only its deterministic modulo-sample
-    // (doc_id % 4 == 1); the fast path restricted to the same docs
+    // (doc_id % 8 == 1); the fast path restricted to the same docs
     // must agree exactly — profile training sees the full train split
     // in both, so any profile divergence would surface here too.
     val fast = TextAnalysis.languageId(docs).collect()

@@ -132,8 +132,10 @@ class EventStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.table("hll_window_test")
         .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      // floor-division bucketing (tsBucket), not `div` — window() floors,
+      // and truncation would diverge on any pre-1970 fixture event
       val exact = graft.operators.EventOps.withTsUs(batchDf)
-        .select((expr("ts_us div 3600000000") * 3600000000L).as("hour_us"),
+        .select((graft.operators.EventOps.tsBucket(3600000000L) * 3600000000L).as("hour_us"),
           col("event_type"), col("user_id"))
         .groupBy("hour_us", "event_type")
         .agg(countDistinct("user_id").as("n"))
