@@ -234,6 +234,7 @@ object SparkEntry {
     "text_lang_id_rel" -> ((s, d) => TextAnalysis.languageIdRelational(Tables.documents(s, d))),
     "text_top_words" -> ((s, d) => TextAnalysis.topWords(Tables.documents(s, d))),
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, d))),
+    "text_heavy_tokens" -> ((s, d) => TextAnalysis.heavyHitterTokens(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "text_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "text_dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
@@ -964,6 +965,12 @@ object SparkEntry {
         |FROM e JOIN cent c USING (label)
         |WHERE round(list_cosine_similarity(e.v, c.centroid), 6) < 0.2
         |ORDER BY label, vec_id""".stripMargin,
+    "text_heavy_tokens" ->
+      """SELECT tok AS token, count(*) AS est_n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |WHERE length(tok) > 0
+        |GROUP BY 1 HAVING count(*) >= 100
+        |ORDER BY est_n DESC, token""".stripMargin,
     "text_bpe_merges" ->
       """WITH w AS (SELECT word, count(*) AS n FROM (
         |             SELECT unnest(string_split(lower(text), ' ')) AS word

@@ -132,11 +132,14 @@ object Aggregators {
     * entry ever occupies a slot and the summary state is bit-for-bit
     * the classic MG state at every step.
     */
-  class MisraGries(capacity: Int)
-      extends Aggregator[Long, (Long, Long, Map[Long, Long]), Seq[(Long, Long)]] {
-    type Buf = (Long, Long, Map[Long, Long]) // (offset, minRaw, raw counters)
+  class MisraGriesOf[K](capacity: Int)(implicit
+      ord: Ordering[K],
+      bufEnc: Encoder[(Long, Long, Map[K, Long])],
+      outEnc: Encoder[Seq[(K, Long)]])
+      extends Aggregator[K, (Long, Long, Map[K, Long]), Seq[(K, Long)]] {
+    type Buf = (Long, Long, Map[K, Long]) // (offset, minRaw, raw counters)
     override def zero: Buf = (0L, Long.MaxValue, Map.empty)
-    override def reduce(b: Buf, key: Long): Buf = {
+    override def reduce(b: Buf, key: K): Buf = {
       val (off, mn, m) = b
       m.get(key) match {
         case Some(raw) => (off, mn, m.updated(key, raw + 1))
@@ -155,7 +158,7 @@ object Aggregators {
       }
     }
     override def merge(a: Buf, b: Buf): Buf = {
-      def effective(x: Buf): Map[Long, Long] =
+      def effective(x: Buf): Map[K, Long] =
         x._3.map { case (k, raw) => k -> (raw - x._1) }
       val combined = effective(b).foldLeft(effective(a)) { case (acc, (k, n)) =>
         acc.updated(k, acc.getOrElse(k, 0L) + n)
@@ -171,14 +174,21 @@ object Aggregators {
       val mn = if (kept.isEmpty) Long.MaxValue else kept.values.min
       (0L, mn, kept)
     }
-    override def finish(b: Buf): Seq[(Long, Long)] = {
+    override def finish(b: Buf): Seq[(K, Long)] = {
       val (off, _, m) = b
       m.toSeq.map { case (k, raw) => (k, raw - off) }
         .sortBy { case (k, n) => (-n, k) }
     }
-    override def bufferEncoder: Encoder[Buf] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
-    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def bufferEncoder: Encoder[Buf] = bufEnc
+    override def outputEncoder: Encoder[Seq[(K, Long)]] = outEnc
   }
+
+  /** The Long-keyed instantiation every existing call site uses (hot
+    * users); [[MisraGriesOf]] carries the algorithm for any key type
+    * with an Encoder + Ordering — e.g. String for hot domains/sources.
+    */
+  class MisraGries(capacity: Int) extends MisraGriesOf[Long](capacity)(
+    Ordering[Long],
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Map[Long, Long])](),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]())
 }

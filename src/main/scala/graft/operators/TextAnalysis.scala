@@ -318,6 +318,33 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("word"))
       .limit(n)
 
+  /** Heavy-hitter tokens via the string-keyed
+    * [[graft.functions.Aggregators.MisraGriesOf]] summary: "which
+    * tokens dominate this corpus" in ONE pass with O(capacity) state
+    * per partition — the profile you run before stop-word lists,
+    * boilerplate detection, or vocabulary caps, on a token space too
+    * large to groupBy exactly. Same bounded-summary machinery as the
+    * Long-keyed hot-user op ([[graft.operators.EventOps.heavyHitterUsers]]);
+    * on the testdata capacity ≥ |vocab| so estimates are exact and
+    * the plain GROUP BY oracle pins the whole path.
+    */
+  def heavyHitterTokens(documents: DataFrame, capacity: Int = 1024,
+                        minCount: Long = 100): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val mg = udaf(new graft.functions.Aggregators.MisraGriesOf[String](capacity)(
+      Ordering[String],
+      ExpressionEncoder[(Long, Long, Map[String, Long])](),
+      ExpressionEncoder[Seq[(String, Long)]]()))
+    documents
+      .select(explode(split(lower(col("text")), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(mg(col("tok")).as("hh"))
+      .select(explode(col("hh")).as("p"))
+      .select(col("p._1").as("token"), col("p._2").as("est_n"))
+      .filter(col("est_n") >= minCount)
+      .orderBy(desc("est_n"), col("token"))
+  }
+
   /** BPE merge candidates: corpus-wide counts of adjacent
     * character-pair occurrences within words — the statistic the
     * first iteration of byte-pair-encoding vocabulary induction

@@ -247,6 +247,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map("s0" -> (1L, 0.0), "s1" -> (1L, 1.0)), out.toString)
   }
 
+  test("heavyHitterTokens: string-keyed Misra-Gries is exact in the capacity >= vocab regime") {
+    val d = Seq(
+      (1L, ("hot " * 120).trim),
+      (2L, ("hot " * 30).trim + " " + ("warm " * 110).trim),
+      (3L, "cold rare words only"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitterTokens(d, capacity = 16, minCount = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("hot" -> 150L, "warm" -> 110L), out.toSeq.toString)
+  }
+
   test("bpeMergeCandidates: pair counts weight by word frequency; top pair is the BPE merge") {
     val d = Seq(
       (1L, "low low low lower"),   // "lo","ow" x4; "we","er" x1
