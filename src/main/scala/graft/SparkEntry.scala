@@ -178,6 +178,7 @@ object SparkEntry {
       EventOps.eventsBySegment(Tables.events(s, d), Tables.customer(s, d))),
     "ev_hour_pivot" -> ((s, d) => EventOps.hourOfDayPivot(Tables.events(s, d))),
     "ev_funnel" -> ((s, d) => EventOps.viewToPurchaseFunnel(Tables.events(s, d))),
+    "ev_attribution" -> ((s, d) => EventOps.lastTouchAttribution(Tables.events(s, d))),
     "ev_props_json" -> ((s, d) => EventOps.propsJson(Tables.events(s, d))),
     "ev_props_variant" -> ((s, d) => EventOps.propsVariant(Tables.events(s, d))),
     "q_sql_udf" -> ((s, d) => Relational.sqlUdfRevenue(Tables.lineitem(s, d))),
@@ -199,6 +200,9 @@ object SparkEntry {
       Dedup.ngramContainmentPairs(Tables.documents(s, d))),
     // md5-seeded oracle twins of the xxhash64 fast paths (hash-checkable end-to-end)
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d))),
+    "dedup_minhash_est_error" -> ((s, d) => Dedup.minhashEstErrorMd5(Tables.documents(s, d))),
+    "dedup_pagerank" -> ((s, d) =>
+      operators.Graph.pageRank(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -226,6 +230,7 @@ object SparkEntry {
         nTables = 4, bitsPerTable = 8)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     "sim_outliers" -> ((s, d) => Similarity.labelOutliers(Tables.embeddings(s, d))),
+    "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
     // --- text analysis ---
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
@@ -235,6 +240,9 @@ object SparkEntry {
     "text_top_words" -> ((s, d) => TextAnalysis.topWords(Tables.documents(s, d))),
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, d))),
     "text_heavy_tokens" -> ((s, d) => TextAnalysis.heavyHitterTokens(Tables.documents(s, d))),
+    "text_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(Tables.documents(s, d))),
+    "text_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d))),
+    "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "text_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "text_dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
@@ -328,6 +336,78 @@ object SparkEntry {
        |  FROM pairs) q
        |WHERE est_jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Estimator-audit oracle: the [[minhashMd5Oracle]] pair chain plus
+    * exact distinct-shingle Jaccard from the `shl` lists
+    * (`list_intersect`), with the same rounded-then-differenced
+    * arithmetic the Spark op applies.
+    */
+  private def minhashEstErrorOracle: String = {
+    val n = 16
+    s"""WITH ${minhashPairCtes("documents")},
+       |e2 AS (SELECT * FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(len(list_filter(range(1, ${n + 1}), i -> sa[i] = sb[i])) / $n.0, 6) AS est_jaccard
+       |  FROM pairs) q WHERE est_jaccard >= 0.5),
+       |tj AS (SELECT e2.doc_a, e2.doc_b, e2.est_jaccard,
+       |              len(list_intersect(a.shs, b.shs)) AS inter,
+       |              len(a.shs) AS na, len(b.shs) AS nb
+       |       FROM e2 JOIN shl a ON e2.doc_a = a.doc_id
+       |                JOIN shl b ON e2.doc_b = b.doc_id),
+       |tr AS (SELECT doc_a, doc_b, est_jaccard,
+       |              CASE WHEN inter > 0
+       |                   THEN round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+       |                   ELSE 0.0 END AS true_jaccard
+       |       FROM tj)
+       |SELECT doc_a, doc_b, est_jaccard, true_jaccard,
+       |       round(abs(est_jaccard - true_jaccard), 6) AS abs_err
+       |FROM tr ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** PageRank oracle: the dedup_ngram_jaccard pair CTEs as the edge
+    * list, then `iters` unrolled power-iteration steps — each the
+    * same (1−d)/N + d·Σ pr/deg expression tree Spark evaluates, so
+    * doubles round identically at 6 decimals.
+    */
+  private def pagerankOracle(iters: Int = 3): String = {
+    def step(prev: String, out: String) =
+      s"""$out AS (SELECT nd.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.in_sum, 0.0) AS pr
+         |       FROM nodes nd CROSS JOIN nn
+         |       LEFT JOIN (SELECT e.dst AS node, sum(p.pr / deg.deg) AS in_sum
+         |                  FROM e JOIN $prev p ON e.src = p.node
+         |                         JOIN deg ON e.src = deg.src
+         |                  GROUP BY 1) s ON nd.node = s.node)""".stripMargin
+    val steps = (1 to iters).map(i => step(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+      .mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CAST(len(shs) AS INTEGER) AS n_sh, unnest(shs) AS sh FROM (
+       |    SELECT doc_id,
+       |           list_distinct(CASE WHEN len(ws) >= 5
+       |             THEN list_transform(range(0, len(ws)-5+1),
+       |                    i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
+       |             ELSE [] END) AS shs
+       |    FROM w) t),
+       |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+       |c AS (SELECT s.doc_id, s.n_sh, s.sh FROM sh s JOIN rare USING (sh)),
+       |p0 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+       |  FROM c a JOIN c b USING (sh)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1,2,3,4),
+       |pp AS (SELECT doc_a, doc_b FROM (
+       |  SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+       |  FROM p0) q WHERE jaccard >= 0.2),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+       |      UNION SELECT doc_b, doc_a FROM pp),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, round(pr, 6) AS pagerank FROM it$iters ORDER BY node""".stripMargin
   }
 
   /** Shared oracle for BOTH merge paths (q_merge_upsert writes the
@@ -911,6 +991,8 @@ object SparkEntry {
         |WHERE d.doc_id % 8 = 1
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
+    "dedup_minhash_est_error" -> minhashEstErrorOracle,
+    "dedup_pagerank" -> pagerankOracle(),
     "dedup_decon_neardup" -> deconNearDupOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "dedup_groups_md5" -> groupsMd5Oracle,
@@ -1355,6 +1437,22 @@ object SparkEntry {
         |                  AND ts_us - last_view_us <= 3600000000 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_converted,
         |       CAST(coalesce(sum(CASE WHEN last_view_us IS NULL THEN 1 ELSE 0 END),0) AS BIGINT) AS n_no_prior_view
         |FROM lastv""".stripMargin,
+    "ev_attribution" ->
+      """WITH g AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |p AS (SELECT user_id, event_type, value, ts_us,
+        |             last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END IGNORE NULLS)
+        |               OVER w AS prev_us,
+        |             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |               OVER w AS prev_type
+        |      FROM g
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |conv AS (SELECT CASE WHEN prev_us IS NOT NULL AND ts_us - prev_us <= 1800000000
+        |                     THEN prev_type ELSE 'direct' END AS channel, value
+        |         FROM p WHERE event_type = 'purchase')
+        |SELECT channel, count(*) AS n_conversions, round(sum(value), 4) AS total_value
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_interval_join" ->
       """WITH e AS (SELECT event_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
@@ -1473,6 +1571,19 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
         |       event_type, count(*) AS n, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // bruteforce shape with a label-mismatch filter before ranking
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, label AS cl, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings),
+        |     s AS (SELECT qid, cid, round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        |           FROM q CROSS JOIN c WHERE ql <> cl),
+        |     r AS (SELECT qid, cid, cos_sim,
+        |                  CAST(row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, cid) AS INTEGER) AS rnk
+        |           FROM s)
+        |SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),
@@ -1756,6 +1867,53 @@ object SparkEntry {
         |       target_share,
         |       round(target_share / (n_docs / n_total), 6) AS weight
         |FROM t ORDER BY lang""".stripMargin,
+    // same tokenization + bigram CTEs as text_bigram_logprob; PMI
+    // formula written as the identical double expression tree Spark
+    // evaluates so ln/round match bit-for-bit.
+    "text_pmi_bigrams" ->
+      """WITH t AS (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |           FROM documents),
+        |uni AS (SELECT unnest(ws) AS w FROM t),
+        |cu AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+        |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |       FROM t, unnest(range(1, len(ws))) AS r(i)
+        |       WHERE len(ws) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+        |ntok AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok FROM cu),
+        |nbi AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM cb)
+        |SELECT w1, w2, n_ab,
+        |       round(ln((CAST(n_ab AS DOUBLE) / n_bi) /
+        |             ((CAST(u1.cw AS DOUBLE) / n_tok) * (CAST(u2.cw AS DOUBLE) / n_tok))), 6)
+        |         AS pmi
+        |FROM cb
+        |JOIN cu u1 ON cb.w1 = u1.w
+        |JOIN cu u2 ON cb.w2 = u2.w
+        |CROSS JOIN ntok CROSS JOIN nbi
+        |WHERE n_ab >= 5
+        |ORDER BY w1, w2""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH head AS (
+        |  SELECT w, cnt FROM (
+        |    SELECT word AS w, count(*) AS cnt FROM (
+        |      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+        |    WHERE length(word) > 0 GROUP BY 1)
+        |  ORDER BY cnt DESC, w LIMIT 1000),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM head)
+        |SELECT round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+        |         AS zipf_slope,
+        |       round(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+        |         AS zipf_intercept,
+        |       count(*) AS n_terms
+        |FROM r""".stripMargin,
+    "text_inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+        |       WHERE length(term) > 0 GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin,
     "text_bigram_logprob" ->
       """WITH t AS (SELECT doc_id,
         |            list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws

@@ -639,6 +639,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash estimator audit: for every banded candidate pair, the
+    * signature-agreement Jaccard ESTIMATE next to the exact
+    * distinct-shingle Jaccard and their absolute error — the
+    * "measure, don't guess" report that calibrates signature width /
+    * band count before a 100 TB dedup run (Broder's bound: stderr ≈
+    * √(J(1−J)/numHashes), so 16 hashes ⇒ ±0.125 at J=0.5; this op
+    * shows the realized error on YOUR corpus).
+    *
+    * Scale shape: candidates come from the banded LSH join (never
+    * all pairs); the exact-Jaccard leg restricts the shingle table to
+    * candidate docs FIRST (distinct-id hash join — candidate sets are
+    * pair-bounded), so the quadratic truth computation touches only
+    * what LSH surfaced. Pairs sharing no shingle define truth = 0.
+    */
+  def minhashEstErrorMd5(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 16,
+                         bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDupsMd5(documents, shingleK, numHashes, bands, threshold)
+    val sets = explodedShingles(documents, shingleK)
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("sh"))
+    val docsIn = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sub = sets.join(docsIn, Seq("doc_id"))
+    val a = sub.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+    val b = sub.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+    val truth = pairs.select("doc_a", "doc_b")
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("true_jaccard"))
+    pairs.join(truth, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        coalesce(col("true_jaccard"), lit(0.0)).as("true_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("true_jaccard")), 6))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Oracle twin of [[simhash]]: 32-bit fingerprint, md5 token hash.
     * Explode tokens → 32 vote sums in one partial-agg shuffle →
     * Σ 2^bit. (The 32-wide generated aggregate is fine here; the

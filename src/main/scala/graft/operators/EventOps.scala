@@ -250,6 +250,39 @@ object EventOps {
           .as("n_no_prior_view"))
   }
 
+  /** Last-touch attribution: every purchase is credited to the most
+    * recent preceding non-purchase event of the same user within
+    * `lookbackMin` (else the "direct" bucket), then conversions and
+    * value are rolled up per attributed channel — the marketing
+    * attribution report every event pipeline ships.
+    *
+    * Shape: one user-partitioned window (two `last(..., ignoreNulls)`
+    * calls over the SAME frame share one WindowExec, ordered by
+    * (ts_us, event_id) so same-microsecond events resolve identically
+    * on any engine), then a channel-cardinality groupBy. No
+    * unpartitioned window, no driver logic; user partitions are the
+    * natural high-cardinality key at 100 TB.
+    */
+  def lastTouchAttribution(events: DataFrame, lookbackMin: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lookUs = lookbackMin.toLong * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withTsUs(events)
+      .withColumn("prev_us",
+        last(when(col("event_type") =!= "purchase", col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("prev_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("value"),
+        when(col("prev_us").isNotNull && col("ts_us") - col("prev_us") <= lookUs,
+          col("prev_type")).otherwise(lit("direct")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"), round(sum("value"), 4).as("total_value"))
+      .orderBy("channel")
+  }
+
   /** Pivot: event counts per hour-of-day × event_type (explicit value
     * list so the output schema is static — required for both
     * determinism and sane planning; never pivot on unbounded

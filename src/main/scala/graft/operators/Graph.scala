@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists the dedup/similarity operators
+  * emit (near-dup pairs, kNN adjacency). Complements the
+  * connected-components resolver ([[Dedup.connectedGroups]]): CC
+  * answers "which docs form one group", centrality answers "which doc
+  * REPRESENTS the group / how load-bearing is this node".
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over an undirected pair list — the
+    * centrality score used to pick canonical representatives inside
+    * near-dup clusters and to weight hub documents in link/similarity
+    * graphs (Page et al. 1999; fixed iteration count is the standard
+    * batch formulation — rank mass converges geometrically, and a
+    * FIXED count keeps the result deterministic and oracle-checkable,
+    * unlike run-to-tolerance).
+    *
+    * Per iteration: one hash join (edges × current ranks, both keyed
+    * on the node id) and one partial-agg shuffle summing incoming
+    * contributions — the standard MapReduce-PageRank shape, O(|E|)
+    * per round with no driver-side data movement. `checkpoint` (same
+    * pluggable hook as [[Dedup.connectedGroups]]) materializes the
+    * edge list once and each round's rank table, cutting lineage so
+    * the plan stays flat; node count rides a 1-row broadcast cross
+    * join (the audited scalar pattern). Dangling nodes cannot exist
+    * here: every node of an undirected pair list has out-degree ≥ 1.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85,
+               checkpoint: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val edges = checkpoint(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nN = nodes.agg(count(lit(1)).as("n"))
+    var pr = checkpoint(nodes.crossJoin(broadcast(nN))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"), col("n")))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("in_sum"))
+      pr = checkpoint(pr.select(col("node"), col("n"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / col("n") +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("pr"),
+          col("n")))
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("pagerank")).orderBy("node")
+  }
+}

@@ -129,6 +129,32 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each query vector, the k most-similar corpus vectors whose LABEL
+    * differs — the near-misses a retrieval or classification model
+    * must learn to separate (the in-batch-negatives upgrade every
+    * dense-retrieval recipe ships, e.g. DPR/ANCE-style training).
+    *
+    * Same scale shape as [[bruteForceTopK]]: the query set is
+    * broadcast, the corpus streams map-only through scoring, and the
+    * label-mismatch filter runs before the bounded-heap top-k, so the
+    * exchange carries ≤ n_partitions × k candidates per query. At
+    * 100 TB swap the scored stream for [[ivfAssign]]-probed cells —
+    * the filter and finisher are unchanged.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val corpus = embeddings.select(col("vec_id").as("cid"), col("label").as("cl"),
+      asDouble(col("embedding")).as("cv"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("ql"), asDouble(col("embedding")).as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("cl") =!= col("ql"))
+      .select(col("qid"), col("cid"),
+        round(VectorFunctions.cosineSim(col("qv"), col("cv")), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic IVF seed centroids: the embeddings of the `nCells`
     * lowest vec_ids (a fixed, reproducible starting point;
     * [[trainCentroids]] refines them with k-means).

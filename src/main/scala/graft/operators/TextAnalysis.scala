@@ -376,6 +376,112 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Collocation mining via pointwise mutual information: which
+    * adjacent word pairs co-occur far more than chance — the phrase /
+    * multi-word-expression detector (Church & Hanks 1990) used to
+    * protect collocations ("new york", "machine learning") during
+    * tokenization and to build phrase vocabularies.
+    *
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) from the bigram
+    * table and p(·) from the unigram table. Low-count pairs are
+    * noise-dominated (PMI's known bias), so only pairs with
+    * ≥ `minCount` occurrences are scored.
+    *
+    * Shape at 100 TB: bigram extraction is the same zip-of-slices map
+    * stage as [[bigramLogProb]]; bigram and unigram counts are one
+    * partial-agg shuffle each (vocabulary-sized); the two corpus
+    * totals are 1-row aggregates broadcast by cross join (the audited
+    * scalar pattern); scoring joins the FILTERED bigram table (≥
+    * minCount — far smaller than the full bigram vocabulary) against
+    * the unigram table twice, both vocabulary-keyed hash joins.
+    */
+  def pmiBigrams(documents: DataFrame, minCount: Int = 5): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws0"))
+      .select(col("doc_id"), filter(col("ws0"), w => length(w) > 0).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val nTok = uni.agg(sum("cw").as("n_tok"))
+    val nBi = bi.agg(sum("n_ab").as("n_bi"))
+    bi.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("cw1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log((col("n_ab").cast("double") / col("n_bi")) /
+          ((col("cw1").cast("double") / col("n_tok")) *
+            (col("cw2").cast("double") / col("n_tok")))), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
+  /** Zipf-law fit over the frequency head: regression slope of
+    * ln(count) on ln(rank) for the top-`topN` tokens — the one-number
+    * corpus health check (natural text ≈ −1; flat slopes flag
+    * templated/boilerplate corpora, steep ones flag tiny vocabularies).
+    *
+    * Shape at 100 TB: token counts are one vocabulary-sized shuffle
+    * with map-side combine; the head is a TakeOrderedAndProject
+    * (per-partition heaps, no global sort); ranking is a window over
+    * the ≤ topN pre-cut rows (bounded by construction — same audited
+    * shape as `q_pareto_share`); the regression is a single tiny
+    * aggregate.
+    */
+  def zipfSlope(documents: DataFrame, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val head = documents
+      .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(topN)
+    head
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      .agg(
+        round(regr_slope(log(col("cnt").cast("double")), log(col("rank").cast("double"))), 4)
+          .as("zipf_slope"),
+        round(regr_intercept(log(col("cnt").cast("double")), log(col("rank").cast("double"))), 4)
+          .as("zipf_intercept"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** Inverted index build: per term, document frequency, total term
+    * frequency, and the posting list `doc:tf,...` sorted by doc_id —
+    * the search/retrieval-side artifact of a curation pipeline (BM25
+    * serving, decontamination lookups, quality-term audits).
+    * Singleton terms (df < `minDf`) are dropped — they dominate the
+    * vocabulary but serve no retrieval purpose here.
+    *
+    * Shape at 100 TB: (term, doc) term frequencies are one partial-agg
+    * shuffle; list assembly is one groupBy(term) whose skew ceiling is
+    * the stop-word problem — for production the heavy tail is sharded
+    * as (term, doc_id mod S) posting segments (same rows, S bounded
+    * lists per term); here the single-list form is kept so the oracle
+    * can pin the exact assembly. `array_sort` on (doc_id, tf) structs
+    * makes the list order deterministic regardless of arrival order.
+    */
+  def invertedIndex(documents: DataFrame, minDf: Int = 2): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("total_tf"),
+        array_join(transform(col("ps"),
+          p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))), ",").as("postings"))
+      .orderBy("term")
+  }
+
   /** Language ID via corpus-trained character-trigram profiles.
     *
     * Train (distributed): explode a deterministic 1-in-`trainModulo`

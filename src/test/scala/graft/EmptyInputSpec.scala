@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Graph, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -101,5 +101,12 @@ class EmptyInputSpec extends SparkSpec {
     val noLineitem = Seq.empty[(Long, Double, String, java.sql.Date)]
       .toDF("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
     assert(Relational.columnProfileApprox(noLineitem).count() == 0)
+    assert(TextAnalysis.pmiBigrams(noDocs).count() == 0)
+    assert(TextAnalysis.invertedIndex(noDocs).count() == 0)
+    assert(TextAnalysis.zipfSlope(noDocs).count() == 1) // 1-row report, null slope
+    assert(Similarity.hardNegatives(noEmb).count() == 0)
+    assert(Dedup.minhashEstErrorMd5(noDocs).count() == 0)
+    assert(Graph.pageRank(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    assert(EventOps.lastTouchAttribution(noEvents).count() == 0)
   }
 }

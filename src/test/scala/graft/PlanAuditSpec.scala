@@ -20,6 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_bigram_logprob", // V (1 row) × context-vocabulary table
     "text_unigram_logprob", // corpus-token total (1 row) × vocabulary table — replaces the old single-partition window
     "text_vocab_growth",   // bucket width (1-row max aggregate) × corpus — O(1) per row
+    "text_pmi_bigrams",    // n_tok / n_bi (two 1-row aggregates) × the minCount-filtered bigram table
+    "sim_hard_negatives",  // corpus streams × broadcast(nQueries=10 labeled vectors) — same bound as sim_bruteforce_topk
     "sim_bruteforce_topk", // corpus streams × broadcast(nQueries=10 vectors) — scoring fan-out bounded by |Q|
     "sim_ivf_topk",        // same broadcast query set, candidates pre-pruned to probed cells
     "sim_ivf_topk_seed",   // iters=0 oracle twin of the same path (broadcast 16 centroids)
@@ -40,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_pareto_share",    // TakeOrderedAndProject(topN=25) precedes the window
     "text_mix_weights",  // window input is the per-LANGUAGE aggregate (|langs| rows)
     "text_mix_resample", // broadcasts text_mix_weights' |langs|-row table; same window
-    "text_vocab_growth"  // cumulative sums over the BUCKET table (nBuckets rows)
+    "text_vocab_growth", // cumulative sums over the BUCKET table (nBuckets rows)
+    "text_zipf_slope"    // ranking window input is the limit(topN=1000) frequency head
   )
 
   private def windowPartitionSpecs(

@@ -288,4 +288,17 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rate.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
   }
+
+  test("minhashEstErrorMd5: identical docs show zero estimator error; err is |est-true|") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> t, 2L -> t,
+      3L -> "completely different text that shares nothing at all with those")
+    val out = Dedup.minhashEstErrorMd5(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.contains((1L, 2L)), out.keySet.toString)
+    assert(out((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // the reported error column is exactly |est - true| for every audited pair
+    out.values.foreach { case (e, tr, er) => assert(math.abs(er - math.abs(e - tr)) < 1e-9) }
+  }
 }

@@ -211,4 +211,19 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getString(0) == "view" && r.getLong(1) == us("2024-01-01 09:00:00") &&
       r.getLong(2) == 19L && r.getDouble(4) == 2.846)
   }
+
+  test("lastTouchAttribution: last touch within lookback wins, stale/absent goes direct") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 10:10:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:20:00", 1L, "purchase", 50.0), // view 10 min earlier → view
+      (4L, "2024-01-01 12:00:00", 1L, "purchase", 30.0), // last touch 110 min ago → direct
+      (5L, "2024-01-01 09:00:00", 2L, "purchase", 20.0)) // no prior event → direct
+    val events = rows.toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.lastTouchAttribution(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("view" -> ((1L, 50.0)), "direct" -> ((2L, 50.0))), out.toString)
+  }
 }

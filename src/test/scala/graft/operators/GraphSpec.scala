@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: star center dominates; total rank mass is conserved") {
+    // star: 0-1, 0-2, 0-3, 0-4 (undirected)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("doc_a", "doc_b")
+    val pr = Graph.pageRank(pairs, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 5)
+    val leaves = (1L to 4L).map(pr)
+    assert(leaves.distinct.size == 1, "symmetric leaves must score identically")
+    assert(pr(0L) > leaves.head * 2, s"center ${pr(0L)} vs leaf ${leaves.head}")
+    // PageRank over a graph with no dangling mass sums to 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4, pr.values.sum.toString)
+  }
+
+  test("pageRank: disconnected pairs score by local degree only, deterministically") {
+    val pairs = Seq((10L, 11L), (20L, 21L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val run1 = Graph.pageRank(pairs, iters = 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val run2 = Graph.pageRank(pairs, iters = 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(run1.sameElements(run2), "fixed-iteration PageRank must be run-stable")
+    val m = run1.toMap
+    // the 10-11 pair exchanges rank symmetrically
+    assert(m(10L) == m(11L))
+    // hub 20 collects from two leaves, beats them
+    assert(m(20L) > m(21L) && m(21L) == m(22L))
+  }
+}

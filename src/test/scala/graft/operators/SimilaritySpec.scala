@@ -224,4 +224,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.knnGraph(e, k = 3, samplePct = 40).collect().map(_.getLong(0)).distinct
       .sameElements(sub))
   }
+
+  test("hardNegatives: same-label near-misses are excluded, cross-label ranked") {
+    import spark.implicits._
+    // query 0 (label 0): its nearest vector 1 SHARES the label and must
+    // not appear; the best cross-label vector is the true hard negative
+    val e = Seq(
+      (0L, Array.fill(8)(1.0f), 0),
+      (1L, Array.tabulate(8)(j => if (j == 0) 0.99f else 1.0f), 0), // near-identical, same label
+      (2L, Array.tabulate(8)(j => if (j < 6) 1.0f else 0.0f), 1),   // closest other-label
+      (3L, Array.tabulate(8)(j => if (j < 2) 1.0f else 0.0f), 1),
+      (4L, Array.tabulate(8)(j => if (j % 2 == 0) 1.0f else -1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(e, k = 2, nQueries = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._1).forall(_ == 0L))
+    assert(!out.map(_._3).contains(1L), "same-label vector leaked into the negatives")
+    assert(out.head == ((0L, 1, 2L)), out.mkString(","))
+    assert(out.length == 2)
+  }
 }

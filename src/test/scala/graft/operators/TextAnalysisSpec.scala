@@ -361,4 +361,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nIn == docs.count())
     assert(kept.length.toLong == nIn - nShort)
   }
+
+  test("pmiBigrams: exact PMI on a tiny corpus; chance-level pairs score ~0") {
+    // "a b" always adjacent (perfect collocation), "x y"/"y x" mixed
+    val d = Seq.tabulate(6)(i => (i.toLong, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiBigrams(d, minCount = 5).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // 12 tokens (6 a, 6 a b), 6 bigrams, all "a b":
+    // pmi = ln( (6/6) / ((6/12)*(6/12)) ) = ln 4
+    assert(out.keySet == Set(("a", "b")))
+    assert(out(("a", "b"))._1 == 6L)
+    assert(math.abs(out(("a", "b"))._2 - math.log(4.0)) < 1e-6)
+  }
+
+  test("zipfSlope: a planted power-law head fits slope -1") {
+    // word w_r appears round(1000/r) times => ln cnt = ln 1000 - ln r
+    val rows = (1 to 50).flatMap { r =>
+      val cnt = math.round(1000.0 / r).toInt
+      Seq.fill(cnt)(s"w${"%03d".format(r)}")
+    }
+    val d = Seq((1L, rows.mkString(" "))).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(d, topN = 50).collect().head
+    assert(row.getLong(2) == 50L)
+    assert(math.abs(row.getDouble(0) - (-1.0)) < 0.01, s"slope ${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - math.log(1000.0)) < 0.05,
+      s"intercept ${row.getDouble(1)}")
+  }
+
+  test("invertedIndex: postings sorted by doc_id, df filter drops singletons") {
+    val d = Seq((3L, "b a a"), (1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(d, minDf = 2).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "c" has df=1 → dropped; postings ordered by doc_id regardless of input order
+    assert(out.keySet == Set("a", "b"))
+    assert(out("a") == ((2L, 3L, "1:1,3:2")))
+    assert(out("b") == ((2L, 2L, "1:1,3:1")))
+  }
 }
