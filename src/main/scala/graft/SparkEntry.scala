@@ -179,6 +179,7 @@ object SparkEntry {
     "ev_hour_pivot" -> ((s, d) => EventOps.hourOfDayPivot(Tables.events(s, d))),
     "ev_funnel" -> ((s, d) => EventOps.viewToPurchaseFunnel(Tables.events(s, d))),
     "ev_attribution" -> ((s, d) => EventOps.lastTouchAttribution(Tables.events(s, d))),
+    "ev_rfm" -> ((s, d) => EventOps.rfm(Tables.events(s, d))),
     "ev_props_json" -> ((s, d) => EventOps.propsJson(Tables.events(s, d))),
     "ev_props_variant" -> ((s, d) => EventOps.propsVariant(Tables.events(s, d))),
     "q_sql_udf" -> ((s, d) => Relational.sqlUdfRevenue(Tables.lineitem(s, d))),
@@ -201,6 +202,8 @@ object SparkEntry {
     // md5-seeded oracle twins of the xxhash64 fast paths (hash-checkable end-to-end)
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d))),
     "dedup_minhash_est_error" -> ((s, d) => Dedup.minhashEstErrorMd5(Tables.documents(s, d))),
+    "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(Tables.documents(s, d))),
+    "dedup_boundary_overlap" -> ((s, d) => Dedup.boundaryOverlapPairs(Tables.documents(s, d))),
     "dedup_pagerank" -> ((s, d) =>
       operators.Graph.pageRank(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
@@ -241,6 +244,8 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, d))),
     "text_heavy_tokens" -> ((s, d) => TextAnalysis.heavyHitterTokens(Tables.documents(s, d))),
     "text_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(Tables.documents(s, d))),
+    "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d))),
+    "text_ppl_by_source" -> ((s, d) => TextAnalysis.pplBySource(Tables.documents(s, d))),
     "text_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d))),
     "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
@@ -363,6 +368,30 @@ object SparkEntry {
        |SELECT doc_a, doc_b, est_jaccard, true_jaccard,
        |       round(abs(est_jaccard - true_jaccard), 6) AS abs_err
        |FROM tr ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Cluster-report oracle: minhash banded pairs → recursive-CTE
+    * transitive closure (the [[dedupPipelineOracle]] machinery) →
+    * per-group size/representative/byte-mass aggregate.
+    */
+  private def clusterStatsOracle: String = {
+    val n = 16
+    s"""WITH RECURSIVE
+       |${minhashPairCtes("documents")},
+       |nd AS (SELECT doc_a, doc_b FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(len(list_filter(range(1, ${n + 1}), i -> sa[i] = sb[i])) / $n.0, 6) AS ej
+       |  FROM pairs) q WHERE ej >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS nb FROM nd UNION SELECT doc_b, doc_a FROM nd),
+       |reach(a, nb) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) seeds
+       |  UNION
+       |  SELECT r.a, e.nb FROM reach r JOIN edges e ON r.nb = e.a),
+       |grp AS (SELECT a AS doc_id, min(nb) AS group_id FROM reach GROUP BY 1)
+       |SELECT group_id, count(*) AS n_docs, min(doc_id) AS keep_id,
+       |       CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS total_chars
+       |FROM grp JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** PageRank oracle: the dedup_ngram_jaccard pair CTEs as the edge
@@ -993,6 +1022,15 @@ object SparkEntry {
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_minhash_est_error" -> minhashEstErrorOracle,
     "dedup_pagerank" -> pagerankOracle(),
+    "dedup_cluster_stats" -> clusterStatsOracle,
+    "dedup_boundary_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |h AS (SELECT doc_id AS doc_b, array_to_string(ws[1:4], ' ') AS boundary
+        |      FROM w WHERE len(ws) >= 4),
+        |t AS (SELECT doc_id AS doc_a, array_to_string(ws[-4:], ' ') AS boundary
+        |      FROM w WHERE len(ws) >= 4)
+        |SELECT doc_a, doc_b, boundary FROM t JOIN h USING (boundary)
+        |WHERE doc_a <> doc_b ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_decon_neardup" -> deconNearDupOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "dedup_groups_md5" -> groupsMd5Oracle,
@@ -1437,6 +1475,16 @@ object SparkEntry {
         |                  AND ts_us - last_view_us <= 3600000000 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_converted,
         |       CAST(coalesce(sum(CASE WHEN last_view_us IS NULL THEN 1 ELSE 0 END),0) AS BIGINT) AS n_no_prior_view
         |FROM lastv""".stripMargin,
+    "ev_rfm" ->
+      """WITH g AS (SELECT user_id, event_type, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |nw AS (SELECT max(ts_us) AS now_us FROM g),
+        |agg AS (SELECT user_id, max(ts_us) AS last_us, count(*) AS frequency,
+        |               round(sum(value), 4) AS monetary
+        |        FROM g WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT user_id, (nw.now_us - last_us) // 86400000000 AS recency_days,
+        |       frequency, monetary
+        |FROM agg CROSS JOIN nw ORDER BY user_id""".stripMargin,
     "ev_attribution" ->
       """WITH g AS (SELECT event_id, user_id, event_type, value,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
@@ -1867,6 +1915,47 @@ object SparkEntry {
         |       target_share,
         |       round(target_share / (n_docs / n_total), 6) AS weight
         |FROM t ORDER BY lang""".stripMargin,
+    // DSIR hashed-unigram importance ratio — same 28-bit md5 bucket
+    // trick as the minhash oracles; pt/pc assembled with the exact
+    // division tree Spark evaluates.
+    "text_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |                     unnest(string_split(lower(text), ' ')) AS w
+        |              FROM documents),
+        |t2 AS (SELECT doc_id, lang,
+        |              CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT) % 1024 AS b
+        |       FROM toks WHERE length(w) > 0),
+        |cc AS (SELECT b, count(*) AS cc FROM t2 GROUP BY 1),
+        |ct AS (SELECT b, count(*) AS ct FROM t2 WHERE lang = 'en' GROUP BY 1),
+        |nc AS (SELECT CAST(sum(cc) AS BIGINT) AS n_c FROM cc),
+        |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS n_t FROM ct),
+        |dist AS (SELECT cc.b,
+        |                CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (nt.n_t + 1024) AS pt,
+        |                CAST(cc.cc AS DOUBLE) / nc.n_c AS pc
+        |         FROM cc LEFT JOIN ct ON cc.b = ct.b CROSS JOIN nc CROSS JOIN nt)
+        |SELECT doc_id, count(*) AS n_toks,
+        |       round(avg(ln(pt / pc)), 6) AS avg_log_ratio
+        |FROM t2 JOIN dist ON t2.b = dist.b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-doc leg is the text_bigram_logprob oracle verbatim; rollup
+    // joins doc → source and averages the ROUNDED per-doc scores
+    // (matching the Spark composition exactly).
+    "text_ppl_by_source" ->
+      """WITH t AS (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |           FROM documents),
+        |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |       FROM t, unnest(range(1, len(ws))) AS r(i)
+        |       WHERE len(ws) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM cu),
+        |perdoc AS (SELECT doc_id, round(avg(ln((cb + 1) / (cu + v))), 6) AS avg_logp
+        |           FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+        |           GROUP BY 1)
+        |SELECT source, count(*) AS n_docs, round(avg(avg_logp), 6) AS mean_logp
+        |FROM perdoc JOIN documents USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same tokenization + bigram CTEs as text_bigram_logprob; PMI
     // formula written as the identical double expression tree Spark
     // evaluates so ln/round match bit-for-bit.

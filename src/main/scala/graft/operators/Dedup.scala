@@ -677,6 +677,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTER report: size, representative, and byte mass per
+    * connected group of the banded-MinHash pair graph — the summary a
+    * curation run reads before deleting anything ("how big are my dup
+    * clusters, how much storage do they hold"). Composes
+    * [[minhashNearDupsMd5]] → [[connectedGroups]] → one
+    * group-keyed aggregate joined to doc metadata (never the text).
+    * Docs in no pair are singleton groups by definition and excluded,
+    * matching [[connectedGroups]]' contract.
+    */
+  def clusterStats(documents: DataFrame): DataFrame = {
+    val groups = connectedGroups(minhashNearDupsMd5(documents))
+    groups.join(documents.select("doc_id", "n_chars"), Seq("doc_id"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("keep_id"),
+        coalesce(sum("n_chars"), lit(0L)).as("total_chars"))
+      .orderBy("group_id")
+  }
+
+  /** Boundary-overlap pairs: document A's last `w` words equal
+    * document B's first `w` words — the seam signature of content
+    * split across crawl segments or of chunked re-ingestion
+    * (contamination at chunk boundaries that whole-doc and
+    * shingle-set dedup both under-weight). One equi-join on the
+    * boundary key; at 100 TB key on a digest of the boundary string
+    * (same never-shuffle-text trick as [[exact]]).
+    */
+  def boundaryOverlapPairs(documents: DataFrame, w: Int = 4): DataFrame = {
+    val withWs = documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .filter(size(col("ws")) >= w)
+    val heads = withWs.select(col("doc_id").as("doc_b"),
+      array_join(slice(col("ws"), 1, w), " ").as("boundary"))
+    val tails = withWs.select(col("doc_id").as("doc_a"),
+      array_join(slice(col("ws"), -w, w), " ").as("boundary"))
+    tails.join(heads, Seq("boundary"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "boundary")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Oracle twin of [[simhash]]: 32-bit fingerprint, md5 token hash.
     * Explode tokens → 32 vote sums in one partial-agg shuffle →
     * Σ 2^bit. (The 32-wide generated aggregate is fine here; the

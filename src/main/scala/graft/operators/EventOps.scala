@@ -283,6 +283,29 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** RFM (recency / frequency / monetary) purchase profile per user —
+    * the classic customer-value segmentation input. Recency is whole
+    * days between the user's last purchase and the corpus watermark
+    * (max event time), carried as a 1-row broadcast scalar; the rest
+    * is one user-keyed partial aggregate. Map-side combine keeps the
+    * shuffle at |users|; no window, no driver logic.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val e = withTsUs(events)
+    val nowUs = e.agg(max("ts_us").as("now_us"))
+    e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max("ts_us").as("last_us"),
+        count(lit(1)).as("frequency"),
+        round(sum("value"), 4).as("monetary"))
+      .crossJoin(broadcast(nowUs))
+      .select(col("user_id"),
+        // non-negative diff: truncating div == floor == DuckDB `//`
+        expr("(now_us - last_us) div 86400000000").as("recency_days"),
+        col("frequency"), col("monetary"))
+      .orderBy("user_id")
+  }
+
   /** Pivot: event counts per hour-of-day × event_type (explicit value
     * list so the output schema is static — required for both
     * determinism and sane planning; never pivot on unbounded

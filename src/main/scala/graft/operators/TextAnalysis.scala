@@ -482,6 +482,65 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its HASHED-unigram distribution looks like
+    * a target slice (here: `targetLang` docs) versus the whole
+    * corpus — the feature-space importance ratio that drives
+    * quality-targeted resampling without training a model. Hashing
+    * tokens into `buckets` fixed cells is the paper's trick that
+    * bounds the model at B cells regardless of vocabulary size.
+    *
+    * weight(doc) = mean over tokens of ln( p_target(b) / p_corpus(b) )
+    * with add-1 smoothing on the target counts (unseen buckets must
+    * not produce −∞).
+    *
+    * Shape at 100 TB: token→bucket is a map stage (md5, no shuffle);
+    * both distributions are ≤ B-row aggregates; the B-row ratio table
+    * and the two 1-row totals are BROADCAST, so scoring is one
+    * map-side join over the token stream + a per-doc partial agg. No
+    * vocabulary-sized shuffle anywhere — that is the entire point of
+    * the hashing.
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+                  buckets: Int = 1024): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("b",
+        pmod(conv(substring(md5(col("w").cast("binary")), 1, 7), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val corpusCnt = toks.groupBy("b").agg(count(lit(1)).as("cc"))
+    val targetCnt = toks.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val nC = corpusCnt.agg(sum("cc").as("n_c"))
+    val nT = targetCnt.agg(coalesce(sum("ct"), lit(0L)).as("n_t"))
+    val dist = corpusCnt.join(targetCnt, Seq("b"), "left")
+      .crossJoin(broadcast(nC)).crossJoin(broadcast(nT))
+      .select(col("b"),
+        ((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("n_t") + buckets)).as("pt"),
+        (col("cc").cast("double") / col("n_c")).as("pc"))
+    toks.join(broadcast(dist), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(log(col("pt") / col("pc"))), 6).as("avg_log_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-LM fluency rolled up per source: the acquisition-level
+    * quality comparison ("which crawl/feed is garbled") on top of the
+    * per-doc [[bigramLogProb]] score. One extra broadcast-sized join
+    * (doc_id → source) and a |sources|-row aggregate.
+    */
+  def pplBySource(documents: DataFrame): DataFrame =
+    bigramLogProb(documents)
+      .join(documents.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("avg_logp"), 6).as("mean_logp"))
+      .orderBy("source")
+
   /** Language ID via corpus-trained character-trigram profiles.
     *
     * Train (distributed): explode a deterministic 1-in-`trainModulo`

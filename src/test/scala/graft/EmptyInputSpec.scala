@@ -108,5 +108,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.minhashEstErrorMd5(noDocs).count() == 0)
     assert(Graph.pageRank(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
     assert(EventOps.lastTouchAttribution(noEvents).count() == 0)
+    assert(TextAnalysis.dsirWeights(noDocs).count() == 0)
+    assert(TextAnalysis.pplBySource(noDocs).count() == 0)
+    assert(EventOps.rfm(noEvents).count() == 0)
+    assert(Dedup.clusterStats(noDocs).count() == 0)
+    assert(Dedup.boundaryOverlapPairs(noDocs).count() == 0)
   }
 }

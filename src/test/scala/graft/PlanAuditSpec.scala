@@ -21,6 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_unigram_logprob", // corpus-token total (1 row) × vocabulary table — replaces the old single-partition window
     "text_vocab_growth",   // bucket width (1-row max aggregate) × corpus — O(1) per row
     "text_pmi_bigrams",    // n_tok / n_bi (two 1-row aggregates) × the minCount-filtered bigram table
+    "text_dsir_weights",   // n_c / n_t (two 1-row totals) × the B=1024-row bucket table
+    "text_ppl_by_source",  // V (1 row) × context vocabulary — inherited from the bigram_logprob leg
+    "ev_rfm",              // per-user purchase aggregate × 1-row corpus-watermark scalar
     "sim_hard_negatives",  // corpus streams × broadcast(nQueries=10 labeled vectors) — same bound as sim_bruteforce_topk
     "sim_bruteforce_topk", // corpus streams × broadcast(nQueries=10 vectors) — scoring fan-out bounded by |Q|
     "sim_ivf_topk",        // same broadcast query set, candidates pre-pruned to probed cells

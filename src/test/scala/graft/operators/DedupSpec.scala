@@ -301,4 +301,27 @@ class DedupSpec extends SparkSpec {
     // the reported error column is exactly |est - true| for every audited pair
     out.values.foreach { case (e, tr, er) => assert(math.abs(er - math.abs(e - tr)) < 1e-9) }
   }
+
+  test("clusterStats: transitive near-dups report one group with byte mass") {
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq((1L, t, 66L), (2L, t, 66L), (3L, t + " x", 68L),
+      (4L, "entirely unrelated words that never overlap with anything else", 62L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.clusterStats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 1,2,3 band together transitively; doc 4 is a singleton (excluded)
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head == ((1L, 3L, 1L, 200L)))
+  }
+
+  test("boundaryOverlapPairs: tail-of-A equals head-of-B, short docs skipped") {
+    val d = docs(
+      1L -> "intro words then the seam one two three four",
+      2L -> "one two three four and the continuation goes on",
+      3L -> "one two three",            // < w words: skipped
+      4L -> "unrelated content entirely different here")
+    val out = Dedup.boundaryOverlapPairs(d, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 2L, "one two three four")), out.mkString(","))
+  }
 }

@@ -226,4 +226,19 @@ class EventOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(out == Map("view" -> ((1L, 50.0)), "direct" -> ((2L, 50.0))), out.toString)
   }
+
+  test("rfm: recency from corpus watermark, frequency/monetary per user") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 10.0),
+      (2L, "2024-01-03 10:00:00", 1L, "purchase", 15.5),
+      (3L, "2024-01-05 10:00:00", 2L, "purchase", 7.25),
+      (4L, "2024-01-06 10:00:00", 1L, "view", 0.0)) // watermark, not a purchase
+    val events = rows.toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.rfm(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // user 1: last purchase Jan 3, watermark Jan 6 → 3 days; 2 purchases, 25.5 total
+    assert(out == Map(1L -> ((3L, 2L, 25.5)), 2L -> ((1L, 1L, 7.25))), out.toString)
+  }
 }

@@ -388,6 +388,40 @@ class TextAnalysisSpec extends SparkSpec {
       s"intercept ${row.getDouble(1)}")
   }
 
+  test("dsirWeights: target-typical docs out-score off-target docs") {
+    // en docs share vocabulary {alpha beta}, fr docs {gamma delta}.
+    // Add-1 smoothing over B=1024 buckets pushes ABSOLUTE scores
+    // negative on a tiny corpus — the contract is the ORDERING:
+    // target-vocabulary docs rank strictly above off-target ones.
+    val d = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha beta alpha beta", "en"),
+      (3L, "gamma delta gamma delta", "fr"),
+      (4L, "gamma delta gamma delta", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirWeights(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(3L), out.toString)
+    assert(out(1L) == out(2L) && out(3L) == out(4L))
+    // smoothed target mass for unseen buckets is tiny but finite
+    assert(!out.values.exists(_.isNaN) && !out.values.exists(_.isInfinite))
+  }
+
+  test("pplBySource: rollup is the mean of per-doc bigram scores by source") {
+    val d = Seq(
+      (1L, "a b a b a b", "s1"),
+      (2L, "a b c d e f", "s1"),
+      (3L, "x y x y", "s2")
+    ).toDF("doc_id", "text", "source")
+    val perDoc = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = TextAnalysis.pplBySource(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("s1")._1 == 2L && out("s2")._1 == 1L)
+    assert(math.abs(out("s1")._2 - (perDoc(1L) + perDoc(2L)) / 2) < 1e-6)
+    assert(math.abs(out("s2")._2 - perDoc(3L)) < 1e-6)
+  }
+
   test("invertedIndex: postings sorted by doc_id, df filter drops singletons") {
     val d = Seq((3L, "b a a"), (1L, "a b"), (2L, "c")).toDF("doc_id", "text")
     val out = TextAnalysis.invertedIndex(d, minDf = 2).collect()
