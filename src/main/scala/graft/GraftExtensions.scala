@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, InnerProduct}
 import graft.plans.AsOfJoinStrategy
 
 /** Session extensions: installs graft's custom planner strategy
@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[InnerProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        InnerProduct(exprs.head, exprs(1))))
   }
 }

@@ -180,6 +180,8 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => EventOps.viewToPurchaseFunnel(Tables.events(s, d))),
     "ev_attribution" -> ((s, d) => EventOps.lastTouchAttribution(Tables.events(s, d))),
     "ev_rfm" -> ((s, d) => EventOps.rfm(Tables.events(s, d))),
+    "ev_funnel_steps" -> ((s, d) => EventOps.funnelSteps(Tables.events(s, d))),
+    "ev_cohort_matrix" -> ((s, d) => EventOps.cohortMatrix(Tables.events(s, d))),
     "ev_props_json" -> ((s, d) => EventOps.propsJson(Tables.events(s, d))),
     "ev_props_variant" -> ((s, d) => EventOps.propsVariant(Tables.events(s, d))),
     "q_sql_udf" -> ((s, d) => Relational.sqlUdfRevenue(Tables.lineitem(s, d))),
@@ -203,6 +205,7 @@ object SparkEntry {
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d))),
     "dedup_minhash_est_error" -> ((s, d) => Dedup.minhashEstErrorMd5(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(Tables.documents(s, d))),
+    "dedup_impact_by_source" -> ((s, d) => Dedup.impactBySource(Tables.documents(s, d))),
     "dedup_boundary_overlap" -> ((s, d) => Dedup.boundaryOverlapPairs(Tables.documents(s, d))),
     "dedup_pagerank" -> ((s, d) =>
       operators.Graph.pageRank(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
@@ -234,6 +237,7 @@ object SparkEntry {
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     "sim_outliers" -> ((s, d) => Similarity.labelOutliers(Tables.embeddings(s, d))),
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
+    "sim_mips_topk" -> ((s, d) => Similarity.mipsTopK(Tables.embeddings(s, d))),
     // --- text analysis ---
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
@@ -1023,6 +1027,18 @@ object SparkEntry {
     "dedup_minhash_est_error" -> minhashEstErrorOracle,
     "dedup_pagerank" -> pagerankOracle(),
     "dedup_cluster_stats" -> clusterStatsOracle,
+    "dedup_impact_by_source" ->
+      """WITH k AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT doc_id, source, n_chars, md5(text) AS digest FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(coalesce(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END), 0)
+        |            AS BIGINT) AS n_dropped,
+        |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars,
+        |       CAST(coalesce(sum(CASE WHEN d.doc_id <> k.keep_id THEN n_chars ELSE 0 END), 0)
+        |            AS BIGINT) AS chars_dropped
+        |FROM d JOIN k USING (digest)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_boundary_overlap" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |h AS (SELECT doc_id AS doc_b, array_to_string(ws[1:4], ' ') AS boundary
@@ -1475,6 +1491,32 @@ object SparkEntry {
         |                  AND ts_us - last_view_us <= 3600000000 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_converted,
         |       CAST(coalesce(sum(CASE WHEN last_view_us IS NULL THEN 1 ELSE 0 END),0) AS BIGINT) AS n_no_prior_view
         |FROM lastv""".stripMargin,
+    "ev_funnel_steps" ->
+      """WITH g AS (SELECT user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS ts_us FROM g
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT g.user_id, min(g.ts_us) AS ts_us
+        |       FROM g JOIN s1 ON g.user_id = s1.user_id
+        |       WHERE g.event_type = 'click' AND g.ts_us > s1.ts_us GROUP BY 1),
+        |s3 AS (SELECT g.user_id, min(g.ts_us) AS ts_us
+        |       FROM g JOIN s2 ON g.user_id = s2.user_id
+        |       WHERE g.event_type = 'purchase' AND g.ts_us > s2.ts_us GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin,
+    "ev_cohort_matrix" ->
+      """WITH g AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM g GROUP BY 1)
+        |SELECT c.cohort_day, g.day - c.cohort_day AS day_offset,
+        |       count(DISTINCT g.user_id) AS n_active
+        |FROM g JOIN c ON g.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_rfm" ->
       """WITH g AS (SELECT user_id, event_type, value,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
@@ -1619,6 +1661,19 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
         |       event_type, count(*) AS n, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // bruteforce shape ranked by raw inner product (list_inner_product
+    // sums left-to-right, matching the graft_dot codegen loop exactly)
+    "sim_mips_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |     s AS (SELECT qid, cid, round(list_inner_product(qv, cv), 6) AS score
+        |           FROM q CROSS JOIN c WHERE qid <> cid),
+        |     r AS (SELECT qid, cid, score,
+        |                  CAST(row_number() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, cid) AS INTEGER) AS rnk
+        |           FROM s)
+        |SELECT qid, rnk, cid, score FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // bruteforce shape with a label-mismatch filter before ranking
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv

@@ -71,8 +71,64 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native inner (dot) product over `array<double>` — the scoring
+  * kernel for MIPS retrieval (unnormalized relevance, the metric
+  * recommendation/retrieval systems rank by when vector norms carry
+  * signal). Same fused-loop/codegen shape as [[CosineSimilarity]];
+  * sequential accumulation matches DuckDB `list_inner_product`
+  * bit-for-bit.
+  */
+case class InnerProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   private val cosineName = "graft_cosine"
+  private val dotName = "graft_dot"
   private val minhashName = "graft_minhash"
   private val simhashName = "graft_simhash"
   private val shinglesName = "graft_shingles"
@@ -91,6 +147,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineName, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      dotName, exprs => InnerProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, exprs => MinHashSignature(exprs.head,
         literalInt(exprs(1), "shingleK"), literalInt(exprs(2), "numHashes")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -107,6 +165,8 @@ object VectorFunctions {
     * that analyzes the plan).
     */
   def cosineSim(a: Column, b: Column): Column = call_function(cosineName, a, b)
+
+  def dotProduct(a: Column, b: Column): Column = call_function(dotName, a, b)
 
   def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
     call_function(minhashName, text,

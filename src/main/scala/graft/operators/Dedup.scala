@@ -696,6 +696,29 @@ object Dedup {
       .orderBy("group_id")
   }
 
+  /** Exact-dedup impact report per source: how many documents (and
+    * how many bytes) each acquisition source would lose to exact
+    * dedup — the "is this feed worth its storage" decision table.
+    * Keeper = min doc_id per content digest (same contract as
+    * [[exact]]); one digest-keyed aggregate, one digest join, one
+    * |sources|-row rollup. Text never shuffles — only 16-byte digests
+    * and n_chars move.
+    */
+  def impactBySource(documents: DataFrame): DataFrame = {
+    val keep = documents.groupBy(md5(col("text")).as("digest"))
+      .agg(min("doc_id").as("keep_id"))
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("digest"))
+      .join(keep, Seq("digest"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum("n_chars"), lit(0L)).as("total_chars"),
+        coalesce(sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+          .otherwise(lit(0L))), lit(0L)).as("chars_dropped"))
+      .orderBy("source")
+  }
+
   /** Boundary-overlap pairs: document A's last `w` words equal
     * document B's first `w` words — the seam signature of content
     * split across crawl segments or of chunked re-ingestion

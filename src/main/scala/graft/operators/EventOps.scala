@@ -283,6 +283,50 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Ordered multi-step funnel: how many users performed step 1, then
+    * step 2 strictly after it, then step 3 after that — the general
+    * k-step product-analytics funnel (each stage keyed on the
+    * EARLIEST qualifying time, the standard "first conversion"
+    * semantics). Per step: one per-user min aggregate and one
+    * user-keyed join — |users|-sized shuffles, no window, no
+    * cross-step data blow-up.
+    */
+  def funnelSteps(events: DataFrame,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val e = withTsUs(events)
+    // fold: users holding the min qualifying ts of the prefix funnel
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts_us").as("ts_us"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      e.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("ts_us").as("prev_us")), Seq("user_id"))
+        .filter(col("ts_us") > col("prev_us"))
+        .groupBy("user_id").agg(min("ts_us").as("ts_us"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"), col("n_users"))
+    }.reduce(_.union(_)).orderBy("step")
+  }
+
+  /** Cohort retention matrix: users grouped by their FIRST-seen day
+    * (the cohort), counted per day offset since — the triangle chart
+    * behind every retention dashboard. Two |users|-keyed aggregates
+    * and one distinct count per (cohort, offset) cell; the cohort
+    * assignment broadcast-joins back onto the event stream (user→day
+    * is small relative to events, and at 100 TB it is a bucketed
+    * dimension either way).
+    */
+  def cohortMatrix(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val e = withTsUs(events).select(col("user_id"), tsBucket(dayUs).as("day"))
+    val cohorts = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** RFM (recency / frequency / monetary) purchase profile per user —
     * the classic customer-value segmentation input. Recency is whole
     * days between the user's last purchase and the corpus watermark

@@ -155,6 +155,25 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Maximum-inner-product top-k: ranks by the raw dot product
+    * instead of cosine — the retrieval metric when vector NORMS carry
+    * signal (recommendation scores, learned relevance embeddings;
+    * normalizing would erase it). Same broadcast-queries /
+    * bounded-heap shape as [[bruteForceTopK]], scored by the
+    * [[graft.functions.InnerProduct]] codegen expression.
+    */
+  def mipsTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val corpus = embeddings.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorFunctions.dotProduct(col("qv"), col("cv")), 6).as("cos_sim"))
+    topKPerQuery(scored, k).withColumnRenamed("cos_sim", "score")
+  }
+
   /** Deterministic IVF seed centroids: the embeddings of the `nCells`
     * lowest vec_ids (a fixed, reproducible starting point;
     * [[trainCentroids]] refines them with k-means).

@@ -113,5 +113,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.rfm(noEvents).count() == 0)
     assert(Dedup.clusterStats(noDocs).count() == 0)
     assert(Dedup.boundaryOverlapPairs(noDocs).count() == 0)
+    assert(Similarity.mipsTopK(noEmb).count() == 0)
+    assert(EventOps.funnelSteps(noEvents).count() == 3) // 3 steps × 0 users
+    assert(EventOps.cohortMatrix(noEvents).count() == 0)
+    assert(Dedup.impactBySource(noDocs).count() == 0)
   }
 }

@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_ppl_by_source",  // V (1 row) × context vocabulary — inherited from the bigram_logprob leg
     "ev_rfm",              // per-user purchase aggregate × 1-row corpus-watermark scalar
     "sim_hard_negatives",  // corpus streams × broadcast(nQueries=10 labeled vectors) — same bound as sim_bruteforce_topk
+    "sim_mips_topk",       // corpus streams × broadcast(nQueries=10 vectors), dot-product scoring
     "sim_bruteforce_topk", // corpus streams × broadcast(nQueries=10 vectors) — scoring fan-out bounded by |Q|
     "sim_ivf_topk",        // same broadcast query set, candidates pre-pruned to probed cells
     "sim_ivf_topk_seed",   // iters=0 oracle twin of the same path (broadcast 16 centroids)

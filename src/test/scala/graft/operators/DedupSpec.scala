@@ -314,6 +314,20 @@ class DedupSpec extends SparkSpec {
     assert(out.head == ((1L, 3L, 1L, 200L)))
   }
 
+  test("impactBySource: dropped docs and bytes attribute to the copy's source") {
+    val d = Seq(
+      (1L, "same text", "s1", 9L),
+      (2L, "same text", "s2", 9L),   // dup — keeper is doc 1 (s1)
+      (3L, "unique here", "s2", 11L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Dedup.impactBySource(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == Map(
+      "s1" -> ((1L, 0L, 9L, 0L)),
+      "s2" -> ((2L, 1L, 20L, 9L))), out.toString)
+  }
+
   test("boundaryOverlapPairs: tail-of-A equals head-of-B, short docs skipped") {
     val d = docs(
       1L -> "intro words then the seam one two three four",

@@ -241,4 +241,39 @@ class EventOpsSpec extends SparkSpec {
     // user 1: last purchase Jan 3, watermark Jan 6 → 3 days; 2 purchases, 25.5 total
     assert(out == Map(1L -> ((3L, 2L, 25.5)), 2L -> ((1L, 1L, 7.25))), out.toString)
   }
+
+  test("funnelSteps: each stage requires a strictly-later event than the previous") {
+    val events = ev(
+      // user 1 completes view → click → purchase in order
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "click"),
+      (3L, "2024-01-01 10:10:00", 1L, "purchase"),
+      // user 2: click BEFORE the first view — stalls at step 1
+      (4L, "2024-01-01 09:00:00", 2L, "click"),
+      (5L, "2024-01-01 10:00:00", 2L, "view"),
+      // user 3: view then click, no purchase — stalls at step 2
+      (6L, "2024-01-01 08:00:00", 3L, "view"),
+      (7L, "2024-01-01 08:30:00", 3L, "click"),
+      // user 4: purchase only — never enters the funnel
+      (8L, "2024-01-01 07:00:00", 4L, "purchase"))
+    val out = EventOps.funnelSteps(events).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)),
+      out.mkString(","))
+  }
+
+  test("cohortMatrix: users counted per first-seen cohort and day offset") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),  // cohort day D
+      (2L, "2024-01-02 10:00:00", 1L, "click"), // offset 1
+      (3L, "2024-01-01 12:00:00", 2L, "view"),  // same cohort
+      (4L, "2024-01-03 09:00:00", 2L, "view"),  // offset 2
+      (5L, "2024-01-02 11:00:00", 3L, "view"))  // later cohort, offset 0
+    val out = EventOps.cohortMatrix(events).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val d0 = us("2024-01-01 00:00:00") / 86400000000L
+    assert(out == Map(
+      (d0, 0L) -> 2L, (d0, 1L) -> 1L, (d0, 2L) -> 1L,
+      (d0 + 1, 0L) -> 1L), out.toString)
+  }
 }

@@ -225,6 +225,41 @@ class SimilaritySpec extends SparkSpec {
       .sameElements(sub))
   }
 
+  test("codegen InnerProduct matches a sequential fold bit-for-bit; SQL-visible") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val paired = e.crossJoin(e.select(col("vec_id").as("id2"), col("v").as("v2")))
+      .filter(col("vec_id") < col("id2")).limit(200)
+    val fold = aggregate(zip_with(col("v"), col("v2"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diffs = paired.select(fold.as("hof"),
+      graft.functions.VectorFunctions.dotProduct(col("v"), col("v2")).as("cg"))
+      .filter(col("hof") =!= col("cg")).count()
+    assert(diffs == 0L)
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("mipsTopK ranks by norm-weighted relevance where cosine cannot") {
+    import spark.implicits._
+    // vectors 10 and 11 point the SAME direction as the query; 11 is
+    // 3x longer. Cosine ties them; MIPS must put 11 first.
+    val base = Seq.tabulate(16)(i => 1.0f + (i % 3))
+    val e = Seq(
+      (0L, base),
+      (10L, base.map(_ * 1.0f)),
+      (11L, base.map(_ * 3.0f)),
+      (12L, base.map(x => -x))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mipsTopK(e, k = 3, nQueries = 1).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._2).take(2).toSeq == Seq(11L, 10L), out.mkString(","))
+    // dot(q, 3q) = 3·dot(q, q)
+    assert(math.abs(out(0)._3 - 3 * out(1)._3) < 1e-6)
+  }
+
   test("hardNegatives: same-label near-misses are excluded, cross-label ranked") {
     import spark.implicits._
     // query 0 (label 0): its nearest vector 1 SHARES the label and must
