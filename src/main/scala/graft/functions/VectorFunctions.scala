@@ -76,7 +76,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * recommendation/retrieval systems rank by when vector norms carry
   * signal). Same fused-loop/codegen shape as [[CosineSimilarity]];
   * sequential accumulation matches DuckDB `list_inner_product`
-  * bit-for-bit.
+  * bit-for-bit FOR EQUAL-LENGTH inputs. On ragged inputs the two
+  * diverge deliberately: this truncates to the shorter length
+  * (mirroring [[CosineSimilarity]] — a streaming scorer must not
+  * abort a 100 TB job on one malformed row) while DuckDB raises;
+  * validate dimensions upstream if ragged vectors are possible.
   */
 case class InnerProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -313,9 +313,10 @@ object EventOps {
     * (the cohort), counted per day offset since — the triangle chart
     * behind every retention dashboard. Two |users|-keyed aggregates
     * and one distinct count per (cohort, offset) cell; the cohort
-    * assignment broadcast-joins back onto the event stream (user→day
-    * is small relative to events, and at 100 TB it is a bucketed
-    * dimension either way).
+    * assignment joins back onto the event stream on user_id — a
+    * user-keyed shuffle hash join (the |users|-row cohort table is
+    * NOT broadcastable at scale; bucket both sides on user_id at
+    * 100 TB and the exchange disappears).
     */
   def cohortMatrix(events: DataFrame): DataFrame = {
     val dayUs = 86400000000L

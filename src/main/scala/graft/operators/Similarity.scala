@@ -54,14 +54,41 @@ object Similarity {
     * spec) shuffled |corpus| × |queries| rows onto ≤ |queries|
     * partition keys — a scale-killer when queries are few.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private def topKPerQuery(scored: DataFrame, k: Int,
+                           scoreName: String = "cos_sim"): DataFrame = {
     val topk = udaf(new graft.functions.Aggregators.TopKPairs(k))
     scored.groupBy("qid")
-      .agg(topk(col("cos_sim"), col("cid")).as("tk"))
+      .agg(topk(col(scoreName), col("cid")).as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "pair")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
-        col("pair._2").as("cid"), col("pair._1").as("cos_sim"))
+        col("pair._2").as("cid"), col("pair._1").as(scoreName))
       .orderBy("qid", "rnk")
+  }
+
+  /** Shared broadcast-query scoring scaffold: corpus streams against
+    * the broadcast query set, scored by `score` (rounded to 6), with
+    * either the self-pair or the same-label pairs excluded. Every
+    * brute-force retrieval variant ([[bruteForceTopK]],
+    * [[hardNegatives]], [[mipsTopK]]) is this frame plus a finisher —
+    * one definition of the query-selection and rounding convention.
+    */
+  private def scoredPairs(embeddings: DataFrame, nQueries: Int,
+                          score: (Column, Column) => Column,
+                          scoreName: String,
+                          excludeSameLabel: Boolean): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val corpus = embeddings.select(
+      (Seq(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv")) ++
+        (if (excludeSameLabel) Seq(col("label").as("cl")) else Nil)): _*)
+    val queries = embeddings.filter(col("vec_id") < nQueries).select(
+      (Seq(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")) ++
+        (if (excludeSameLabel) Seq(col("label").as("ql")) else Nil)): _*)
+    val joined = corpus.crossJoin(broadcast(queries))
+    val filtered =
+      if (excludeSameLabel) joined.filter(col("cl") =!= col("ql"))
+      else joined.filter(col("qid") =!= col("cid"))
+    filtered.select(col("qid"), col("cid"),
+      round(score(col("qv"), col("cv")), 6).as(scoreName))
   }
 
   /** The pre-round-4 window finisher — identical results, kept only
@@ -79,15 +106,9 @@ object Similarity {
   /** Scored candidate rows for [[bruteForceTopK]] (shared with the
     * differential spec).
     */
-  private[graft] def bruteForceScored(embeddings: DataFrame, nQueries: Int): DataFrame = {
-    VectorFunctions.ensureRegistered(embeddings.sparkSession)
-    val corpus = embeddings.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-    corpus.crossJoin(broadcast(queries))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), round(VectorFunctions.cosineSim(col("qv"), col("cv")), 6).as("cos_sim"))
-  }
+  private[graft] def bruteForceScored(embeddings: DataFrame, nQueries: Int): DataFrame =
+    scoredPairs(embeddings, nQueries, VectorFunctions.cosineSim, "cos_sim",
+      excludeSameLabel = false)
 
   /** Exact top-k cosine neighbors for every query vector (default:
     * vec_id < nQueries), excluding self. Queries are broadcast; the
@@ -142,18 +163,9 @@ object Similarity {
     * 100 TB swap the scored stream for [[ivfAssign]]-probed cells —
     * the filter and finisher are unchanged.
     */
-  def hardNegatives(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    VectorFunctions.ensureRegistered(embeddings.sparkSession)
-    val corpus = embeddings.select(col("vec_id").as("cid"), col("label").as("cl"),
-      asDouble(col("embedding")).as("cv"))
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("label").as("ql"), asDouble(col("embedding")).as("qv"))
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("cl") =!= col("ql"))
-      .select(col("qid"), col("cid"),
-        round(VectorFunctions.cosineSim(col("qv"), col("cv")), 6).as("cos_sim"))
-    topKPerQuery(scored, k)
-  }
+  def hardNegatives(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
+    topKPerQuery(scoredPairs(embeddings, nQueries, VectorFunctions.cosineSim, "cos_sim",
+      excludeSameLabel = true), k)
 
   /** Maximum-inner-product top-k: ranks by the raw dot product
     * instead of cosine — the retrieval metric when vector NORMS carry
@@ -162,17 +174,9 @@ object Similarity {
     * bounded-heap shape as [[bruteForceTopK]], scored by the
     * [[graft.functions.InnerProduct]] codegen expression.
     */
-  def mipsTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    VectorFunctions.ensureRegistered(embeddings.sparkSession)
-    val corpus = embeddings.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(VectorFunctions.dotProduct(col("qv"), col("cv")), 6).as("cos_sim"))
-    topKPerQuery(scored, k).withColumnRenamed("cos_sim", "score")
-  }
+  def mipsTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
+    topKPerQuery(scoredPairs(embeddings, nQueries, VectorFunctions.dotProduct, "score",
+      excludeSameLabel = false), k, "score")
 
   /** Deterministic IVF seed centroids: the embeddings of the `nCells`
     * lowest vec_ids (a fixed, reproducible starting point;

@@ -144,4 +144,27 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(rows(operators.Dedup.pipelineKeepSet(docs)) ==
       rows(operators.Dedup.pipelineKeepSet(docs.repartition(7))))
   }
+
+  test("funnel and cohort counts scale linearly under user-shifted replication") {
+    // 5 disjoint user populations with identical journeys: every
+    // per-step funnel count and every cohort cell must scale by
+    // exactly 5 — catches any shape that keys on something other
+    // than the user (or collapses users across replicas)
+    val ev1 = Tables.events(spark, sf0001)
+    val ev5 = (0 until 5).map(i => ev1
+      .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+      .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+      .reduce(_ union _).repartition(16)
+    val f1 = operators.EventOps.funnelSteps(ev1).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val f5 = operators.EventOps.funnelSteps(ev5).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    f1.foreach { case (step, n) => assert(f5(step) == 5 * n, s"step $step") }
+    val c1 = operators.EventOps.cohortMatrix(ev1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val c5 = operators.EventOps.cohortMatrix(ev5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(c1.keySet == c5.keySet)
+    c1.foreach { case (cell, n) => assert(c5(cell) == 5 * n, s"cell $cell") }
+  }
 }
