@@ -457,4 +457,49 @@ object EventStreams {
             .iterator.map { case (k, n) => HeavyHitter(k, n) }
       }
   }
+
+  case class AttrEvent(user_id: Long, ts_us: Long, event_id: Long,
+                       event_type: String, value: Double)
+  case class AttrState(last_us: Long, last_type: String)
+  case class Conversion(user_id: Long, ts_us: Long, channel: String, value: Double)
+
+  /** Ingest-time last-touch attribution — streaming twin of
+    * [[graft.operators.EventOps.lastTouchAttribution]]: per-user
+    * state is ONLY the latest non-purchase touch (two fields — O(1)
+    * per user, the smallest possible attribution state), and every
+    * purchase emits its attributed conversion the moment it arrives
+    * instead of waiting for a batch job. Within a batch each user's
+    * rows are processed in (ts_us, event_id) order, so an in-order
+    * replay reproduces the batch window's semantics exactly (the
+    * same ordered-replay contract as the other twins; out-of-order
+    * arrivals across batches attribute against the touch state as
+    * ingested — the streaming trade documented on all ingest-time
+    * paths here). NoTimeout for the finite test streams; production
+    * adds EventTimeTimeout so dormant users leave the store.
+    */
+  def streamingAttribution(events: Dataset[AttrEvent],
+                           lookbackMin: Int = 30): Dataset[Conversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lookUs = lookbackMin.toLong * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Conversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(Long.MinValue, ""))
+          val out = Vector.newBuilder[Conversion]
+          it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase") {
+              val channel =
+                if (st.last_us != Long.MinValue && e.ts_us - st.last_us <= lookUs)
+                  st.last_type
+                else "direct"
+              out += Conversion(uid, e.ts_us, channel, e.value)
+            } else st = AttrState(e.ts_us, e.event_type)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -489,4 +489,41 @@ class EventStreamsSpec extends SparkSpec {
       assert(m(1L) == 2L)
     } finally q.stop()
   }
+
+  test("replayed sf0.001 events through streamingAttribution equals the oracle-green batch twin") {
+    // The batch twin (ev_attribution) hash-matches the DuckDB oracle;
+    // per-channel equality of the replayed conversions transitively
+    // oracle-checks the streaming path. In-order replay (3 chunks,
+    // sorted by ts_us/event_id) — the documented contract.
+    implicit val sq = spark.sqlContext
+    val batchDf = graft.Tables.events(spark, sf0001)
+    val rows = EventOps.withTsUs(batchDf)
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+      .as[EventStreams.AttrEvent]
+      .collect().sortBy(e => (e.ts_us, e.event_id))
+    val mem = MemoryStream[EventStreams.AttrEvent]
+    val q = EventStreams.streamingAttribution(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("attr_test").collect()
+        .map(r => (r.getString(2), r.getDouble(3)))
+        .groupBy(_._1)
+        .map { case (ch, vs) =>
+          ch -> ((vs.length.toLong, BigDecimal(vs.map(_._2).sum)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      val batch = EventOps.lastTouchAttribution(batchDf).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (ch, (n, _)) => assert(n == batch(ch)._1, s"channel $ch") }
+      streamed.foreach { case (ch, (_, v)) =>
+        assert(math.abs(v - batch(ch)._2) < 1e-6, s"channel $ch value") }
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
