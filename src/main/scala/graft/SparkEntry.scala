@@ -74,6 +74,8 @@ object SparkEntry {
     "q_rank_profile" -> ((s, d) => Relational.priceQuartileProfile(Tables.orders(s, d))),
     "q_merge_upsert" -> ((s, d) => Relational.applyChangeSet(Tables.customer(s, d))),
     "q_merge_on_read" -> ((s, d) => Relational.mergeOnReadView(Tables.customer(s, d))),
+    "q_snapshot_diff" -> ((s, d) => Relational.snapshotDiff(Tables.customer(s, d))),
+    "q_copurchase_lift" -> ((s, d) => Relational.copurchaseLift(Tables.lineitem(s, d))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_window_nav" -> ((s, d) => Relational.orderNavigation(Tables.orders(s, d))),
     "q_lateral_topn" -> ((s, d) =>
@@ -180,6 +182,7 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => EventOps.viewToPurchaseFunnel(Tables.events(s, d))),
     "ev_attribution" -> ((s, d) => EventOps.lastTouchAttribution(Tables.events(s, d))),
     "ev_rfm" -> ((s, d) => EventOps.rfm(Tables.events(s, d))),
+    "ev_decayed_score" -> ((s, d) => EventOps.decayedEngagement(Tables.events(s, d))),
     "ev_funnel_steps" -> ((s, d) => EventOps.funnelSteps(Tables.events(s, d))),
     "ev_cohort_matrix" -> ((s, d) => EventOps.cohortMatrix(Tables.events(s, d))),
     "ev_props_json" -> ((s, d) => EventOps.propsJson(Tables.events(s, d))),
@@ -209,6 +212,8 @@ object SparkEntry {
     "dedup_boundary_overlap" -> ((s, d) => Dedup.boundaryOverlapPairs(Tables.documents(s, d))),
     "dedup_pagerank" -> ((s, d) =>
       operators.Graph.pageRank(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
+    "dedup_triangles" -> ((s, d) =>
+      operators.Graph.triangleStats(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -234,6 +239,7 @@ object SparkEntry {
     "sim_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2,
         nTables = 4, bitsPerTable = 8)),
+    "sim_threshold_sweep" -> ((s, d) => Similarity.thresholdSweep(Tables.embeddings(s, d))),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     "sim_outliers" -> ((s, d) => Similarity.labelOutliers(Tables.embeddings(s, d))),
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
@@ -271,6 +277,9 @@ object SparkEntry {
     "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "text_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, d))),
+    "text_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(Tables.documents(s, d))),
+    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
+    "text_ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(Tables.documents(s, d))),
     "sim_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8Report(Tables.embeddings(s, d))),
     "sim_vector_stats" -> ((s, d) =>
@@ -403,6 +412,65 @@ object SparkEntry {
     * same (1−d)/N + d·Σ pr/deg expression tree Spark evaluates, so
     * doubles round identically at 6 decimals.
     */
+  /** Shared CTE re-deriving [[graft.operators.Dedup.ngramJaccardPairs]]
+    * (5-gram shingles, df ≤ 1000, jaccard ≥ 0.2) as the `pp` pair
+    * table — the edge source for the graph-analytics oracles
+    * (`dedup_pagerank`, `dedup_triangles`).
+    */
+  private val jaccardPairsCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(len(shs) AS INTEGER) AS n_sh, unnest(shs) AS sh FROM (
+      |    SELECT doc_id,
+      |           list_distinct(CASE WHEN len(ws) >= 5
+      |             THEN list_transform(range(0, len(ws)-5+1),
+      |                    i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
+      |             ELSE [] END) AS shs
+      |    FROM w) t),
+      |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+      |c AS (SELECT s.doc_id, s.n_sh, s.sh FROM sh s JOIN rare USING (sh)),
+      |p0 AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+      |  FROM c a JOIN c b USING (sh)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1,2,3,4),
+      |pp AS (SELECT doc_a, doc_b FROM (
+      |  SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+      |  FROM p0) q WHERE jaccard >= 0.2)""".stripMargin
+
+  /** Oracle for [[graft.operators.Graph.triangleStats]] over the
+    * jaccard near-dup pairs: oriented two-join triangle enumeration,
+    * wedge count Σ C(deg, 2), cc = 3·triangles / wedges.
+    */
+  private def trianglesOracle: String =
+    s"""WITH $jaccardPairsCte,
+       |tri AS (SELECT count(*) AS n_triangles
+       |        FROM pp ab JOIN pp bc ON ab.doc_b = bc.doc_a
+       |        JOIN pp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+       |deg AS (SELECT node, count(*) AS deg FROM (
+       |          SELECT doc_a AS node FROM pp UNION ALL SELECT doc_b FROM pp) u GROUP BY 1),
+       |wg AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |ne AS (SELECT count(*) AS n_edges FROM pp)
+       |SELECT n_edges, n_triangles, n_wedges,
+       |       round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6) AS global_cc
+       |FROM ne, tri, wg""".stripMargin
+
+  /** Oracle for [[graft.operators.Similarity.thresholdSweep]]: the
+    * LSH candidate pairs vs a 15-cutoff grid; LEFT join keeps
+    * zero-count cutoffs, mirroring the Spark zero-restore join.
+    */
+  private def thresholdSweepOracle: String =
+    s"""WITH $cosineNearDupBaseCte,
+       |nd AS (SELECT DISTINCT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.2),
+       |grid AS (SELECT CAST(t AS DOUBLE) AS threshold FROM
+       |           unnest([0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55,
+       |                   0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9]) AS u(t)),
+       |cnt AS (SELECT threshold, count(*) AS n_pairs
+       |        FROM nd JOIN grid ON cos_sim >= threshold GROUP BY 1)
+       |SELECT threshold, coalesce(n_pairs, 0) AS n_pairs
+       |FROM grid LEFT JOIN cnt USING (threshold) ORDER BY threshold""".stripMargin
+
   private def pagerankOracle(iters: Int = 3): String = {
     def step(prev: String, out: String) =
       s"""$out AS (SELECT nd.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.in_sum, 0.0) AS pr
@@ -413,26 +481,7 @@ object SparkEntry {
          |                  GROUP BY 1) s ON nd.node = s.node)""".stripMargin
     val steps = (1 to iters).map(i => step(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
       .mkString(",\n")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |sh AS (
-       |  SELECT doc_id, CAST(len(shs) AS INTEGER) AS n_sh, unnest(shs) AS sh FROM (
-       |    SELECT doc_id,
-       |           list_distinct(CASE WHEN len(ws) >= 5
-       |             THEN list_transform(range(0, len(ws)-5+1),
-       |                    i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
-       |             ELSE [] END) AS shs
-       |    FROM w) t),
-       |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
-       |c AS (SELECT s.doc_id, s.n_sh, s.sh FROM sh s JOIN rare USING (sh)),
-       |p0 AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-       |  FROM c a JOIN c b USING (sh)
-       |  WHERE a.doc_id < b.doc_id
-       |  GROUP BY 1,2,3,4),
-       |pp AS (SELECT doc_a, doc_b FROM (
-       |  SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
-       |  FROM p0) q WHERE jaccard >= 0.2),
+    s"""WITH $jaccardPairsCte,
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pp
        |      UNION SELECT doc_b, doc_a FROM pp),
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
@@ -918,6 +967,7 @@ object SparkEntry {
         |SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
     "sim_cosine_neardup" -> cosineNearDupOracle,
+    "sim_threshold_sweep" -> thresholdSweepOracle,
     "sim_semantic_groups" -> semanticGroupsOracle,
     "sim_random_projection" -> randomProjectionOracle,
     // IVF with seed centroids (iters=0): index build (argmax cell per
@@ -1026,6 +1076,7 @@ object SparkEntry {
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_minhash_est_error" -> minhashEstErrorOracle,
     "dedup_pagerank" -> pagerankOracle(),
+    "dedup_triangles" -> trianglesOracle,
     "dedup_cluster_stats" -> clusterStatsOracle,
     "dedup_impact_by_source" ->
       """WITH k AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id
@@ -1291,6 +1342,52 @@ object SparkEntry {
     // write path, so it shares q_merge_upsert's oracle SQL verbatim
     "q_merge_on_read" -> mergeOracle,
     "q_merge_upsert" -> mergeOracle,
+    // same changelog + apply CTEs as mergeOracle, then a FULL OUTER
+    // diff of before vs after keeping only the non-unchanged rows.
+    "q_snapshot_diff" ->
+      """WITH ch AS (
+        |  SELECT c_custkey AS key,
+        |         CASE WHEN c_custkey % 10 = 3 THEN 'U' ELSE 'D' END AS op,
+        |         round(c_acctbal + 100, 2) AS new_bal
+        |  FROM customer WHERE c_custkey % 10 IN (3, 7)
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'I', 0.0
+        |  FROM customer WHERE c_custkey % 10 = 1),
+        |snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+        |survivors AS (
+        |  SELECT snap.key,
+        |         CASE WHEN ch.op = 'U' THEN ch.new_bal ELSE snap.bal END AS bal
+        |  FROM snap LEFT JOIN ch ON snap.key = ch.key
+        |  WHERE ch.op IS NULL OR ch.op <> 'D'),
+        |ins AS (
+        |  SELECT ch.key, ch.new_bal AS bal FROM ch
+        |  WHERE ch.op = 'I'
+        |    AND NOT EXISTS (SELECT 1 FROM snap WHERE snap.key = ch.key)),
+        |aft AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins),
+        |d AS (SELECT coalesce(b.key, a.key) AS key,
+        |             CASE WHEN b.key IS NULL THEN 'added'
+        |                  WHEN a.key IS NULL THEN 'deleted'
+        |                  WHEN b.bal <> a.bal THEN 'changed'
+        |                  ELSE 'unchanged' END AS status,
+        |             b.bal AS old_bal, a.bal AS new_bal
+        |      FROM snap b FULL OUTER JOIN aft a ON b.key = a.key)
+        |SELECT key, status, old_bal, new_bal FROM d
+        |WHERE status <> 'unchanged' ORDER BY key""".stripMargin,
+    "q_copurchase_lift" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |no AS (SELECT count(DISTINCT okey) AS n_orders FROM po),
+        |pc AS (SELECT part, count(*) AS n_p FROM po GROUP BY 1),
+        |pr AS (SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_ab
+        |       FROM po a JOIN po b USING (okey) WHERE a.part < b.part GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab,
+        |       round((CAST(n_ab AS DOUBLE) / n_orders) /
+        |             ((CAST(ca.n_p AS DOUBLE) / n_orders) *
+        |              (CAST(cb.n_p AS DOUBLE) / n_orders)), 6) AS lift
+        |FROM pr JOIN pc ca ON pr.part_a = ca.part
+        |        JOIN pc cb ON pr.part_b = cb.part
+        |CROSS JOIN no
+        |WHERE n_ab >= 2
+        |ORDER BY n_ab DESC, part_a, part_b LIMIT 200""".stripMargin,
     "q_histogram" ->
       """WITH b AS (
         |  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 30000.0), 0.0),
@@ -1527,6 +1624,16 @@ object SparkEntry {
         |SELECT user_id, (nw.now_us - last_us) // 86400000000 AS recency_days,
         |       frequency, monetary
         |FROM agg CROSS JOIN nw ORDER BY user_id""".stripMargin,
+    // decay term written as the identical expression tree Spark
+    // evaluates: exp((-0.1 * CAST(diff AS DOUBLE)) / 86400000000.0).
+    "ev_decayed_score" ->
+      """WITH g AS (SELECT user_id, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |nw AS (SELECT max(ts_us) AS now_us FROM g)
+        |SELECT user_id, count(*) AS n_events,
+        |       round(sum(value * exp(CAST(-0.1 AS DOUBLE) * CAST(nw.now_us - ts_us AS DOUBLE)
+        |                             / 86400000000.0)), 6) AS decayed_score
+        |FROM g CROSS JOIN nw GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_attribution" ->
       """WITH g AS (SELECT event_id, user_id, event_type, value,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
@@ -1844,6 +1951,42 @@ object SparkEntry {
         |              THEN 20 ELSE 5 END AS pct
         |  FROM documents) t
         |WHERE bucket < pct ORDER BY doc_id""".stripMargin,
+    // Efraimidis–Spirakis key u^(1/w): u from the SAME md5-hex
+    // arithmetic both engines use for hash sampling; ordering is on
+    // the raw key (identical IEEE doubles), rounding only on output.
+    "text_weighted_sample" ->
+      """SELECT doc_id, weight, round(key_raw, 6) AS es_key FROM (
+        |  SELECT doc_id, weight, pow(u, 1.0 / weight) AS key_raw FROM (
+        |    SELECT doc_id,
+        |           CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS DOUBLE)
+        |             AS weight,
+        |           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+        |             AS DOUBLE) / 4294967296.0 AS u
+        |    FROM documents) t
+        |  WHERE weight > 0
+        |  ORDER BY key_raw DESC, doc_id LIMIT 100) s""".stripMargin,
+    "text_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+        |         substr(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM (SELECT doc_id, text FROM documents WHERE length(text) > 0) d,
+        |       unnest(range(1, length(text) + 1)) AS r(i)),
+        |cc AS (SELECT doc_id, n_chars, ch, count(*) AS c FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_chars,
+        |       round(-sum((CAST(c AS DOUBLE) / n_chars) * ln(CAST(c AS DOUBLE) / n_chars)), 6)
+        |         AS entropy
+        |FROM cc GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin,
+    "text_ngram_diversity" ->
+      """WITH d AS (SELECT source, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |           FROM documents),
+        |g AS (SELECT source, n,
+        |             array_to_string(ws[CAST(i + 1 AS INTEGER):CAST(i + n AS INTEGER)], ' ') AS gram
+        |      FROM d, (SELECT unnest([1, 2, 3]) AS n) ns,
+        |           unnest(range(0, len(ws) - CAST(n AS BIGINT) + 1)) AS r(i)
+        |      WHERE len(ws) >= n)
+        |SELECT source, n, count(*) AS n_total, count(DISTINCT gram) AS n_distinct,
+        |       round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS diversity
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sim_vector_stats" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,

@@ -351,6 +351,30 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Exponentially time-decayed engagement score per user:
+    * Σ value·e^(−λ·age_days), age measured against the corpus
+    * watermark (max ts). The standard recency-weighted activity
+    * signal — half-life ln2/λ ≈ 7 days at the default — that ranks
+    * "active now" above "was active once" without a hard cutoff,
+    * feeding churn models and engagement-weighted sampling.
+    *
+    * Shape at 100 TB: the watermark is a 1-row broadcast scalar (the
+    * audited `ev_rfm` pattern); the decay term is a map-only
+    * expression, so the whole op is one user-keyed partial aggregate
+    * — map-side combine sums the decayed terms before the shuffle.
+    */
+  def decayedEngagement(events: DataFrame, lambdaPerDay: Double = 0.1): DataFrame = {
+    val e = withTsUs(events)
+    val nowUs = e.agg(max("ts_us").as("now_us"))
+    e.crossJoin(broadcast(nowUs))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") *
+          exp(lit(-lambdaPerDay) * (col("now_us") - col("ts_us")).cast("double") /
+            lit(86400000000.0))), 6).as("decayed_score"))
+      .orderBy("user_id")
+  }
+
   /** Pivot: event counts per hour-of-day × event_type (explicit value
     * list so the output schema is static — required for both
     * determinism and sane planning; never pivot on unbounded

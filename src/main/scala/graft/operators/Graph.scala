@@ -55,4 +55,36 @@ object Graph {
     }
     pr.select(col("node"), round(col("pr"), 6).as("pagerank")).orderBy("node")
   }
+
+  /** Triangle census + global clustering coefficient of an
+    * undirected pair list (edges `doc_a < doc_b`, unique — the
+    * contract of every pair emitter here). Near-dup graphs from true
+    * duplication are clique-heavy (one source document ⇒ all its
+    * copies pairwise similar), so a LOW coefficient flags spurious
+    * bucket-collision edges — the one-row health check run before
+    * trusting connected components to define dup groups.
+    *
+    * Shape at 100 TB: the standard two-join oriented-triangle
+    * enumeration — every triangle a<b<c is counted exactly once as
+    * edges (a,b)+(b,c) closed by (a,c), so two hash joins keyed on
+    * node ids, never an all-pairs product; wedge and degree counts
+    * are one partial-agg shuffle over the edge list. The three 1-row
+    * aggregates meet in broadcast cross joins (the audited scalar
+    * pattern).
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val nTri = wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val nWedge = deg.agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(nTri))
+      .crossJoin(broadcast(nWedge))
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
+  }
 }

@@ -498,4 +498,36 @@ object Similarity {
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("group_id"))
       .orderBy("vec_id")
+
+  /** Near-dup threshold calibration curve: pair count at every
+    * candidate cosine cutoff — the report a curator reads BEFORE
+    * picking the semantic-dedup threshold (where does the count
+    * elbow? how many docs would each setting remove?). Counts are
+    * cumulative over the same LSH candidate set [[cosineNearDupPairs]]
+    * mines, so the curve describes exactly what the production dedup
+    * would do at each setting.
+    *
+    * Shape at 100 TB: the pair set is LSH-bucket-bounded (never
+    * all-pairs); the grid is a compile-time ≤ 15-row broadcast, so
+    * the range join is a bounded nested loop (≤ |grid| fan-out per
+    * pair — the audited pattern), collapsing straight into a
+    * 15-group partial aggregate. LEFT join keeps zero-count rows so
+    * the curve's tail is explicit.
+    */
+  def thresholdSweep(embeddings: DataFrame,
+                     thresholds: Seq[Double] = Seq(0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
+                       0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9)): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val grid = thresholds.toDF("threshold")
+    val pairs = cosineNearDupPairs(embeddings, threshold = thresholds.min)
+    // inner BNLJ with the GRID as the broadcast build side (pairs
+    // stream), then a 15×15 hash join restores zero-count cutoffs —
+    // never builds on the pair set.
+    val counted = pairs.join(broadcast(grid), col("cos_sim") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    grid.join(counted, Seq("threshold"), "left")
+      .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("threshold")
+  }
 }

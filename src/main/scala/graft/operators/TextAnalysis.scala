@@ -940,4 +940,88 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006): every doc draws a deterministic uniform u ∈ [0,1) from
+    * the first 8 hex chars of md5(doc_id) and competes with key
+    * u^(1/w), weight w = word count — the k largest keys are a
+    * weight-proportional sample. This is the curation pick "sample k
+    * docs, preferring the ones my weight column likes" (swap word
+    * count for a quality score in production), reproducible on any
+    * cluster because the randomness IS the hash, not an RNG.
+    *
+    * Shape at 100 TB: u, w and the key are map-only per-doc
+    * expressions; the k winners come out of TakeOrderedAndProject
+    * (per-partition bounded heaps, no global sort) — one k-row
+    * result regardless of corpus size.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 100): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = size(filter(split(col("text"), " ", -1), x => length(x) > 0))
+    documents
+      .select(col("doc_id"), w.cast("double").as("weight"), u.as("u"))
+      .filter(col("weight") > 0)
+      .select(col("doc_id"), col("weight"),
+        pow(col("u"), lit(1.0) / col("weight")).as("key_raw"))
+      .orderBy(col("key_raw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"), round(col("key_raw"), 6).as("es_key"))
+  }
+
+  /** Per-document character-entropy signal — Shannon entropy of the
+    * character distribution, the classic gibberish/boilerplate
+    * detector (base64 blobs and key-mash score high, templated
+    * repetition scores low; natural prose sits in a narrow band).
+    *
+    * Shape at 100 TB: characters explode only INTO a partial
+    * aggregate — map-side combine collapses each doc's characters to
+    * ≤ |alphabet| (≈100) count rows before the (doc_id, ch) shuffle,
+    * so shuffled bytes are alphabet-bounded per doc, never
+    * text-sized (same two-level-agg shape as `text_repetition`'s
+    * word counts). The entropy fold is a second tiny aggregate.
+    */
+  def charEntropy(documents: DataFrame): DataFrame =
+    documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n_chars"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), col("n_chars"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy("doc_id", "n_chars", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_chars")
+      .agg(round(-sum((col("c").cast("double") / col("n_chars")) *
+        log(col("c").cast("double") / col("n_chars"))), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  /** n-gram diversity by source: distinct-n / total-n for n = 1..3
+    * (the "distinct-n" generation-diversity metric applied to a
+    * corpus) — low ratios flag templated or self-repetitive sources
+    * that inflate token counts without adding signal; the per-source
+    * breakdown feeds mixture reweighting alongside
+    * [[mixWeights]]/[[dsirWeights]].
+    *
+    * Shape at 100 TB: each n produces grams by in-row array ops
+    * (map-only), then one (source, n, gram)-keyed partial aggregate —
+    * map-side combine collapses repeats before the shuffle, and
+    * count(DISTINCT gram) rides the same grouped shuffle (Spark
+    * plans it as a two-phase expand-aggregate on the already-keyed
+    * rows). No join, no window, no global sort.
+    */
+  def ngramDiversity(documents: DataFrame, maxN: Int = 3): DataFrame = {
+    val toks = documents
+      .select(col("source"), split(col("text"), " ", -1).as("ws0"))
+      .select(col("source"), filter(col("ws0"), w => length(w) > 0).as("ws"))
+    val grams = (1 to maxN).map { n =>
+      toks.filter(size(col("ws")) >= n)
+        .select(col("source"), lit(n).as("n"),
+          explode(transform(sequence(lit(0), size(col("ws")) - n),
+            i => array_join(slice(col("ws"), i + 1, lit(n)), " "))).as("gram"))
+    }.reduce(_.unionByName(_))
+    grams
+      .groupBy("source", "n")
+      .agg(count(lit(1)).as("n_total"), countDistinct("gram").as("n_distinct"))
+      .select(col("source"), col("n"), col("n_total"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_total"), 6).as("diversity"))
+      .orderBy("source", "n")
+  }
 }

@@ -883,4 +883,64 @@ object Relational {
         |       count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
+
+  /** Co-purchase lift: for part pairs ordered together in ≥
+    * `minPairs` orders, P(A∧B) / (P(A)·P(B)) over the order universe
+    * — the "frequently bought together" association score (lift > 1
+    * = genuinely associated, not just individually popular). The
+    * same shape mines n-gram collocations (`text_pmi_bigrams`); this
+    * is its market-basket twin on the relational side.
+    *
+    * Shape at 100 TB: pair generation is a self equi-join on the
+    * order key, so fan-out is bounded by max basket size (C(n,2) per
+    * order — TPC-H ≤ 7 lines; production carts are small constants),
+    * never a cross product; pair and per-part counts are partial-agg
+    * shuffles; the order-universe total is a 1-row broadcast scalar;
+    * the head is TakeOrderedAndProject.
+    */
+  def copurchaseLift(lineitem: DataFrame, minPairs: Int = 2, k: Int = 200): DataFrame = {
+    val po = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part")).distinct()
+    val nOrders = po.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+    val partCnt = po.groupBy("part").agg(count(lit(1)).as("n_p"))
+    val pairCnt = po.select(col("okey"), col("part").as("part_a"))
+      .join(po.select(col("okey"), col("part").as("part_b")), Seq("okey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+    pairCnt.filter(col("n_ab") >= minPairs)
+      .join(partCnt.select(col("part").as("part_a"), col("n_p").as("n_a")), Seq("part_a"))
+      .join(partCnt.select(col("part").as("part_b"), col("n_p").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round((col("n_ab").cast("double") / col("n_orders")) /
+          ((col("n_a").cast("double") / col("n_orders")) *
+            (col("n_b").cast("double") / col("n_orders"))), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
+  /** Snapshot diff: the added / deleted / changed rows between the
+    * customer snapshot and the post-changelog state
+    * ([[applyChangeSet]]) — the audit report for any CDC/merge
+    * pipeline ("what did this batch actually do?"), and the
+    * verification step between a merge write and its sign-off.
+    *
+    * Shape at 100 TB: one key-partitioned FULL OUTER hash join of
+    * the two snapshots (both sides shuffle on the key — the only
+    * correct shape for a whole-table diff); status classification is
+    * a map-only expression on the joined row; `unchanged` rows are
+    * filtered before anything materializes.
+    */
+  def snapshotDiff(customer: DataFrame): DataFrame = {
+    val before = customer.select(col("c_custkey").as("key"), col("c_acctbal").as("old_bal"))
+    val after = applyChangeSet(customer).select(col("key"), col("bal").as("new_bal"))
+    before.join(after, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("old_bal").isNull, "added")
+          .when(col("new_bal").isNull, "deleted")
+          .when(col("old_bal") =!= col("new_bal"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_bal"), col("new_bal"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("key")
+  }
 }

@@ -33,7 +33,11 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ivf_recall",      // composition of the two allowed legs above (broadcast query set / 16 centroids)
     "q11_balance_concentration", // 25-row per-nation agg × 1-row global threshold (> compare defeats hash join)
     "q22_dormant_customers",     // customer stream × 1-row broadcast avg-balance scalar — map-side filter, no fan-out
-    "q_pareto_share"             // per-customer aggregate × 1-row broadcast total-revenue scalar — share denominator
+    "q_pareto_share",            // per-customer aggregate × 1-row broadcast total-revenue scalar — share denominator
+    "sim_threshold_sweep",       // LSH-bounded pair set × broadcast 15-row threshold grid (≤15 fan-out per pair)
+    "dedup_triangles",           // three 1-row aggregates (edges/triangles/wedges) meeting in scalar cross joins
+    "ev_decayed_score",          // event stream × 1-row broadcast corpus-watermark scalar — map-side decay term
+    "q_copurchase_lift"          // pair/part aggregates × 1-row broadcast order-universe scalar
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

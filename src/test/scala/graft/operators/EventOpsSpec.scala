@@ -276,4 +276,19 @@ class EventOpsSpec extends SparkSpec {
       (d0, 0L) -> 2L, (d0, 1L) -> 1L, (d0, 2L) -> 1L,
       (d0 + 1, 0L) -> 1L), out.toString)
   }
+
+  test("decayedEngagement: watermark event at full weight, older events decayed e^-λ·days") {
+    val rows = Seq(
+      (1L, "2024-01-09 10:00:00", 1L, "view", 10.0), // 1 day before watermark
+      (2L, "2024-01-10 10:00:00", 1L, "view", 20.0), // watermark: age 0
+      (3L, "2024-01-08 10:00:00", 2L, "view", 5.0))  // 2 days before
+    val events = rows.toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.decayedEngagement(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 2L && out(2L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - (20.0 + 10.0 * math.exp(-0.1))) < 1e-4, out.toString)
+    assert(math.abs(out(2L)._2 - 5.0 * math.exp(-0.2)) < 1e-4, out.toString)
+  }
 }

@@ -29,4 +29,18 @@ class GraphSpec extends SparkSpec {
     // hub 20 collects from two leaves, beats them
     assert(m(20L) > m(21L) && m(21L) == m(22L))
   }
+
+  test("triangleStats: K4 is all triangles (cc=1), a path has none (cc=0)") {
+    // K4: 6 edges, C(4,3)=4 triangles, Σ C(3,2)=12 wedges → cc = 3·4/12 = 1
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("doc_a", "doc_b")
+    val r = Graph.triangleStats(k4).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((6L, 4L, 12L, 1.0)), r.toString)
+    // path 0-1-2: 2 edges, 1 wedge at node 1, no closing edge
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val p = Graph.triangleStats(path).collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getDouble(3)) ==
+      ((2L, 0L, 1L, 0.0)), p.toString)
+  }
 }

@@ -278,4 +278,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head == ((0L, 1, 2L)), out.mkString(","))
     assert(out.length == 2)
   }
+
+  test("thresholdSweep: full grid with zero rows kept; counts cumulative-monotone") {
+    // identical vectors (cos 1.0 pair, co-bucketed in every LSH
+    // table) plus an orthogonal third
+    val e = emb(
+      (1L, Array.tabulate(64)(j => if (j == 0) 1.0f else 0.0f).toSeq),
+      (2L, Array.tabulate(64)(j => if (j == 0) 1.0f else 0.0f).toSeq),
+      (3L, Array.tabulate(64)(j => if (j == 1) 1.0f else 0.0f).toSeq))
+    val rows = Similarity.thresholdSweep(e).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(rows.length == 15, "every cutoff reported, including zero-count ones")
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    // cumulative counts can only shrink as the cutoff rises
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
+    // the identical pair (cos 1.0) survives even the 0.9 cutoff
+    assert(rows.last._2 >= 1L, rows.mkString(","))
+  }
 }

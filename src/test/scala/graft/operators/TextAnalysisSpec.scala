@@ -431,4 +431,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("a") == ((2L, 3L, "1:1,3:2")))
     assert(out("b") == ((2L, 2L, "1:1,3:1")))
   }
+
+  test("weightedSample: deterministic, k-bounded, empty docs excluded, key = u^(1/w)") {
+    val d = (1L to 50L).map(i => (i, ("w " * i.toInt).trim)) :+ (99L, "")
+    val df = d.toDF("doc_id", "text")
+    val out1 = TextAnalysis.weightedSample(df, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val out2 = TextAnalysis.weightedSample(df, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out1.sameElements(out2), "hash-keyed sampling must be run-stable")
+    assert(out1.length == 10)
+    assert(!out1.map(_._1).contains(99L), "zero-weight doc must not compete")
+    // keys are valid ES keys: in [0,1], sorted descending
+    assert(out1.forall { case (_, w, key) => w >= 1 && key >= 0.0 && key <= 1.0 })
+    assert(out1.map(_._3).sameElements(out1.map(_._3).sortBy(-_)))
+  }
+
+  test("charEntropy: uniform alphabet hits ln(n), single-char string is 0") {
+    val d = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 4 && math.abs(out(1L)._2 - math.log(4)) < 1e-6)
+    assert(out(2L)._2 == 0.0)
+    assert(math.abs(out(3L)._2 - math.log(2)) < 1e-6)
+  }
+
+  test("ngramDiversity: repeated text collapses distinct counts; short docs skip large n") {
+    val d = Seq((1L, "s1", "a b a b"), (2L, "s2", "x")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.ngramDiversity(d).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // s1 unigrams: 4 tokens, 2 distinct; bigrams: 3 ("a b","b a","a b") → 2 distinct
+    assert(out(("s1", 1)) == ((4L, 2L, 0.5)))
+    assert(out(("s1", 2)) == ((3L, 2L, 0.666667)))
+    assert(out(("s1", 3)) == ((2L, 2L, 1.0)))
+    // one-token doc only yields n=1
+    assert(out.keySet.filter(_._1 == "s2") == Set(("s2", 1)))
+    assert(out(("s2", 1)) == ((1L, 1L, 1.0)))
+  }
 }

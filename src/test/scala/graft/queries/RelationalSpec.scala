@@ -324,4 +324,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.sliding(2).forall { case Array(a, b) => a._2 < b._2 })
     assert(out.last._2 > 0 && out.last._2 < 1.0)
   }
+
+  test("copurchaseLift: pair below minPairs dropped; universal item has lift 1") {
+    // orders: 1:{A,B} 2:{A,B} 3:{A,C} — A in every order, so
+    // lift(A,B) = P(AB)/(P(A)P(B)) = (2/3)/(1 · 2/3) = 1
+    val li = Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L), (3L, 100L), (3L, 300L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Relational.copurchaseLift(li, minPairs = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head == (((100L, 200L), (2L, 1.0))), out.head.toString)
+  }
+
+  test("snapshotDiff: changelog rows surface as changed/deleted/added, others suppressed") {
+    val cust = (1 to 10).map(i => (i, 1000.0 + i)).toDF("c_custkey", "c_acctbal")
+    val out = Relational.snapshotDiff(cust).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // %10==3 updated (+100 ≠ old), %10==7 deleted, %10==1 inserted at key+10000000
+    assert(out == Map(3L -> "changed", 7L -> "deleted", 10000001L -> "added"), out.toString)
+  }
 }
