@@ -34,6 +34,11 @@ object GraftSession {
       // default; read as Long nanos and convert in EventOps (exact —
       // going through double would lose precision above 2^53 ns).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // us-precision testdata carries no timezone flag; without this,
+      // Spark 4 infers TIMESTAMP_NTZ, which unix_micros rejects. Read
+      // as TIMESTAMP (session tz pinned to UTC above), matching the
+      // DuckDB oracle's epoch_us(CAST(ts AS TIMESTAMP)).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.driver.host", "127.0.0.1")
       // custom planner strategy (native as-of join) + SQL functions

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Event-log operators: JSON prop extraction, as-of join,
   * sessionization. The `events` table is the batch twin of the
@@ -19,13 +19,16 @@ import org.apache.spark.sql.types.LongType
 object EventOps {
 
   /** Normalize the `ts` column to epoch µs as `ts_us`, accepting
-    * either Long nanos (parquet NANOS under the legacy flag) or a
-    * proper TimestampType (tests, other sources).
+    * Long nanos (parquet NANOS under the legacy flag), TIMESTAMP_NTZ
+    * (untagged parquet µs when NTZ inference is on — cast to LTZ under
+    * the UTC session zone, matching the oracle's epoch_us(CAST ...)),
+    * or a proper TimestampType (tests, other sources).
     */
   private[graft] def withTsUs(events: DataFrame): DataFrame = {
     val tsUs: Column = events.schema("ts").dataType match {
-      case LongType => expr("ts div 1000")
-      case _        => unix_micros(col("ts"))
+      case LongType           => expr("ts div 1000")
+      case TimestampNTZType   => unix_micros(col("ts").cast(TimestampType))
+      case _                  => unix_micros(col("ts"))
     }
     events.withColumn("ts_us", tsUs)
   }
