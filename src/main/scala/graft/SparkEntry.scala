@@ -307,10 +307,6 @@ object SparkEntry {
       |              CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash32
       |       FROM v GROUP BY doc_id)""".stripMargin
 
-  /** Generated oracle for [[graft.operators.Dedup.minhashNearDupsMd5]]:
-    * the affine coefficients are embedded as literals so both engines
-    * evaluate the identical integer arithmetic.
-    */
   /** Minhash-md5 banded-LSH pair CTE chain over an arbitrary source
     * relation (must expose doc_id, text) — shared by the standalone
     * pair oracle and the end-to-end pipeline oracle. Ends with a
@@ -345,6 +341,10 @@ object SparkEntry {
        |          WHERE a.doc_id < c.doc_id)""".stripMargin
   }
 
+  /** Generated oracle for [[graft.operators.Dedup.minhashNearDupsMd5]]:
+    * the affine coefficients are embedded as literals so both engines
+    * evaluate the identical integer arithmetic.
+    */
   private def minhashMd5Oracle: String = {
     val n = 16
     s"""WITH ${minhashPairCtes("documents")}
@@ -407,11 +407,6 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** PageRank oracle: the dedup_ngram_jaccard pair CTEs as the edge
-    * list, then `iters` unrolled power-iteration steps — each the
-    * same (1−d)/N + d·Σ pr/deg expression tree Spark evaluates, so
-    * doubles round identically at 6 decimals.
-    */
   /** Shared CTE re-deriving [[graft.operators.Dedup.ngramJaccardPairs]]
     * (5-gram shingles, df ≤ 1000, jaccard ≥ 0.2) as the `pp` pair
     * table — the edge source for the graph-analytics oracles
@@ -471,6 +466,11 @@ object SparkEntry {
        |SELECT threshold, coalesce(n_pairs, 0) AS n_pairs
        |FROM grid LEFT JOIN cnt USING (threshold) ORDER BY threshold""".stripMargin
 
+  /** PageRank oracle: the dedup_ngram_jaccard pair CTEs as the edge
+    * list, then `iters` unrolled power-iteration steps — each the
+    * same (1−d)/N + d·Σ pr/deg expression tree Spark evaluates, so
+    * doubles round identically at 6 decimals.
+    */
   private def pagerankOracle(iters: Int = 3): String = {
     def step(prev: String, out: String) =
       s"""$out AS (SELECT nd.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.in_sum, 0.0) AS pr
@@ -566,17 +566,6 @@ object SparkEntry {
        |ORDER BY s.doc_id""".stripMargin
   }
 
-  /** Generated oracle for [[graft.operators.Similarity.cosineNearDupPairs]]:
-    * the splitmix64 hyperplane matrix
-    * ([[graft.functions.HyperplaneSignature.comp]]) is embedded as
-    * double literals (shortest-round-trip `Double.toString`, so DuckDB
-    * parses back the identical bits), and each plane's dot product is
-    * written as the same left-associated j-ascending sum the Scala
-    * loop computes — bit-identical doubles ⇒ identical bucket signs ⇒
-    * identical candidate pairs. Scoring mirrors `graft_cosine` via
-    * `list_cosine_similarity` rounded to 6 (the proven
-    * `sim_bruteforce_topk` parity).
-    */
   /** Shared CTE chain for the hyperplane-LSH oracles: literal
     * splitmix64 plane matrix → banded buckets → capped buckets →
     * scored candidate pairs `p(vec_a, vec_b, cos_sim)`.
@@ -606,6 +595,17 @@ object SparkEntry {
        |      WHERE a.vec_id < c.vec_id)""".stripMargin
   }
 
+  /** Generated oracle for [[graft.operators.Similarity.cosineNearDupPairs]]:
+    * the splitmix64 hyperplane matrix
+    * ([[graft.functions.HyperplaneSignature.comp]]) is embedded as
+    * double literals (shortest-round-trip `Double.toString`, so DuckDB
+    * parses back the identical bits), and each plane's dot product is
+    * written as the same left-associated j-ascending sum the Scala
+    * loop computes — bit-identical doubles ⇒ identical bucket signs ⇒
+    * identical candidate pairs. Scoring mirrors `graft_cosine` via
+    * `list_cosine_similarity` rounded to 6 (the proven
+    * `sim_bruteforce_topk` parity).
+    */
   private def cosineNearDupOracle: String =
     s"""WITH $cosineNearDupBaseCte
        |SELECT DISTINCT vec_a, vec_b, cos_sim FROM p
@@ -2305,5 +2305,30 @@ object SparkEntry {
         |                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS frames
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY doc_id""".stripMargin,
+  )
+
+  /** Evidence chain for every query key that has NO DuckDB oracle
+    * (engine-specific hashes, sketches, trained models): each maps to
+    * (oracle-green twin key if one exists, the ScalaTest spec that
+    * pins it). `OracleCoverageSpec` asserts this table stays exactly
+    * in sync with `queries`/`oracleSql` — a future oracle-free key
+    * cannot land twinless, and a stale entry fails the build.
+    */
+  def noOracleEvidence: Map[String, (Option[String], String)] = Map(
+    // xxhash64 fast paths ↔ md5 twins computing the same pipeline on
+    // SQL-expressible hashes
+    "dedup_minhash_pairs"    -> (Some("dedup_minhash_md5"), "DedupSpec"),
+    "dedup_simhash"          -> (Some("dedup_simhash_md5"), "DedupSpec"),
+    "dedup_simhash_neardups" -> (Some("dedup_simhash_md5_neardups"), "DedupSpec"),
+    // sketches ↔ exact twins (tolerance specs bound the estimate)
+    "q_approx_distinct"        -> (Some("q_distinct"), "RelationalSpec"),
+    "q_percentiles_approx"     -> (Some("q_percentiles"), "RelationalSpec"),
+    "q_column_profile_approx"  -> (Some("q_column_profile"), "RelationalSpec"),
+    "dedup_exact_stats_approx" -> (Some("dedup_exact_stats"), "DedupSpec"),
+    "ev_hll_rollup"            -> (None, "EventOpsSpec"),
+    // IVF ANN: deterministic-seed twin + recall report are both green
+    "sim_ivf_topk" -> (Some("sim_ivf_topk_seed"), "SimilaritySpec"),
+    // language ID: relational modulo-sampled twin + differential spec
+    "text_lang_id" -> (Some("text_lang_id_rel"), "TextAnalysisSpec"),
   )
 }

@@ -22,8 +22,8 @@ object AsOf {
            tolerance: Option[Long] = None): DataFrame =
     joinMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime, tolerance)
 
-  /** Multi-key variant (composite join keys, e.g. (tenant, user)). */
-  /** `tolerance` (same units as the long time columns, e.g. micros)
+  /** Multi-key variant (composite join keys, e.g. (tenant, user)).
+    * `tolerance` (same units as the long time columns, e.g. micros)
     * bounds staleness pandas-merge_asof-style: a match older than
     * `leftTime - tolerance` is emitted as nulls instead.
     */

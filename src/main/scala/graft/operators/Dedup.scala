@@ -149,12 +149,24 @@ object Dedup {
     * candidates; the self-join is on (band_idx, band_hash) so work is
     * proportional to Σ bucket², not n². Output: pairs with estimated
     * Jaccard ≥ `threshold`.
+    *
+    * `maxBucket` caps each (band_idx, band_hash) bucket at the
+    * `maxBucket` lowest doc_ids (deterministic) before the self-join —
+    * without it one template-spam band bucket of n docs is n² pairs,
+    * the scale-killer of the whole dedup pipeline at 100 TB. Exact
+    * dedup runs before LSH in [[dedupPipeline]], so identical docs are
+    * already gone; the cap guards near-identical floods. Bounded work,
+    * recall loss confined to over-full buckets — the same standard LSH
+    * degradation [[simhashNearDups]] and cosineNearDupPairs use.
     */
   def minhashNearDups(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                      bands: Int = 8, threshold: Double = 0.5,
+                      maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(documents, shingleK, numHashes)
+    val w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
     val banded = sigs.select(col("doc_id"), col("signature"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_idx"),
@@ -163,6 +175,9 @@ object Dedup {
             x => x.cast("string")), ",")).as("band_hash")))).as("band"))
       .select(col("doc_id"), col("signature"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
     val a = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_hash"),
@@ -586,12 +601,6 @@ object Dedup {
   private def md5Hash28(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
 
-  /** Oracle twin of [[minhashNearDups]]: md5-hashed shingles, affine
-    * min-sketch mod 2^31-1, banded LSH join, agreement-estimated
-    * Jaccard. Signature build here is explode + groupBy (one shuffle
-    * with map-side combine) rather than a custom expression — this
-    * variant exists for cross-engine checkability, not throughput.
-    */
   /** Shared md5-MinHash banded-signature builder: per doc, the
     * numHashes affine min-sketch plus one row per LSH band with its
     * concatenated band key — the candidate-generation half of every
@@ -621,9 +630,22 @@ object Dedup {
         col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
   }
 
+  /** Oracle twin of [[minhashNearDups]]: md5-hashed shingles, affine
+    * min-sketch mod 2^31-1, banded LSH join, agreement-estimated
+    * Jaccard, and the same deterministic `maxBucket` flood guard.
+    * Signature build here is explode + groupBy (one shuffle with
+    * map-side combine) rather than a custom expression — this
+    * variant exists for cross-engine checkability, not throughput.
+    */
   def minhashNearDupsMd5(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 16,
-                         bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                         bands: Int = 4, threshold: Double = 0.5,
+                         maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
     val banded = md5BandedSignatures(documents, shingleK, numHashes, bands)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
     val a = banded.select(col("band_idx"), col("band_key"),
       col("doc_id").as("doc_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
@@ -762,11 +784,6 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Oracle twin of [[simhashNearDups]]: pigeonhole banding over the
-    * 32-bit md5 fingerprint — maxDist+1 bands, any pair within
-    * maxDist bits agrees on ≥1 band. Uncapped (exactness for the
-    * oracle; the capped 64-bit path is the scale story).
-    */
   /** Per-document word-window passages: text split into consecutive
     * `w`-word chunks, one output row per (doc_id, chunk index). The
     * building block for exact PASSAGE-level dedup (Lee et al.,
@@ -848,6 +865,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Oracle twin of [[simhashNearDups]]: pigeonhole banding over the
+    * 32-bit md5 fingerprint — maxDist+1 bands, any pair within
+    * maxDist bits agrees on ≥1 band. Uncapped (exactness for the
+    * oracle; the capped 64-bit path is the scale story).
+    */
   def simhashMd5NearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
     require(32 % nBands == 0, "maxDist+1 must divide 32")

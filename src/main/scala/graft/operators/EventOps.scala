@@ -18,20 +18,43 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object EventOps {
 
+  /** Interpret a TIMESTAMP_NTZ wall-clock as a UTC instant,
+    * independent of `spark.sql.session.timeZone`: pre-shift the wall
+    * clock from UTC into the session zone, then cast NTZ→LTZ (which
+    * interprets in the session zone) — the two zone hops cancel, so
+    * the resulting instant is the NTZ value read as UTC no matter
+    * what zone the session runs under.
+    */
+  private def ntzAsUtcInstant(c: Column): Column =
+    convert_timezone(lit("UTC"), current_timezone(), c).cast(TimestampType)
+
   /** Normalize the `ts` column to epoch µs as `ts_us`, accepting
     * Long nanos (parquet NANOS under the legacy flag), TIMESTAMP_NTZ
-    * (untagged parquet µs when NTZ inference is on — cast to LTZ under
-    * the UTC session zone, matching the oracle's epoch_us(CAST ...)),
-    * or a proper TimestampType (tests, other sources).
+    * (untagged parquet µs when NTZ inference is on — wall clock read
+    * as UTC, matching the oracle's epoch_us(CAST ...)), or a proper
+    * TimestampType (tests, other sources).
     */
   private[graft] def withTsUs(events: DataFrame): DataFrame = {
     val tsUs: Column = events.schema("ts").dataType match {
       case LongType           => expr("ts div 1000")
-      case TimestampNTZType   => unix_micros(col("ts").cast(TimestampType))
+      case TimestampNTZType   => unix_micros(ntzAsUtcInstant(col("ts")))
       case _                  => unix_micros(col("ts"))
     }
     events.withColumn("ts_us", tsUs)
   }
+
+  /** Normalize the `ts` column to a proper instant-typed
+    * TimestampType in place — the streaming-staging twin of
+    * [[withTsUs]] (watermarks/window() need a timestamp column, not
+    * epoch-µs Longs). Same three-way schema dispatch, so spec staging
+    * and production paths survive a testdata re-encode together.
+    */
+  private[graft] def withTsTimestamp(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType         => events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => events.withColumn("ts", ntzAsUtcInstant(col("ts")))
+      case _                => events
+    }
 
   /** Floor-division time bucket over `ts_us` (bucket width in µs).
     * Matches DuckDB `//` and `date_trunc` for pre-1970 timestamps,

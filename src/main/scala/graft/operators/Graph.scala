@@ -64,18 +64,23 @@ object Graph {
     * bucket-collision edges — the one-row health check run before
     * trusting connected components to define dup groups.
     *
-    * Shape at 100 TB: the standard two-join oriented-triangle
-    * enumeration — every triangle a<b<c is counted exactly once as
-    * edges (a,b)+(b,c) closed by (a,c), so two hash joins keyed on
-    * node ids, never an all-pairs product; wedge and degree counts
-    * are one partial-agg shuffle over the edge list. The three 1-row
-    * aggregates meet in broadcast cross joins (the audited scalar
-    * pattern).
+    * Shape at 100 TB: degree-oriented ("forward", Schank–Wagner 2005)
+    * triangle enumeration — each edge points from its lower-(deg, id)
+    * endpoint to the higher, so every triangle is enumerated exactly
+    * once at its minimum-degree vertex and a wedge candidate list is
+    * bounded by Σ outdeg² = O(E^1.5), never the Σ deg² of raw-id
+    * orientation (a degree-d hub with mid-range id would emit d²/4
+    * wedges; degree-oriented it emits ZERO — all its edges point IN).
+    * Two hash joins keyed on node ids, never an all-pairs product;
+    * wedge and degree counts are one partial-agg shuffle over the
+    * edge list. The three 1-row aggregates meet in broadcast cross
+    * joins (the audited scalar pattern).
     */
   def triangleStats(pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-    val nTri = wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val nTri = degreeOrientedWedges(pairs)
+      .join(orientedEdges(pairs).select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
@@ -86,5 +91,42 @@ object Graph {
       .crossJoin(broadcast(nWedge))
       .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
+  }
+
+  /** Edges of the undirected pair list re-oriented from the
+    * lower-(deg, id) endpoint to the higher (total order — ties on
+    * degree break by id). Out-degree in this DAG is O(√E), the bound
+    * that makes [[degreeOrientedWedges]] hub-safe. Carries the dst's
+    * (deg, id) key so wedge enumeration can order out-neighbors
+    * without re-joining degrees.
+    */
+  private[graft] def orientedEdges(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val keyA = struct(col("deg_a").as("deg"), col("a").as("id"))
+    val keyB = struct(col("deg_b").as("deg"), col("b").as("id"))
+    val aFirst = keyA < keyB
+    e.join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, keyB).otherwise(keyA).as("dst_key"))
+  }
+
+  /** Wedge candidates of the forward algorithm: for each node, every
+    * ordered pair (v, w) of its out-neighbors with key(v) < key(w).
+    * A triangle exists iff the oriented edge v→w also exists — the
+    * closing join in [[triangleStats]]. Exposed package-private so the
+    * planted-hub spec can pin the row-count bound (a star's hub emits
+    * zero wedges here).
+    */
+  private[graft] def degreeOrientedWedges(pairs: DataFrame): DataFrame = {
+    val o = orientedEdges(pairs)
+    val x = o.select(col("src"), col("dst").as("v"), col("dst_key").as("key_v"))
+    val y = o.select(col("src"), col("dst").as("w"), col("dst_key").as("key_w"))
+    x.join(y, Seq("src")).filter(col("key_v") < col("key_w")).select("v", "w")
   }
 }

@@ -371,21 +371,6 @@ object Relational {
       .orderBy("bucket")
   }
 
-  /** MERGE-style changelog apply (upsert + delete + insert) against a
-    * snapshot — the write-side CDC shape that pairs with
-    * [[graft.operators.EventOps.scd2Intervals]]'s read side: given a
-    * batch of keyed changes (U/D/I ops), produce the next snapshot.
-    * The changeset here is derived deterministically from the
-    * snapshot itself so the whole operation is oracle-checkable.
-    *
-    * Shape at 100 TB: a changeset is normally ≪ the snapshot, so
-    * updates/deletes apply via snapshot LEFT JOIN broadcast(changes)
-    * — the snapshot never shuffles — and inserts arrive as an
-    * anti-join union (also broadcastable). This is the merge-on-read
-    * compaction plan; a full-outer formulation would force both
-    * sides to shuffle and is only needed when the changeset is
-    * snapshot-sized.
-    */
   /** The deterministic U/D/I changelog both merge paths apply —
     * derived from the snapshot itself so the whole operation is
     * oracle-checkable (key%10==3 → update, ==7 → delete, ==1 →
@@ -403,6 +388,21 @@ object Relational {
           lit("I").as("op"), lit(0.0).as("new_bal")))
   }
 
+  /** MERGE-style changelog apply (upsert + delete + insert) against a
+    * snapshot — the write-side CDC shape that pairs with
+    * [[graft.operators.EventOps.scd2Intervals]]'s read side: given a
+    * batch of keyed changes (U/D/I ops), produce the next snapshot.
+    * The changeset here is derived deterministically from the
+    * snapshot itself so the whole operation is oracle-checkable.
+    *
+    * Shape at 100 TB: a changeset is normally ≪ the snapshot, so
+    * updates/deletes apply via snapshot LEFT JOIN broadcast(changes)
+    * — the snapshot never shuffles — and inserts arrive as an
+    * anti-join union (also broadcastable). This is the merge-on-read
+    * compaction plan; a full-outer formulation would force both
+    * sides to shuffle and is only needed when the changeset is
+    * snapshot-sized.
+    */
   def applyChangeSet(customer: DataFrame): DataFrame = {
     val changes = derivedChangeSet(customer)
     val snapshot = customer.select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))

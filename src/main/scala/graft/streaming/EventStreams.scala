@@ -214,12 +214,6 @@ object EventStreams {
       }
   }
 
-  /** Streaming exact dedup: drop events whose `event_id` was already
-    * seen, with state bounded by the watermark (an id older than the
-    * watermark can be evicted because any duplicate of it would be
-    * dropped as late anyway). The streaming face of Dedup.exact — the
-    * first stage of a continuously-ingesting training-data pipeline.
-    */
   /** Stream-static join: enrich the event stream with a broadcast
     * dimension (customer segment) and aggregate per (segment, type) —
     * the canonical "join the firehose to the warehouse dim" shape.
@@ -269,6 +263,12 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, with state bounded by the watermark (an id older than the
+    * watermark can be evicted because any duplicate of it would be
+    * dropped as late anyway). The streaming face of Dedup.exact — the
+    * first stage of a continuously-ingesting training-data pipeline.
+    */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)

@@ -73,6 +73,22 @@ class DedupSpec extends SparkSpec {
     assert(est > 0.4 && est < 0.95, s"estimated jaccard $est out of plausible band")
   }
 
+  test("minhash flood bucket: maxBucket bounds pair counts deterministically") {
+    // 20 identical docs share EVERY band bucket — uncapped that is
+    // C(20,2)=190 pairs (n² in the flood size); with maxBucket=4 only
+    // the 4 lowest doc_ids survive per bucket → exactly C(4,2)=6
+    // pairs, always among ids 1..4.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val flood = docs((1L to 20L).map(_ -> base): _*)
+    assert(Dedup.minhashNearDups(flood).count() == 190L)
+    val capped = Dedup.minhashNearDups(flood, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSet)
+    val cappedMd5 = Dedup.minhashNearDupsMd5(flood, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedMd5 == capped)
+  }
+
   test("simhash: identical → equal; disjoint vocab → different") {
     val t1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val d = docs(1L -> t1, 2L -> t1, 3L -> (1 to 50).map(i => s"q$i").mkString(" "))

@@ -291,4 +291,24 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - (20.0 + 10.0 * math.exp(-0.1))) < 1e-4, out.toString)
     assert(math.abs(out(2L)._2 - 5.0 * math.exp(-0.2)) < 1e-4, out.toString)
   }
+
+  test("withTsUs: NTZ wall-clocks read as UTC regardless of session time zone") {
+    // An NTZ `ts` has no zone; the contract is "wall clock = UTC
+    // instant". A session built outside GraftSession.configure may run
+    // under any zone — ts_us must not shift with it.
+    val ntz = Seq(java.time.LocalDateTime.of(2024, 3, 10, 7, 30, 0)) // US DST gap day
+      .toDF("ts") // LocalDateTime encoder → TimestampNTZType
+    assert(ntz.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val expected = java.time.LocalDateTime.of(2024, 3, 10, 7, 30, 0)
+      .toInstant(java.time.ZoneOffset.UTC)
+    val expectedUs = expected.getEpochSecond * 1000000L + expected.getNano / 1000L
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (zone <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        val got = EventOps.withTsUs(ntz).select("ts_us").collect().head.getLong(0)
+        assert(got == expectedUs, s"zone $zone: got $got expected $expectedUs")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
 }

@@ -43,4 +43,23 @@ class GraphSpec extends SparkSpec {
     assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getDouble(3)) ==
       ((2L, 0L, 1L, 0.0)), p.toString)
   }
+
+  test("degree orientation: a mid-id hub emits ZERO wedge candidates, not d²/4") {
+    // hub id 500 with 200 leaves split below/above its id. Raw-id
+    // orientation (a<b<c, wedge at the middle id) would enumerate
+    // 100×100 = 10,000 wedges at the hub; degree orientation points
+    // every edge INTO the hub (leaves have degree 1 < 200), so the
+    // candidate list is empty — the Schank–Wagner bound in action.
+    val leaves = ((1L to 100L) ++ (901L to 1000L))
+    val star = leaves.map(l => if (l < 500L) (l, 500L) else (500L, l))
+      .toDF("doc_a", "doc_b")
+    assert(Graph.degreeOrientedWedges(star).count() == 0L)
+    val s = Graph.triangleStats(star).collect().head
+    // 200 edges, no triangles, C(200,2) wedges by degree count
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((200L, 0L, 19900L)), s.toString)
+    // triangles hanging off the hub are still found exactly once
+    val withTri = (leaves.map(l => if (l < 500L) (l, 500L) else (500L, l)) ++
+      Seq((1L, 2L), (901L, 902L))).toDF("doc_a", "doc_b")
+    assert(Graph.triangleStats(withTri).collect().head.getLong(1) == 2L)
+  }
 }

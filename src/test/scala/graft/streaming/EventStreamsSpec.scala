@@ -101,9 +101,10 @@ class EventStreamsSpec extends SparkSpec {
     // stage the real events parquet as a streaming source directory
     val batchDf = graft.Tables.events(spark, sf0001)
     batchDf.write.mode("overwrite").parquet(src)
-    val streamDf = spark.readStream.schema(batchDf.schema).parquet(src)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // schema-dispatched staging (Long nanos / NTZ / LTZ) shared with
+    // the batch path, so a testdata ts re-encode breaks neither
+    val streamDf = EventOps.withTsTimestamp(
+      spark.readStream.schema(batchDf.schema).parquet(src))
     val q = EventStreams.toMemorySink(
       EventStreams.hourlyCounts(streamDf),
       "file_hourly_test", org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -121,10 +122,8 @@ class EventStreamsSpec extends SparkSpec {
     // multiple files → multiple micro-batches, so window state actually
     // merges partial sketches across batches (the path under test)
     batchDf.repartition(4).write.mode("overwrite").parquet(src)
-    val streamDf = spark.readStream.schema(
-      spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1).parquet(src)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val streamDf = EventOps.withTsTimestamp(spark.readStream.schema(
+      spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1).parquet(src))
     val q = EventStreams.toMemorySink(
       EventStreams.hourlyDistinctUsersSketch(streamDf),
       "hll_window_test", org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -159,10 +158,8 @@ class EventStreamsSpec extends SparkSpec {
     val batchDf = graft.Tables.events(spark, sf001)
     // multiple files → multiple micro-batches (real incremental replay)
     batchDf.repartition(4).write.mode("overwrite").parquet(src)
-    val streamDf = spark.readStream.schema(
-      spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1).parquet(src)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val streamDf = EventOps.withTsTimestamp(spark.readStream.schema(
+      spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1).parquet(src))
     val q = EventStreams.toMemorySink(
       EventStreams.hourlyCounts(streamDf),
       "parity_hourly_test", org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -187,19 +184,21 @@ class EventStreamsSpec extends SparkSpec {
     val outDir = java.nio.file.Files.createTempDirectory("graft_febatch_out").toString
     val gapUs = 30L * 60 * 1000000
     val batchDf = graft.Tables.events(spark, sf0001)
-    val rows = batchDf.select("event_id", "ts", "user_id")
+    // ts_us via the schema-dispatched normalizer (events.ts may be
+    // Long nanos, NTZ, or LTZ depending on the testdata encoding)
+    val rows = EventOps.withTsUs(batchDf).select("event_id", "ts_us", "user_id")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._2)
-    def toTs(ns: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(
-      ns / 1000000000L, ns % 1000000000L))
+    def toTs(us: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
     val chunks = rows.grouped((rows.length + 2) / 3).toSeq
     val mem = MemoryStream[(Long, Timestamp, Long)]
     val events = mem.toDF().toDF("event_id", "ts", "user_id")
     val q = EventStreams.dedupSessionizeToParquet(events, outDir)
     try {
       chunks.foreach { c =>
-        val base = c.map { case (id, ns, uid) => (id, toTs(ns), uid) }
+        val base = c.map { case (id, us, uid) => (id, toTs(us), uid) }
         val dups = base.grouped(10).map(_.head).toSeq // every 10th row again
         mem.addData(base ++ dups: _*)
         q.processAllAvailable()
@@ -207,7 +206,7 @@ class EventStreamsSpec extends SparkSpec {
       // sentinel far past every session end flushes the watermark so
       // append mode emits all real sessions; its own (unclosed)
       // session never reaches the sink
-      mem.addData((-1L, toTs(rows.last._2 + 30L * 86400 * 1000000000L), -1L))
+      mem.addData((-1L, toTs(rows.last._2 + 30L * 86400 * 1000000L), -1L))
       q.processAllAvailable()
       val streamed = spark.read.parquet(outDir)
         .filter(col("user_id") >= 0)
