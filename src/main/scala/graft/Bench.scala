@@ -28,57 +28,61 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm only the headline subset on the smallest SF: warmup exists to
-    // trigger codegen/JIT/classloading for the common operator shapes, and
-    // the first timed round covers the rest. Warming all 150 queries twice
-    // (r5) blew the driver's kill window (rc=124) — the full-fleet warmup
-    // cost more than the information it bought.
-    val warmDir = "/root/testdata/sf0.001"
+    // Warm EVERY query once on the smallest SF: warmup exists to trigger
+    // codegen/janino/JIT/classloading, and that fixed cost dominates the
+    // timed rounds when paid cold (r6: headline-only warmup left round 1
+    // at ~210 s cold vs ~85 s warm, so the time-box predictor — which
+    // extrapolates from the COLD round — never started round 2 and no
+    // warm min/median existed in the driver artifact). A full sf0.001
+    // sweep costs ~100 s (measured), buys a ~3× cheaper round 1, and
+    // still leaves budget for ≥2 timed rounds. (r5's mistake was warming
+    // the full fleet TWICE; once is the right trade.)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val qmap = SparkEntry.queries
-    headline.foreach { name =>
-      qmap.get(name).foreach { fn =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-        }
+    qmap.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
-    // Interleaved rounds (run 1 = all queries, run 2 = all queries, …)
-    // so a GC pause / janino-compile storm lands on one ROUND, not one
-    // query's every sample. Reporting BOTH median and min keeps real
-    // regressions separable from noise: min is the reproducible
-    // steady-state cost, median shows the typical run.
+    System.err.println(f"[bench] full warmup done at ${(System.nanoTime() - wallStart) / 1e9}%.1f s")
+    // Round structure: ONE full-set round (all 179 queries — complete
+    // per-query coverage), then headline-only rounds (27 keys, ~4×
+    // cheaper) until the time box closes. The full round after a full
+    // sf0.001 warmup is already near-warm; the headline rounds supply
+    // the reproducible warm min/median for exactly the keys the
+    // round-over-round comparison reads. (r6 ran full-set rounds only:
+    // the cold round-1 time fed the predictor, round 2 never started,
+    // and the driver artifact had no warm numbers at all.)
     //
-    // The whole loop is TIME-BOXED: the driver kills the bench process at a
-    // fixed wall deadline, and a killed process prints no final JSON at all
-    // (r5: rc=124, parsed null). A new round only STARTS if the previous
-    // round's duration (plus 20% variance headroom — round-to-round swings
-    // of ~1.5x are real under GC/codegen pressure) still fits inside 95%
-    // of SPARK_GRAFT_BENCH_BUDGET_S — fewer iterations of a parseable
-    // number beats five iterations of nothing.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // The whole loop is TIME-BOXED: the driver kills the bench process at
+    // a fixed wall deadline (r5: rc=124, no JSON, parsed null). Two
+    // defenses: (a) a round only STARTS if the previous same-kind round
+    // ×1.2 variance headroom still fits inside 95% of the budget;
+    // (b) the compact JSON line is printed AFTER EVERY ROUND, so even a
+    // mid-round kill leaves the last complete round's parseable line in
+    // the output tail.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
     def elapsedS: Double = (System.nanoTime() - wallStart) / 1e9
+    val allNames = qmap.keys.toSeq.sorted
+    val headSet = headline.toSet
     val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
-    var i = 0
-    var lastRoundS = 0.0
-    while (i < iters && (i == 0 || elapsedS + lastRoundS * 1.2 < budgetS * 0.95)) {
+
+    def runRound(names: Seq[String]): Double = {
       val r0 = System.nanoTime()
-      runs += qmap.toSeq.sortBy(_._1).map { case (name, fn) =>
+      runs += names.map { name =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-      lastRoundS = (System.nanoTime() - r0) / 1e9
-      i += 1
-      System.err.println(f"[bench] round $i/$iters done at $elapsedS%.1f s (round $lastRoundS%.1f s, budget $budgetS%.0f s)")
+      (System.nanoTime() - r0) / 1e9
     }
-    val itersCompleted = runs.length
-    // True median: for an even sample count (reachable now that the
-    // time-box can stop after 2 rounds) average the middle pair —
+
+    // True median: for an even sample count average the middle pair —
     // s(len/2) alone would report the MAX of 2 samples and bias the
     // headline high against odd-iteration baselines.
     def median(xs: Seq[Double]): Double = {
@@ -86,35 +90,60 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val names = runs.head.map(_._1)
-    val byName = names.map(n => n -> runs.toSeq.map(_.toMap.apply(n)))
-    val med = byName.map { case (n, xs) => n -> median(xs) }
-    val mins = byName.map { case (n, xs) => n -> xs.min }
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = med.map(_._2).sum
-    val totalMin = mins.map(_._2).sum
+
     // The harness captures only the TAIL of the process output, so a
-    // single JSON line carrying all 100+ per-query medians (~3 KB) gets
+    // single JSON line carrying all 179 per-query medians (~4 KB) gets
     // its head truncated and fails to parse (round-4 lesson:
     // BENCH_r04.json "parsed": null). Split the report: full per-query
-    // detail goes to a file + early stderr; the FINAL line printed is a
-    // compact (<1.5 KB) headline JSON with a representative query
-    // subset that always fits the tail window intact.
-    val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"total_min":$totalMin%.3f,"sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_full.json"),
-        (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    val medMap = med.toMap
-    val headKvs = headline.flatMap(n => medMap.get(n).map(n -> _))
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headKvs)},"total_min":$totalMin%.3f,"n_queries":${names.length},"full":"/tmp/bench_full.json","sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
-        (json + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // detail (median + min) goes to /tmp/bench_full.json; the line
+    // printed is a compact (<1.5 KB) headline JSON that always fits the
+    // tail window intact.
+    def emit(last: Boolean): String = {
+      val itersCompleted = runs.length
+      val byName = allNames.map(n => n -> runs.toSeq.flatMap(_.toMap.get(n)))
+        .filter(_._2.nonEmpty)
+      val med = byName.map { case (n, xs) => n -> median(xs) }
+      val mins = byName.map { case (n, xs) => n -> xs.min }
+      val total = med.map(_._2).sum
+      val totalMin = mins.map(_._2).sum
+      val full =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"total_min":$totalMin%.3f,"sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_full.json"),
+          (full + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+      val minMap = mins.toMap
+      val headKvs = med.filter(kv => headSet.contains(kv._1))
+      val headMinKvs = headline.flatMap(n => minMap.get(n).map(n -> _))
+      val json =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headKvs)},"queries_min":${jsonMap(headMinKvs)},"total_min":$totalMin%.3f,"n_queries":${byName.length},"full":"/tmp/bench_full.json","sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+          (json + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+      if (!last) { println(json); System.err.println(json) }
+      json
+    }
+
+    var lastFullS = runRound(allNames)
+    System.err.println(f"[bench] full round done at $elapsedS%.1f s (round $lastFullS%.1f s, budget $budgetS%.0f s)")
+    emit(last = false)
+    // Estimate the first headline round from the full round's own
+    // headline keys; after that, predict from the previous headline
+    // round. 20% headroom — round-to-round swings of ~1.5× are real
+    // under GC/codegen pressure, and the per-round emit above caps the
+    // damage of an overrun at one lost round.
+    var lastHeadS = runs.head.filter(kv => headSet.contains(kv._1)).map(_._2).sum
+    var i = 1
+    while (i < iters && elapsedS + lastHeadS * 1.2 < budgetS * 0.95) {
+      lastHeadS = runRound(headline)
+      i += 1
+      System.err.println(f"[bench] headline round $i/$iters done at $elapsedS%.1f s (round $lastHeadS%.1f s, budget $budgetS%.0f s)")
+      emit(last = false)
+    }
+    val json = emit(last = true)
     spark.stop()
     // Emit the parseable line LAST so no later output (Spark shutdown
     // logs, sbt's "[success]") can push it out of the tail window.
