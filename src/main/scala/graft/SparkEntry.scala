@@ -214,6 +214,16 @@ object SparkEntry {
       operators.Graph.pageRank(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
     "dedup_triangles" -> ((s, d) =>
       operators.Graph.triangleStats(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
+    "dedup_degree_hist" -> ((s, d) =>
+      operators.Graph.degreeHistogram(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
+    "dedup_band_histogram" -> ((s, d) => Dedup.minhashBandHistogram(Tables.documents(s, d))),
+    "dedup_source_matrix" -> ((s, d) => Dedup.crossSourceNearDups(Tables.documents(s, d))),
+    "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documents(s, d))),
+    "text_jsd_drift" -> ((s, d) => TextAnalysis.jsdSourceDrift(Tables.documents(s, d))),
+    "text_length_hist" -> ((s, d) => TextAnalysis.docLengthHistogram(Tables.documents(s, d))),
+    "sim_l2_topk" -> ((s, d) => Similarity.l2TopK(Tables.embeddings(s, d))),
+    "ev_hour_of_week" -> ((s, d) => EventOps.hourOfWeekProfile(Tables.events(s, d))),
+    "ev_power_users" -> ((s, d) => EventOps.powerUsers(Tables.events(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1077,6 +1087,110 @@ object SparkEntry {
     "dedup_minhash_est_error" -> minhashEstErrorOracle,
     "dedup_pagerank" -> pagerankOracle(),
     "dedup_triangles" -> trianglesOracle,
+    "dedup_degree_hist" ->
+      s"""WITH $jaccardPairsCte,
+         |e AS (SELECT doc_a AS node FROM pp UNION ALL SELECT doc_b FROM pp),
+         |d AS (SELECT node, count(*) AS deg FROM e GROUP BY 1)
+         |SELECT deg, count(*) AS n_nodes FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // band-bucket histogram over the UNCAPPED banded table `b` of the
+    // shared minhash CTE chain (the unused `pairs` CTE is inert)
+    "dedup_band_histogram" ->
+      s"""WITH ${minhashPairCtes("documents")},
+         |bs AS (SELECT band_idx, band_key, count(*) AS bucket_size FROM b GROUP BY 1,2)
+         |SELECT bucket_size, count(*) AS n_buckets,
+         |       CAST(count(*) * bucket_size * (bucket_size - 1) // 2 AS BIGINT) AS cand_pairs
+         |FROM bs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_source_matrix" ->
+      s"""WITH ${minhashPairCtes("documents")},
+         |nd AS (SELECT doc_a, doc_b, ej FROM (
+         |  SELECT doc_a, doc_b,
+         |         round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 6) AS ej
+         |  FROM pairs) q WHERE ej >= 0.5),
+         |m AS (SELECT least(da.source, db.source) AS source_x,
+         |             greatest(da.source, db.source) AS source_y, nd.ej
+         |      FROM nd JOIN documents da ON da.doc_id = nd.doc_a
+         |              JOIN documents db ON db.doc_id = nd.doc_b)
+         |SELECT source_x, source_y, count(*) AS n_pairs,
+         |       round(avg(ej), 6) AS avg_est_jaccard
+         |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_ttr" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |     tf AS (SELECT source, w FROM t WHERE len(w) > 0)
+        |SELECT source, count(*) AS n_tokens, count(DISTINCT w) AS n_types,
+        |       round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 6) AS ttr
+        |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
+    // JSD per source vs corpus over the full (source × corpus-word)
+    // grid — absent words contribute only the q-side term
+    "text_jsd_drift" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |     tf AS (SELECT source, w FROM t WHERE len(w) > 0),
+        |     sw AS (SELECT source, w, count(*) AS c FROM tf GROUP BY 1, 2),
+        |     st AS (SELECT source, sum(c) AS n_src FROM sw GROUP BY 1),
+        |     cw AS (SELECT w, sum(c) AS cc FROM sw GROUP BY 1),
+        |     ct AS (SELECT sum(cc) AS n_corpus FROM cw),
+        |     grid AS (
+        |       SELECT st.source, st.n_src, cw.w, cw.cc, ct.n_corpus,
+        |              coalesce(sw.c, 0) AS c
+        |       FROM st CROSS JOIN cw CROSS JOIN ct
+        |       LEFT JOIN sw ON sw.source = st.source AND sw.w = cw.w),
+        |     terms AS (
+        |       SELECT source,
+        |              CAST(c AS DOUBLE) / n_src AS p,
+        |              CAST(cc AS DOUBLE) / n_corpus AS q,
+        |              CASE WHEN c > 0 THEN 1 ELSE 0 END AS present
+        |       FROM grid)
+        |SELECT source,
+        |       round(sum(CASE WHEN p > 0
+        |                      THEN 0.5 * p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+        |                 + 0.5 * q * ln(2.0 * q / (p + q))), 6) AS jsd,
+        |       CAST(sum(present) AS BIGINT) AS n_types
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bucket index = floor(log2(n_chars)) via binary digit count —
+    // pure integer/string arithmetic, engine-identical at powers of 2
+    "text_length_hist" ->
+      """WITH b AS (SELECT source, CAST(length(bin(n_chars)) - 1 AS INTEGER) AS bucket
+        |           FROM documents WHERE n_chars > 0),
+        |     tot AS (SELECT source, count(*) AS n_src FROM b GROUP BY 1)
+        |SELECT b.source, bucket,
+        |       CAST(1 AS BIGINT) << bucket AS lo_chars,
+        |       (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_chars,
+        |       count(*) AS n_docs,
+        |       round(CAST(count(*) AS DOUBLE) / any_value(n_src), 6) AS share
+        |FROM b JOIN tot USING (source) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // L2 from the norm identity on list_inner_product — the same
+    // left-associated arithmetic the Spark op runs over graft_dot
+    "sim_l2_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |     s AS (SELECT qid, cid,
+        |                  round(sqrt(greatest(0.0, list_inner_product(qv, qv)
+        |                        - 2.0 * list_inner_product(qv, cv)
+        |                        + list_inner_product(cv, cv))), 6) AS dist
+        |           FROM q CROSS JOIN c WHERE qid <> cid),
+        |     r AS (SELECT qid, cid, dist,
+        |                  CAST(row_number() OVER (PARTITION BY qid
+        |                       ORDER BY dist ASC, cid) AS INTEGER) AS rnk
+        |           FROM s)
+        |SELECT qid, rnk, cid, dist FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // epoch-aligned hour-of-week: pure floor-div/mod arithmetic (no
+    // locale calendar), non-negative even for pre-1970 fixtures
+    "ev_hour_of_week" ->
+      """WITH h AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 168 + 168) % 168 AS how
+        |           FROM events),
+        |     c AS (SELECT how, count(*) AS n FROM h GROUP BY 1),
+        |     t AS (SELECT sum(n) AS n_total FROM c)
+        |SELECT how, n, round(CAST(n AS DOUBLE) / n_total, 6) AS share
+        |FROM c CROSS JOIN t ORDER BY how""".stripMargin,
+    "ev_power_users" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |           FROM events GROUP BY 1),
+        |     t AS (SELECT quantile_cont(n_events, 0.9) AS p90,
+        |                  sum(n_events) AS n_total FROM c)
+        |SELECT user_id, n_events, sum_value,
+        |       round(CAST(n_events AS DOUBLE) / n_total, 6) AS traffic_share
+        |FROM c CROSS JOIN t WHERE n_events >= p90
+        |ORDER BY n_events DESC, user_id""".stripMargin,
     "dedup_cluster_stats" -> clusterStatsOracle,
     "dedup_impact_by_source" ->
       """WITH k AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id

@@ -896,4 +896,49 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** LSH band-bucket size histogram — the audit that tells you BEFORE
+    * a 100 TB run whether the banded self-join is safe: each (band,
+    * key) bucket of size s costs s·(s−1)/2 candidate pairs, so the
+    * histogram (and its implied pair count per size class) is exactly
+    * the cost model the `maxBucket` flood guard in
+    * [[minhashNearDupsMd5]] truncates. UNCAPPED by design — it
+    * measures the true distribution the cap would act on. One
+    * (band_idx, band_key) aggregate, then a size-class rollup of that
+    * (bounded) bucket table; the raw text never shuffles.
+    */
+  def minhashBandHistogram(documents: DataFrame, shingleK: Int = 5,
+                           numHashes: Int = 16, bands: Int = 4): DataFrame =
+    md5BandedSignatures(documents, shingleK, numHashes, bands)
+      .groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy("bucket_size")
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("bucket_size"), col("n_buckets"),
+        (col("n_buckets") * col("bucket_size") * (col("bucket_size") - 1) / 2)
+          .cast("long").as("cand_pairs"))
+      .orderBy("bucket_size")
+
+  /** Cross-source near-duplication matrix: which sources copy from
+    * which — minhash-LSH near-dup pairs rolled up to unordered
+    * (source, source) cells with the mean estimated Jaccard. The
+    * curation report behind "drop crawl B, it's 80% mirrors of crawl
+    * A" decisions (within-source cells sit on the diagonal). Pair
+    * generation is the banded LSH join; the doc→source attachment is
+    * two joins against a (doc_id, source) projection — the text
+    * itself never moves.
+    */
+  def crossSourceNearDups(documents: DataFrame): DataFrame = {
+    val pairs = minhashNearDupsMd5(documents)
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("est_jaccard"), 6).as("avg_est_jaccard"))
+      .orderBy("source_x", "source_y")
+  }
 }

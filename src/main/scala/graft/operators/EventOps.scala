@@ -661,4 +661,47 @@ object EventOps {
       .orderBy(desc("est_n"), col("user_id"))
   }
 
+  /** Hour-of-week traffic profile: event share by (0–167) hour index,
+    * where 0 is the epoch-aligned hour (1970-01-01 00:00 UTC was a
+    * Thursday; the index is pure floor-div/modulo arithmetic, not
+    * locale calendar functions, so every engine buckets identically —
+    * including pre-1970 fixtures). The seasonality fingerprint behind
+    * load forecasting and "is this source a bot farm" checks (organic
+    * traffic has strong diurnal structure; bots are flat). One tiny
+    * 168-key aggregate; the share denominator is the audited 1-row
+    * broadcast scalar pattern.
+    */
+  def hourOfWeekProfile(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    val counts = withTsUs(events)
+      .select(pmod(tsBucket(hourUs), lit(168L)).as("how"))
+      .groupBy("how").agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("n_total"))))
+      .select(col("how"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy("how")
+  }
+
+  /** Power users: everyone at or above the p90 of per-user event
+    * counts, with their share of total traffic — the concentration
+    * report that decides whether per-user salting / rate limits are
+    * needed before a big aggregation (a handful of users owning most
+    * events is exactly the skew [[graft.operators.Skew]] mitigates).
+    * Per-user counts are one map-side-combined aggregate; the p90
+    * threshold and total ride ONE 1-row broadcast (the audited scalar
+    * pattern), so the counts table streams through the filter.
+    */
+  def powerUsers(events: DataFrame): DataFrame = {
+    val counts = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+    val thr = counts.agg(
+      percentile(col("n_events"), lit(0.9)).as("p90"),
+      sum("n_events").as("n_total"))
+    counts.crossJoin(broadcast(thr))
+      .filter(col("n_events") >= col("p90"))
+      .select(col("user_id"), col("n_events"), col("sum_value"),
+        round(col("n_events").cast("double") / col("n_total"), 6).as("traffic_share"))
+      .orderBy(desc("n_events"), col("user_id"))
+  }
 }

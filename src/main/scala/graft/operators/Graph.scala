@@ -129,4 +129,20 @@ object Graph {
     val y = o.select(col("src"), col("dst").as("w"), col("dst_key").as("key_w"))
     x.join(y, Seq("src")).filter(col("key_v") < col("key_w")).select("v", "w")
   }
+
+  /** Degree distribution of an undirected pair list: how many nodes
+    * have each degree. The first graph-shape question asked of a
+    * dup-pair graph ("are these tight cliques or one giant hub?") and
+    * the input to the Σ deg² cost estimate every join-based graph op
+    * here depends on — a heavy tail in this table is the early
+    * warning for [[triangleStats]]/[[pageRank]] hub blow-ups. Two
+    * tiny aggregates (per-node degree, then per-degree node count);
+    * the edge list is read once.
+    */
+  def degreeHistogram(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
 }

@@ -178,6 +178,28 @@ object Similarity {
     topKPerQuery(scoredPairs(embeddings, nQueries, VectorFunctions.dotProduct, "score",
       excludeSameLabel = false), k, "score")
 
+  /** Euclidean (L2) nearest-neighbor top-k — the metric for
+    * magnitude-sensitive embeddings where cosine's normalization is
+    * wrong (e.g. count sketches, un-normalized encoder outputs).
+    * Distance comes from the norm identity ‖q−c‖ = √(q·q − 2 q·c +
+    * c·c) on the SAME codegen dot product the MIPS path proves
+    * cross-engine — at scale the corpus self-norms are precomputed
+    * once per vector instead of re-subtracting per pair. Ranking
+    * negates the ALREADY-ROUNDED distance so the shared max-heap
+    * finisher returns nearest-first with the exact tie-break the
+    * oracle's ORDER BY dist ASC, cid applies.
+    */
+  def l2TopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val dist = (q: Column, c: Column) => sqrt(greatest(lit(0.0),
+      VectorFunctions.dotProduct(q, q) - lit(2.0) * VectorFunctions.dotProduct(q, c) +
+        VectorFunctions.dotProduct(c, c)))
+    val scored = scoredPairs(embeddings, nQueries, dist, "dist",
+      excludeSameLabel = false)
+    topKPerQuery(scored.withColumn("neg", -col("dist")), k, "neg")
+      .select(col("qid"), col("rnk"), col("cid"), (-col("neg")).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Deterministic IVF seed centroids: the embeddings of the `nCells`
     * lowest vec_ids (a fixed, reproducible starting point;
     * [[trainCentroids]] refines them with k-means).

@@ -1024,4 +1024,93 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_total"), 6).as("diversity"))
       .orderBy("source", "n")
   }
+
+  /** Per-source type-token ratio (lexical diversity at the SOURCE
+    * granularity — the n=1 row of [[ngramDiversity]] is per (source,
+    * n); this is the curation-dashboard headline number): distinct
+    * word types over total tokens. Very low TTR flags template farms
+    * and log spew; very high TTR flags OCR noise / id dumps. One
+    * (source, w)-keyed aggregate; countDistinct rides the same
+    * grouped shuffle as the token count.
+    */
+  def typeTokenRatio(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("w").as("n_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+      .orderBy("source")
+
+  /** Per-source distribution drift: Jensen–Shannon divergence (natural
+    * log) between each source's unigram distribution and the whole
+    * corpus — the "is this slice the same language/register as the
+    * mix" check run before reweighting a pretraining mixture (0 =
+    * identical distribution, ln 2 = disjoint support). Reported next
+    * to the source's vocabulary size.
+    *
+    * Shape at 100 TB: per-(source, w) counts are one map-side-combined
+    * shuffle (vocabulary × sources, never token count); corpus totals
+    * derive from that table, so raw text is read once. The JSD sum
+    * needs every (source, corpus-word) cell — materialized as
+    * vocab × n_sources rows via a broadcast of the source totals
+    * (sources are few; the vocabulary table streams). Scores round to
+    * 6 so double-sum order never shows.
+    */
+  def jsdSourceDrift(documents: DataFrame): DataFrame = {
+    val sw = documents
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val st = sw.groupBy("source").agg(sum("c").as("n_src"))
+    val cw = sw.groupBy("w").agg(sum("c").as("cc"))
+    val ct = cw.agg(sum("cc").as("n_corpus"))
+    // full grid: every corpus word × every source (absent word → c=0)
+    val grid = cw.crossJoin(broadcast(ct)).crossJoin(broadcast(st))
+      .join(sw, Seq("source", "w"), "left")
+      .select(col("source"), col("n_src"),
+        coalesce(col("c"), lit(0L)).cast("double").as("c"),
+        col("cc").cast("double").as("cc"), col("n_corpus"))
+    grid
+      .select(col("source"),
+        (col("c") / col("n_src")).as("p"),
+        (col("cc") / col("n_corpus")).as("q"),
+        when(col("c") > 0, lit(1L)).otherwise(lit(0L)).as("present"))
+      .groupBy("source")
+      .agg(
+        round(sum(
+          when(col("p") > 0,
+            lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+            .otherwise(lit(0.0)) +
+          lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))), 6)
+          .as("jsd"),
+        sum("present").as("n_types"))
+      .orderBy("source")
+  }
+
+  /** Log₂-bucketed document-length histogram per source — the
+    * power-law length profile curation dashboards plot (truncation
+    * spikes, chunking artifacts, and binary-junk tails all show as
+    * bucket anomalies). The bucket index is derived via the BINARY
+    * DIGIT COUNT of n_chars (floor(log2) in pure integer/string
+    * arithmetic — a floating log2 at an exact power of two rounds
+    * differently across engines). Map-only per doc, then one tiny
+    * (source, bucket) aggregate; the per-source share rides a
+    * broadcast of per-source doc totals.
+    */
+  def docLengthHistogram(documents: DataFrame): DataFrame = {
+    val b = documents
+      .filter(col("n_chars") > 0)
+      .select(col("source"), (length(expr("bin(n_chars)")) - 1).cast("int").as("bucket"))
+    val totals = b.groupBy("source").agg(count(lit(1)).as("n_src"))
+    b.groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("lo_chars"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").as("hi_chars"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_src"), 6).as("share"))
+      .orderBy("source", "bucket")
+  }
 }

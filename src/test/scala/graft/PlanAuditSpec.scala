@@ -37,7 +37,11 @@ class PlanAuditSpec extends SparkSpec {
     "sim_threshold_sweep",       // LSH-bounded pair set × broadcast 15-row threshold grid (≤15 fan-out per pair)
     "dedup_triangles",           // three 1-row aggregates (edges/triangles/wedges) meeting in scalar cross joins
     "ev_decayed_score",          // event stream × 1-row broadcast corpus-watermark scalar — map-side decay term
-    "q_copurchase_lift"          // pair/part aggregates × 1-row broadcast order-universe scalar
+    "q_copurchase_lift",         // pair/part aggregates × 1-row broadcast order-universe scalar
+    "ev_hour_of_week",           // 168-row hour table × 1-row broadcast total — share denominator
+    "ev_power_users",            // per-user aggregate × 1-row broadcast (p90, total) scalar — map-side filter
+    "sim_l2_topk",               // corpus streams × broadcast(nQueries=10 vectors) — same bound as sim_bruteforce_topk
+    "text_jsd_drift"             // vocabulary table × 1-row corpus total + |sources|-row totals broadcast
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

@@ -89,6 +89,33 @@ class DedupSpec extends SparkSpec {
     assert(cappedMd5 == capped)
   }
 
+  test("minhashBandHistogram: flood bucket sizes and implied pair costs are exact") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"q$i").mkString(" ")
+    // 6 identical docs + 1 unrelated: every band has one bucket of 6
+    // (6·5/2 = 15 candidate pairs each) and one singleton
+    val d = docs(((1L to 6L).map(_ -> base) :+ (7L -> other)): _*)
+    val out = Dedup.minhashBandHistogram(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(6L) == ((4L, 60L)), out.toString)   // 4 bands × C(6,2)=15
+    assert(out(1L) == ((4L, 0L)), out.toString)    // singletons cost nothing
+  }
+
+  test("crossSourceNearDups: pairs roll up to unordered source cells") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, base, "crawlA"), (2L, base, "crawlB"),  // cross-source dup
+      (3L, base, "crawlB"),                        // B-B and A-B dups
+      (4L, (1 to 40).map(i => s"z$i").mkString(" "), "crawlA"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceNearDups(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // pairs: (1,2) A-B, (1,3) A-B, (2,3) B-B — all est_jaccard 1.0
+    assert(out(("crawlA", "crawlB")) == ((2L, 1.0)), out.toString)
+    assert(out(("crawlB", "crawlB")) == ((1L, 1.0)), out.toString)
+    assert(!out.contains(("crawlA", "crawlA")))
+  }
+
   test("simhash: identical → equal; disjoint vocab → different") {
     val t1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val d = docs(1L -> t1, 2L -> t1, 3L -> (1 to 50).map(i => s"q$i").mkString(" "))

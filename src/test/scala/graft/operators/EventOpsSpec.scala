@@ -292,6 +292,32 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - 5.0 * math.exp(-0.2)) < 1e-4, out.toString)
   }
 
+  test("hourOfWeekProfile: epoch-aligned index, pre-1970 events land in the right bucket") {
+    val events = Seq(
+      (1L, "1970-01-01 00:30:00"),  // epoch hour 0 → how 0
+      (2L, "1970-01-01 05:30:00"),  // how 5
+      (3L, "1970-01-08 00:10:00"),  // exactly one week later → how 0
+      (4L, "1969-12-31 23:30:00"))  // hour -1 → floor-div -1 → how 167
+      .toDF("event_id", "ts_str")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts")
+    val out = EventOps.hourOfWeekProfile(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L) == ((2L, 0.5)), out.toString)
+    assert(out(5L) == ((1L, 0.25)))
+    assert(out(167L) == ((1L, 0.25)))
+  }
+
+  test("powerUsers: p90 cut keeps the heavy tail with exact traffic shares") {
+    // 10 users: nine with 1 event, one with 11 → p90 of counts = 2.0
+    // (interpolated), so only the heavy user survives
+    val rows = (1L to 9L).map(u => (u, 1.0)) ++ (1 to 11).map(_ => (10L, 2.0))
+    val df = rows.toDF("user_id", "value")
+    val out = EventOps.powerUsers(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 1, out.toSeq.toString)
+    assert(out.head == ((10L, 11L, 0.55)), out.head.toString) // 11/20
+  }
+
   test("withTsUs: NTZ wall-clocks read as UTC regardless of session time zone") {
     // An NTZ `ts` has no zone; the contract is "wall clock = UTC
     // instant". A session built outside GraftSession.configure may run

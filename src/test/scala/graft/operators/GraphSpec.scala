@@ -62,4 +62,11 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 2L), (901L, 902L))).toDF("doc_a", "doc_b")
     assert(Graph.triangleStats(withTri).collect().head.getLong(1) == 2L)
   }
+
+  test("degreeHistogram: star graph = one hub of degree d, d leaves of degree 1") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("doc_a", "doc_b")
+    val out = Graph.degreeHistogram(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 4L, 4L -> 1L), out.toString)
+  }
 }

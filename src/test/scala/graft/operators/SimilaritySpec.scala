@@ -295,4 +295,19 @@ class SimilaritySpec extends SparkSpec {
     // the identical pair (cos 1.0) survives even the 0.9 cutoff
     assert(rows.last._2 >= 1L, rows.mkString(","))
   }
+
+  test("l2TopK: nearest-first ordering with exact distances, ties break on cid") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(3.0f, 4.0f)),   // dist 5 from query 0
+      (2L, Array(1.0f, 0.0f)),   // dist 1
+      (3L, Array(0.0f, 1.0f)),   // dist 1 — ties with 2, loses on cid
+      (4L, Array(6.0f, 8.0f))    // dist 10
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.l2TopK(e, k = 3, nQueries = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1, 2L, 1.0), (0L, 2, 3L, 1.0), (0L, 3, 1L, 5.0)), out.toSeq.toString)
+  }
 }

@@ -469,4 +469,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.keySet.filter(_._1 == "s2") == Set(("s2", 1)))
     assert(out(("s2", 1)) == ((1L, 1L, 1.0)))
   }
+
+  test("typeTokenRatio: distinct/total per source") {
+    val d = Seq((1L, "s1", "a b a"), (2L, "s1", "a c"), (3L, "s2", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.typeTokenRatio(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("s1") == ((5L, 3L, 0.6)))   // tokens a b a a c → types a b c
+    assert(out("s2") == ((3L, 3L, 1.0)))
+  }
+
+  test("jsdSourceDrift: identical-distribution source scores 0; disjoint source scores by the mix formula") {
+    // two sources with the SAME distribution → corpus == each source → jsd 0
+    val same = Seq((1L, "s1", "a b"), (2L, "s2", "a b")).toDF("doc_id", "source", "text")
+    val outSame = TextAnalysis.jsdSourceDrift(same).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(outSame("s1") == 0.0 && outSame("s2") == 0.0)
+    // disjoint vocabularies, equal sizes: each source's distribution
+    // vs the CORPUS (its 50/50 mix with the other source)
+    val disj = Seq((1L, "s1", "a a b b"), (2L, "s2", "x x y y")).toDF("doc_id", "source", "text")
+    val outDisj = TextAnalysis.jsdSourceDrift(disj).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // each source sees the corpus as half-own half-foreign:
+    // 0.5·Σp·ln(2p/(p+q)): own words q=p/2... compute expected directly
+    val p = 0.5; val qOwn = 0.25; val qFor = 0.25
+    val expected = BigDecimal(
+      2 * (0.5 * p * math.log(2 * p / (p + qOwn))) +        // own words (p=0.5, q=0.25)
+      2 * (0.5 * qOwn * math.log(2 * qOwn / (p + qOwn))) +  // q-side of own words
+      2 * (0.5 * qFor * math.log(2 * qFor / (0 + qFor))))   // foreign words (p=0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(outDisj("s1") - expected) < 1e-6, s"${outDisj("s1")} vs $expected")
+    assert(outDisj("s1") == outDisj("s2"))
+  }
+
+  test("docLengthHistogram: power-of-two bucket edges are exact") {
+    val d = Seq((1L, "s", 1L), (2L, "s", 2L), (3L, "s", 3L), (4L, "s", 1024L))
+      .map { case (id, s, n) => (id, s, "x" * n.toInt, n) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = TextAnalysis.docLengthHistogram(d).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out(0) == ((1L, 1L, 1L, 0.25)))      // n_chars=1 → bucket 0 [1,1]
+    assert(out(1) == ((2L, 3L, 2L, 0.5)))       // 2,3 → bucket 1 [2,3]
+    assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
+  }
 }
