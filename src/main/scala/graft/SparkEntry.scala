@@ -224,6 +224,11 @@ object SparkEntry {
     "sim_l2_topk" -> ((s, d) => Similarity.l2TopK(Tables.embeddings(s, d))),
     "ev_hour_of_week" -> ((s, d) => EventOps.hourOfWeekProfile(Tables.events(s, d))),
     "ev_power_users" -> ((s, d) => EventOps.powerUsers(Tables.events(s, d))),
+    "ev_session_histogram" -> ((s, d) => EventOps.sessionHistogram(Tables.events(s, d))),
+    "ev_time_to_convert" -> ((s, d) => EventOps.timeToConvert(Tables.events(s, d))),
+    "ev_user_lifecycle" -> ((s, d) => EventOps.userLifecycle(Tables.events(s, d))),
+    "ev_anomaly_mad" -> ((s, d) => EventOps.hourlyAnomaliesMad(Tables.events(s, d))),
+    "sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(Tables.embeddings(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1191,6 +1196,80 @@ object SparkEntry {
         |       round(CAST(n_events AS DOUBLE) / n_total, 6) AS traffic_share
         |FROM c CROSS JOIN t WHERE n_events >= p90
         |ORDER BY n_events DESC, user_id""".stripMargin,
+    // the ev_sessionize CTE chain + log2 (binary-digit-count) buckets
+    "ev_session_histogram" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked
+        |), sl AS (
+        |  SELECT CAST(length(bin(count(*))) - 1 AS INTEGER) AS bucket
+        |  FROM sess GROUP BY user_id, session_id
+        |), c AS (SELECT bucket, count(*) AS n_sessions FROM sl GROUP BY 1),
+        |   t AS (SELECT sum(n_sessions) AS n_total FROM c)
+        |SELECT bucket,
+        |       CAST(1 AS BIGINT) << bucket AS lo_events,
+        |       (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_events,
+        |       n_sessions,
+        |       round(CAST(n_sessions AS DOUBLE) / n_total, 6) AS share
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+    // as-of (latest prior view per purchase) → conversion-latency percentiles
+    "ev_time_to_convert" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |     lat AS (
+        |  SELECT p.ts_us - max(v.ts_us) AS latency_us
+        |  FROM e p JOIN e v
+        |    ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts_us <= p.ts_us
+        |  WHERE p.event_type = 'purchase'
+        |  GROUP BY p.event_id, p.ts_us)
+        |SELECT count(*) AS n_converted,
+        |       round(quantile_cont(latency_us, 0.5), 4) AS p50_us,
+        |       round(quantile_cont(latency_us, 0.9), 4) AS p90_us,
+        |       max(latency_us) AS max_us
+        |FROM lat""".stripMargin,
+    "ev_user_lifecycle" ->
+      """WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |     u AS (
+        |  SELECT user_id, count(*) AS n_events, min(ts_us) AS first_us,
+        |         max(ts_us) AS last_us,
+        |         count(DISTINCT ts_us // 86400000000) AS active_days
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_events, first_us, last_us, active_days,
+        |       round(CAST(n_events AS DOUBLE) / active_days, 4) AS events_per_active_day
+        |FROM u ORDER BY user_id""".stripMargin,
+    // median/MAD robust anomalies over epoch-aligned hourly counts
+    "ev_anomaly_mad" ->
+      """WITH h AS (
+        |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS hour_us,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med_n FROM h GROUP BY 1),
+        |mad AS (SELECT h.event_type, quantile_cont(abs(n - med_n), 0.5) AS mad_n
+        |        FROM h JOIN med USING (event_type) GROUP BY 1)
+        |SELECT hour_us, h.event_type, n, round(med_n, 4) AS med_n,
+        |       round(abs(n - med_n) / (1.4826 * mad_n), 4) AS robust_score
+        |FROM h JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE mad_n > 0 AND abs(n - med_n) > 3.0 * 1.4826 * mad_n
+        |ORDER BY hour_us, event_type""".stripMargin,
+    "sim_dim_stats" ->
+      """WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     d AS (SELECT CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS x
+        |           FROM x CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx)
+        |SELECT dim, count(*) AS n, round(avg(x), 6) AS mean,
+        |       round(stddev_samp(x), 6) AS sd,
+        |       round(min(x), 6) AS min_x, round(max(x), 6) AS max_x,
+        |       round(max(abs(x)), 6) AS max_abs
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_cluster_stats" -> clusterStatsOracle,
     "dedup_impact_by_source" ->
       """WITH k AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id

@@ -661,6 +661,95 @@ object EventOps {
       .orderBy(desc("est_n"), col("user_id"))
   }
 
+  /** Session-length histogram: [[sessionize]]'s sessions rolled into
+    * log₂ buckets of events-per-session (binary digit count — the
+    * engine-exact bucketing [[graft.operators.TextAnalysis.docLengthHistogram]]
+    * uses) with each bucket's share. The session-depth profile behind
+    * engagement scoring and bot screening (organic sessions are
+    * geometric; scripted traffic spikes one deep bucket). Adds one
+    * tiny bucket aggregate on top of the sessionize shuffle; the
+    * share denominator is the audited 1-row broadcast scalar.
+    */
+  def sessionHistogram(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val c = sessionize(events, gapMinutes)
+      .select((length(expr("bin(n_events)")) - 1).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_sessions"))
+    c.crossJoin(broadcast(c.agg(sum("n_sessions").as("n_total"))))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("lo_events"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").as("hi_events"),
+        col("n_sessions"),
+        round(col("n_sessions").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy("bucket")
+  }
+
+  /** Conversion-latency percentiles: over every purchase with a prior
+    * same-user view, the p50/p90/max of (purchase − last view) — the
+    * "how long does intent take to convert" number attribution windows
+    * are tuned against. Rides the as-of join ([[lastViewBeforePurchase]]);
+    * the percentile is one 1-row aggregate over the purchase-sized
+    * latency column.
+    */
+  def timeToConvert(events: DataFrame): DataFrame =
+    lastViewBeforePurchase(events)
+      .filter(col("last_view_us").isNotNull)
+      .select((col("ts_us") - col("last_view_us")).as("latency_us"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(percentile(col("latency_us"), lit(0.5)), 4).as("p50_us"),
+        round(percentile(col("latency_us"), lit(0.9)), 4).as("p90_us"),
+        max("latency_us").as("max_us"))
+
+  /** Per-user lifecycle summary: first/last seen, distinct active
+    * days, and events per active day — the cohort-quality telemetry
+    * retention models consume (a "user" with 500 events on one day
+    * and none after is a scraper, not a cohort member). One
+    * user-keyed aggregate with map-side combine; the day index is
+    * epoch floor-division (pre-1970-safe, engine-exact).
+    */
+  def userLifecycle(events: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000
+    withTsUs(events)
+      .select(col("user_id"), col("ts_us"), tsBucket(dayUs).as("day"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("first_us"), max("ts_us").as("last_us"),
+        countDistinct("day").as("active_days"))
+      .select(col("user_id"), col("n_events"), col("first_us"), col("last_us"),
+        col("active_days"),
+        round(col("n_events").cast("double") / col("active_days"), 4)
+          .as("events_per_active_day"))
+      .orderBy("user_id")
+  }
+
+  /** Robust (median/MAD) hourly anomaly flags — the heavy-tail-safe
+    * twin of the z-score detector ([[hourlyAnomalies]]): a single
+    * traffic spike inflates the mean AND the stddev enough to mask
+    * itself, while the median absolute deviation barely moves
+    * (breakdown point 50% vs 0%). Flags hours where
+    * |n − median| > k·1.4826·MAD (1.4826 scales MAD to σ under
+    * normality). Hourly counts are one shuffle; the per-type median
+    * and MAD tables are tiny broadcast joins back onto it.
+    */
+  def hourlyAnomaliesMad(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val hourUs = 3600000000L
+    val h = withTsUs(events)
+      .select((tsBucket(hourUs) * hourUs).as("hour_us"), col("event_type"))
+      .groupBy("hour_us", "event_type").agg(count(lit(1)).as("n"))
+    val med = h.groupBy("event_type").agg(percentile(col("n"), lit(0.5)).as("med_n"))
+    val mad = h.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(percentile(abs(col("n") - col("med_n")), lit(0.5)).as("mad_n"))
+    h.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad_n") > 0 &&
+        abs(col("n") - col("med_n")) > lit(k) * lit(1.4826) * col("mad_n"))
+      .select(col("hour_us"), col("event_type"), col("n"),
+        round(col("med_n"), 4).as("med_n"),
+        round(abs(col("n") - col("med_n")) / (lit(1.4826) * col("mad_n")), 4)
+          .as("robust_score"))
+      .orderBy("hour_us", "event_type")
+  }
+
   /** Hour-of-week traffic profile: event share by (0–167) hour index,
     * where 0 is the epoch-aligned hour (1970-01-01 00:00 UTC was a
     * Thursday; the index is pure floor-div/modulo arithmetic, not

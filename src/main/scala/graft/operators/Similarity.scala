@@ -178,6 +178,27 @@ object Similarity {
     topKPerQuery(scoredPairs(embeddings, nQueries, VectorFunctions.dotProduct, "score",
       excludeSameLabel = false), k, "score")
 
+  /** Per-DIMENSION embedding statistics (the axis [[vectorStats]]
+    * doesn't cover: that op profiles each vector, this one profiles
+    * each coordinate across the corpus) — dead dimensions (max_abs ≈
+    * 0), un-centered dimensions (|mean| ≫ 0), and scale imbalance
+    * (sd spread) are the standard pre-flight checks before cosine /
+    * quantization / random-projection stages. posexplode fans each
+    * vector into (dim, x) rows map-side; the aggregate is one
+    * 64-key shuffle with map-side combine.
+    */
+  def dimensionStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg("x"), 6).as("mean"),
+        round(stddev_samp(col("x")), 6).as("sd"),
+        round(min("x"), 6).as("min_x"),
+        round(max("x"), 6).as("max_x"),
+        round(max(abs(col("x"))), 6).as("max_abs"))
+      .orderBy("dim")
+
   /** Euclidean (L2) nearest-neighbor top-k — the metric for
     * magnitude-sensitive embeddings where cosine's normalization is
     * wrong (e.g. count sketches, un-normalized encoder outputs).

@@ -318,6 +318,67 @@ class EventOpsSpec extends SparkSpec {
     assert(out.head == ((10L, 11L, 0.55)), out.head.toString) // 11/20
   }
 
+  test("sessionHistogram: log2 buckets over session event counts with shares") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:10:00", 1L, "click"),
+      (3L, "2024-01-01 10:20:00", 1L, "view"),   // user 1: one 3-event session
+      (4L, "2024-01-01 09:00:00", 2L, "view"))   // user 2: singleton
+    val out = EventOps.sessionHistogram(events).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(0) == ((1L, 1L, 1L, 0.5)), out.toString)
+    assert(out(1) == ((2L, 3L, 1L, 0.5)), out.toString)
+  }
+
+  test("timeToConvert: percentiles over purchase-minus-last-view latencies") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "purchase"),  // 60 s
+      (3L, "2024-01-01 11:00:00", 2L, "view"),
+      (4L, "2024-01-01 11:02:00", 2L, "purchase"),  // 120 s
+      (5L, "2024-01-01 12:00:00", 3L, "view"),
+      (6L, "2024-01-01 12:10:00", 3L, "purchase"),  // 600 s
+      (7L, "2024-01-01 13:00:00", 4L, "purchase"))  // no prior view → excluded
+    val r = EventOps.timeToConvert(events).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 120e6)                    // p50
+    assert(r.getDouble(2) == 120e6 + 0.8 * 480e6)      // p90 interpolated
+    assert(r.getLong(3) == 600L * 1000000)
+  }
+
+  test("userLifecycle: active days and per-day rate") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 18:00:00", 1L, "view"),
+      (3L, "2024-01-03 10:00:00", 1L, "view"),   // 2 active days, 3 events
+      (4L, "2024-01-02 09:00:00", 2L, "click"))
+    val out = EventOps.userLifecycle(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((3L, 2L, 1.5)), out.toString)
+    assert(out(2L) == ((1L, 1L, 1.0)))
+  }
+
+  test("hourlyAnomaliesMad: spike flagged by MAD while mad=0 degenerate types drop") {
+    // type "view": counts 4,5,5,6,50 per hour → med 5, MAD 1 → only 50 flags
+    // type "click": constant 7 per hour → MAD 0 → filtered, never flagged
+    val viewRows = Seq(
+      ("2024-01-01 00:10:00", 4), ("2024-01-01 01:10:00", 5),
+      ("2024-01-01 02:10:00", 5), ("2024-01-01 03:10:00", 6),
+      ("2024-01-01 04:10:00", 50)).flatMap { case (t, n) =>
+      (1 to n).map(i => (t, "view"))
+    }
+    val clickRows = (0 until 5).flatMap(h =>
+      (1 to 7).map(_ => (s"2024-01-01 0$h:20:00", "click")))
+    val events = (viewRows ++ clickRows).zipWithIndex
+      .map { case ((t, ty), i) => (i.toLong, t, 1L, ty) }
+    val out = EventOps.hourlyAnomaliesMad(ev(events: _*)).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(4)))
+    assert(out.length == 1, out.toSeq.toString)
+    assert(out.head._1 == "view" && out.head._2 == 50L)
+    assert(math.abs(out.head._3 - 45.0 / 1.4826) < 0.001)
+  }
+
   test("withTsUs: NTZ wall-clocks read as UTC regardless of session time zone") {
     // An NTZ `ts` has no zone; the contract is "wall clock = UTC
     // instant". A session built outside GraftSession.configure may run

@@ -296,6 +296,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.last._2 >= 1L, rows.mkString(","))
   }
 
+  test("dimensionStats: per-coordinate moments and dead-dim detection") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(3.0f, -4.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimensionStats(e).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out(0) == ((2L, 2.0, 1.414214, 1.0, 3.0, 3.0)), out.toString)
+    assert(out(1) == ((2L, -2.0, 2.828427, -4.0, 0.0, 4.0)), out.toString)
+    assert(out(2) == ((2L, 0.0, 0.0, 0.0, 0.0, 0.0)), "dead dimension reads all-zero")
+  }
+
   test("l2TopK: nearest-first ordering with exact distances, ties break on cid") {
     import spark.implicits._
     val e = Seq(
