@@ -229,6 +229,7 @@ object SparkEntry {
     "ev_user_lifecycle" -> ((s, d) => EventOps.userLifecycle(Tables.events(s, d))),
     "ev_anomaly_mad" -> ((s, d) => EventOps.hourlyAnomaliesMad(Tables.events(s, d))),
     "sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(Tables.embeddings(s, d))),
+    "sim_top_component" -> ((s, d) => Similarity.topComponent(Tables.embeddings(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -608,6 +609,38 @@ object SparkEntry {
        |             round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
        |      FROM capped a JOIN capped c USING (table_idx, bucket)
        |      WHERE a.vec_id < c.vec_id)""".stripMargin
+  }
+
+  /** Generated oracle for [[graft.operators.Similarity.topComponent]]:
+    * `iters` unrolled power-iteration rounds, each one CTE pair —
+    * d_r projects every row's xᵀv against the previous round's
+    * (data-dependent) v columns with the same j-ascending
+    * left-associated dot product `graft_dot` runs, s_r sums the 64
+    * components, i_r normalizes by the left-folded √Σs² the Scala
+    * driver computes. Engines differ only in row-sum order (~1e-13),
+    * absorbed by round(6)/round(4).
+    */
+  private def topComponentOracle(iters: Int = 3): String = {
+    val dims = 0 until 64
+    val i0 = s"i0 AS (SELECT ${dims.map(j => s"${if (j == 0) "1.0" else "0.0"} AS v$j").mkString(", ")})"
+    val rounds = (1 to iters).map { r =>
+      val dot = dims.map(j => s"x.v[${j + 1}] * p.v$j").mkString(" + ")
+      val d = s"d$r AS (SELECT x.v AS v, ($dot) AS xv FROM x CROSS JOIN i${r - 1} p)"
+      val s = s"s$r AS (SELECT ${dims.map(j => s"sum(v[${j + 1}] * xv) AS s$j").mkString(", ")} FROM d$r)"
+      val nrm = dims.map(j => s"s$j * s$j").mkString(" + ")
+      val i = s"i$r AS (SELECT ${dims.map(j => s"s$j / nrm AS v$j").mkString(", ")}, nrm " +
+        s"FROM (SELECT *, sqrt($nrm) AS nrm FROM s$r) t)"
+      s"$d,\n$s,\n$i"
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$i0,
+       |$rounds
+       |SELECT CAST(i - 1 AS INTEGER) AS dim,
+       |       round(l[CAST(i AS INTEGER)], 6) AS loading,
+       |       round(nrm, 4) AS eig_est
+       |FROM (SELECT ${dims.map(j => s"v$j").mkString("list_value(", ", ", ")")} AS l, nrm FROM i$iters)
+       |CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+       |ORDER BY dim""".stripMargin
   }
 
   /** Generated oracle for [[graft.operators.Similarity.cosineNearDupPairs]]:
@@ -1261,6 +1294,7 @@ object SparkEntry {
         |FROM h JOIN med USING (event_type) JOIN mad USING (event_type)
         |WHERE mad_n > 0 AND abs(n - med_n) > 3.0 * 1.4826 * mad_n
         |ORDER BY hour_us, event_type""".stripMargin,
+    "sim_top_component" -> topComponentOracle(),
     "sim_dim_stats" ->
       """WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |     d AS (SELECT CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS x

@@ -199,6 +199,49 @@ object Similarity {
         round(max(abs(col("x"))), 6).as("max_abs"))
       .orderBy("dim")
 
+  /** Dominant principal direction of the embedding set by matrix-free
+    * power iteration (fixed `iters` rounds from the deterministic e₀
+    * start): v ← normalize(Σ_x x·(xᵀv)). The "All-but-the-top"
+    * hygiene primitive (Mu & Viswanath, ICLR 2018) — embedding sets
+    * share a large common direction that drowns cosine contrast;
+    * this op measures it (per-dim loading + Rayleigh-quotient
+    * eigenvalue estimate) so a de-meaning/projection stage can
+    * remove it. Output: one row per dimension.
+    *
+    * Shape at 100 TB: each round is ONE map-reduce pass — the current
+    * v rides into the scan as 64 literals, each row contributes
+    * x·(xᵀv) map-side, and the 64 component sums partial-aggregate up
+    * (no shuffle of vectors, no driver-side data beyond the 64
+    * doubles collected per round — the same KB-scale justified
+    * collect as the IVF centroids). Fixed iteration count keeps the
+    * result deterministic and oracle-checkable (run-to-tolerance
+    * would not be), exactly like [[graft.operators.Graph.pageRank]].
+    */
+  def topComponent(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val xs = embeddings.select(asDouble(col("embedding")).as("v"))
+    var v: Array[Double] = Array.tabulate(64)(j => if (j == 0) 1.0 else 0.0)
+    var eig = 0.0
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit): _*)
+      val sums = xs
+        .select(VectorFunctions.dotProduct(col("v"), vLit).as("xv"), col("v"))
+        .select((0 until 64).map(j =>
+          sum(element_at(col("v"), j + 1) * col("xv")).as(s"s$j")): _*)
+        .collect().head
+      val w = Array.tabulate(64)(j => sums.getDouble(j))
+      // left-fold norm — the exact association the oracle SQL unrolls
+      val nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      eig = nrm
+      v = w.map(_ / nrm)
+    }
+    v.zipWithIndex.map { case (x, j) => (j, x) }.toSeq.toDF("dim", "loading_raw")
+      .select(col("dim"), round(col("loading_raw"), 6).as("loading"),
+        round(lit(eig), 4).as("eig_est"))
+      .orderBy("dim")
+  }
+
   /** Euclidean (L2) nearest-neighbor top-k — the metric for
     * magnitude-sensitive embeddings where cosine's normalization is
     * wrong (e.g. count sketches, un-normalized encoder outputs).

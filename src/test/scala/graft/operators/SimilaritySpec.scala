@@ -296,6 +296,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.last._2 >= 1L, rows.mkString(","))
   }
 
+  test("topComponent: recovers a planted dominant direction with its eigenvalue") {
+    import spark.implicits._
+    // ±2e₀ dominates a single e₁ vector: XᵀX = diag(8, 1, 0, ...) —
+    // power iteration from e₀ stays exactly on e₀ with Rayleigh 8
+    def axis(j: Int, s: Float) = Array.tabulate(64)(k => if (k == j) s else 0.0f)
+    val e = Seq((1L, axis(0, 2.0f)), (2L, axis(0, -2.0f)), (3L, axis(1, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topComponent(e).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 64)
+    assert(out.head == ((0, 1.0, 8.0)), out.head.toString)
+    assert(out.tail.forall { case (_, l, eig) => l == 0.0 && eig == 8.0 })
+  }
+
   test("dimensionStats: per-coordinate moments and dead-dim detection") {
     import spark.implicits._
     val e = Seq(
