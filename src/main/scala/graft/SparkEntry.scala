@@ -218,6 +218,7 @@ object SparkEntry {
       operators.Graph.degreeHistogram(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
     "dedup_band_histogram" -> ((s, d) => Dedup.minhashBandHistogram(Tables.documents(s, d))),
     "dedup_source_matrix" -> ((s, d) => Dedup.crossSourceNearDups(Tables.documents(s, d))),
+    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecallAudit(Tables.documents(s, d))),
     "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documents(s, d))),
     "text_jsd_drift" -> ((s, d) => TextAnalysis.jsdSourceDrift(Tables.documents(s, d))),
     "text_length_hist" -> ((s, d) => TextAnalysis.docLengthHistogram(Tables.documents(s, d))),
@@ -428,27 +429,29 @@ object SparkEntry {
     * table — the edge source for the graph-analytics oracles
     * (`dedup_pagerank`, `dedup_triangles`).
     */
-  private val jaccardPairsCte: String =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (
+  private def jaccardPairsCtes(p: String): String =
+    s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |${p}sh AS (
       |  SELECT doc_id, CAST(len(shs) AS INTEGER) AS n_sh, unnest(shs) AS sh FROM (
       |    SELECT doc_id,
       |           list_distinct(CASE WHEN len(ws) >= 5
       |             THEN list_transform(range(0, len(ws)-5+1),
       |                    i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
       |             ELSE [] END) AS shs
-      |    FROM w) t),
-      |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
-      |c AS (SELECT s.doc_id, s.n_sh, s.sh FROM sh s JOIN rare USING (sh)),
-      |p0 AS (
+      |    FROM ${p}w) t),
+      |${p}rare AS (SELECT sh FROM ${p}sh GROUP BY sh HAVING count(*) <= 1000),
+      |${p}c AS (SELECT s.doc_id, s.n_sh, s.sh FROM ${p}sh s JOIN ${p}rare USING (sh)),
+      |${p}p0 AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-      |  FROM c a JOIN c b USING (sh)
+      |  FROM ${p}c a JOIN ${p}c b USING (sh)
       |  WHERE a.doc_id < b.doc_id
       |  GROUP BY 1,2,3,4),
-      |pp AS (SELECT doc_a, doc_b FROM (
+      |${p}pp AS (SELECT doc_a, doc_b FROM (
       |  SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
-      |  FROM p0) q WHERE jaccard >= 0.2)""".stripMargin
+      |  FROM ${p}p0) q WHERE jaccard >= 0.2)""".stripMargin
+
+  private val jaccardPairsCte: String = jaccardPairsCtes("")
 
   /** Oracle for [[graft.operators.Graph.triangleStats]] over the
     * jaccard near-dup pairs: oriented two-join triangle enumeration,
@@ -1151,6 +1154,18 @@ object SparkEntry {
          |SELECT source_x, source_y, count(*) AS n_pairs,
          |       round(avg(ej), 6) AS avg_est_jaccard
          |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // truth chain (prefix j) and LSH candidate chain coexist in one WITH
+    "dedup_lsh_recall" ->
+      s"""WITH ${minhashPairCtes("documents")},
+         |${jaccardPairsCtes("j")},
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |tr AS (SELECT doc_a, doc_b FROM jpp),
+         |hit AS (SELECT count(*) AS n_found FROM tr JOIN cand USING (doc_a, doc_b)),
+         |nt AS (SELECT count(*) AS n_truth FROM tr),
+         |nc AS (SELECT count(*) AS n_candidates FROM cand)
+         |SELECT n_truth, n_found, n_candidates,
+         |       round(CAST(n_found AS DOUBLE) / n_truth, 6) AS recall
+         |FROM nt CROSS JOIN hit CROSS JOIN nc""".stripMargin,
     "text_ttr" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
         |     tf AS (SELECT source, w FROM t WHERE len(w) > 0)

@@ -919,6 +919,32 @@ object Dedup {
           .cast("long").as("cand_pairs"))
       .orderBy("bucket_size")
 
+  /** LSH recall audit: what fraction of the TRUE near-dup pairs
+    * (exact n-gram Jaccard ≥ threshold, df-capped) does the banded
+    * minhash join actually surface as candidates — the other half of
+    * the measure-don't-guess pair with [[minhashEstErrorMd5]] (that
+    * op audits estimator PRECISION on surfaced pairs; this one audits
+    * candidate-generation RECALL, the error silent everywhere else
+    * because missed pairs never appear in any output). Run at a
+    * pilot SF before committing band/hash parameters to a 100 TB
+    * dedup. Truth comes from the bounded shingle self-join, candidates
+    * from the banded LSH join; the comparison is one two-key hash
+    * join and three 1-row aggregates.
+    */
+  def lshRecallAudit(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 16,
+                     bands: Int = 4): DataFrame = {
+    val truth = ngramJaccardPairs(documents, shingleK)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = minhashNearDupsMd5(documents, shingleK, numHashes, bands, threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"))
+    truth.join(cand.withColumn("found", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum("found"), lit(0L)).as("n_found"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .select(col("n_truth"), col("n_found"), col("n_candidates"),
+        round(col("n_found").cast("double") / col("n_truth"), 6).as("recall"))
+  }
+
   /** Cross-source near-duplication matrix: which sources copy from
     * which — minhash-LSH near-dup pairs rolled up to unordered
     * (source, source) cells with the mean estimated Jaccard. The

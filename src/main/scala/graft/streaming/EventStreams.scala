@@ -263,6 +263,46 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class QuotaEvent(user_id: Long, event_id: Long)
+  case class AdmittedEvent(user_id: Long, event_id: Long, seq: Long)
+
+  /** Per-key admission quota on `transformWithState`: only the first
+    * `quota` events of each user (lifetime of the stream) pass; the
+    * rest drop. The ingestion-side rate control a training-data
+    * pipeline puts in front of per-entity caps ("at most N documents
+    * per domain") — state is ONE counter per key regardless of
+    * traffic, and unlike an aggregation the op FILTERS rows, so
+    * admitted events flow on to downstream stages unchanged, tagged
+    * with their admission sequence number. Replay equality: on a
+    * time-ordered replay the admitted set equals the batch
+    * `row_number() ≤ quota` per user (the spec pins it).
+    */
+  class QuotaProcessor(quota: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, QuotaEvent, AdmittedEvent] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[QuotaEvent],
+                                 timers: TimerValues): Iterator[AdmittedEvent] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedEvent]
+      rows.foreach { e =>
+        if (n < quota) { n += 1; out += AdmittedEvent(key, e.event_id, n) }
+      }
+      seen.update(n)
+      out.iterator
+    }
+  }
+
+  def perUserQuota(events: Dataset[QuotaEvent], quota: Long = 2): Dataset[AdmittedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new QuotaProcessor(quota),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen, with state bounded by the watermark (an id older than the
     * watermark can be evicted because any duplicate of it would be

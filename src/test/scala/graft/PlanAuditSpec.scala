@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "ev_power_users",            // per-user aggregate × 1-row broadcast (p90, total) scalar — map-side filter
     "sim_l2_topk",               // corpus streams × broadcast(nQueries=10 vectors) — same bound as sim_bruteforce_topk
     "text_jsd_drift",            // vocabulary table × 1-row corpus total + |sources|-row totals broadcast
-    "ev_session_histogram"       // log2-bucket table (≤64 rows) × 1-row broadcast total — share denominator
+    "ev_session_histogram",      // log2-bucket table (≤64 rows) × 1-row broadcast total — share denominator
+    "dedup_lsh_recall"           // three 1-row aggregates (truth/found/candidates) meeting in scalar cross joins
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

@@ -101,6 +101,18 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((4L, 0L)), out.toString)    // singletons cost nothing
   }
 
+  test("lshRecallAudit: identical docs are always recalled; counts are consistent") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"q$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> other)
+    val r = Dedup.lshRecallAudit(d).collect().head
+    val (nTruth, nFound, nCand, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // identical docs share every band → the one true pair is found
+    assert(nTruth == 1L && nFound == 1L && recall == 1.0, r.toString)
+    assert(nCand >= nFound)
+  }
+
   test("crossSourceNearDups: pairs roll up to unordered source cells") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq(

@@ -375,6 +375,47 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("perUserQuota admits exactly `quota` events per user across batches, matching the batch twin") {
+    implicit val sq = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.QuotaEvent]
+    val q = EventStreams.perUserQuota(mem.toDS(), quota = 2)
+      .toDF().writeStream.format("memory").queryName("quota_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStreams.QuotaEvent(1L, 1L), EventStreams.QuotaEvent(1L, 2L),
+        EventStreams.QuotaEvent(1L, 3L),  // over quota in the same batch
+        EventStreams.QuotaEvent(2L, 10L))
+      q.processAllAvailable()
+      mem.addData(
+        EventStreams.QuotaEvent(1L, 4L),  // over quota in a later batch
+        EventStreams.QuotaEvent(2L, 11L)) // second admit for user 2
+      q.processAllAvailable()
+      val admitted = spark.table("quota_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(admitted == Set((1L, 1L, 1L), (1L, 2L, 2L), (2L, 10L, 1L), (2L, 11L, 2L)),
+        admitted.toString)
+      // batch twin: row_number per user over event_id on the full replay
+      import org.apache.spark.sql.expressions.Window
+      val all = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 10L), (1L, 4L), (2L, 11L))
+        .toDF("user_id", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val twin = all.withColumn("seq", row_number().over(w).cast("long"))
+        .filter(col("seq") <= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(admitted == twin, s"stream=$admitted batch=$twin")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("runningUserTotals accumulates state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
