@@ -231,6 +231,12 @@ object SparkEntry {
     "ev_anomaly_mad" -> ((s, d) => EventOps.hourlyAnomaliesMad(Tables.events(s, d))),
     "sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(Tables.embeddings(s, d))),
     "sim_top_component" -> ((s, d) => Similarity.topComponent(Tables.embeddings(s, d))),
+    "sim_label_confusion" -> ((s, d) => Similarity.labelConfusion(Tables.embeddings(s, d))),
+    "ev_session_duration" -> ((s, d) =>
+      EventOps.sessionDurationPercentiles(Tables.events(s, d))),
+    "ev_new_vs_returning" -> ((s, d) => EventOps.newVsReturning(Tables.events(s, d))),
+    "text_heaps_fit" -> ((s, d) => TextAnalysis.heapsLawFit(Tables.documents(s, d))),
+    "mm_frame_entropy" -> ((s, d) => Multimodal.frameEntropy(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1310,6 +1316,90 @@ object SparkEntry {
         |WHERE mad_n > 0 AND abs(n - med_n) > 3.0 * 1.4826 * mad_n
         |ORDER BY hour_us, event_type""".stripMargin,
     "sim_top_component" -> topComponentOracle(),
+    // rounded per-(label, dim) centroids → ordered lists → pairwise cosine
+    "sim_label_confusion" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     d AS (SELECT label, i, round(avg(v[CAST(i AS INTEGER)]), 6) AS m
+        |           FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+        |           GROUP BY 1, 2),
+        |     c AS (SELECT label, list(m ORDER BY i) AS centroid FROM d GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       round(list_cosine_similarity(a.centroid, b.centroid), 6) AS centroid_sim
+        |FROM c a JOIN c b ON a.label < b.label
+        |ORDER BY 1, 2""".stripMargin,
+    "ev_session_duration" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked
+        |), dur AS (
+        |  SELECT max(ts_us) - min(ts_us) AS dur_us
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_sessions,
+        |       round(quantile_cont(dur_us, 0.5), 4) AS p50_us,
+        |       round(quantile_cont(dur_us, 0.9), 4) AS p90_us,
+        |       max(dur_us) AS max_us
+        |FROM dur""".stripMargin,
+    "ev_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |            FROM events),
+        |     fd AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |     d AS (SELECT day, count(*) AS n_active,
+        |                  sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new
+        |           FROM ud JOIN fd USING (user_id) GROUP BY 1)
+        |SELECT day, n_active, CAST(n_new AS BIGINT) AS n_new,
+        |       CAST(n_active - n_new AS BIGINT) AS n_returning,
+        |       round(CAST(n_new AS DOUBLE) / n_active, 6) AS new_share
+        |FROM d ORDER BY day""".stripMargin,
+    // the vocab-growth chain + closed-form least squares on (ln N, ln V)
+    "text_heaps_fit" ->
+      """WITH wd AS (SELECT CAST(ceil(CAST(max(doc_id) + 1 AS DOUBLE) / 10) AS BIGINT) AS w
+        |            FROM documents),
+        |tok AS (SELECT t.doc_id // wd.w AS bucket, t.word
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |              FROM documents) t, wd
+        |        WHERE length(t.word) > 0),
+        |nw AS (SELECT bucket, count(*) AS n_new_words FROM (
+        |         SELECT word, min(bucket) AS bucket FROM tok GROUP BY 1) f
+        |       GROUP BY 1),
+        |tk AS (SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
+        |gr AS (SELECT tk.bucket,
+        |              CAST(sum(tk.n_tokens) OVER (ORDER BY tk.bucket) AS BIGINT) AS cum_tokens,
+        |              CAST(sum(coalesce(nw.n_new_words, 0)) OVER (ORDER BY tk.bucket) AS BIGINT) AS vocab_size
+        |       FROM tk LEFT JOIN nw USING (bucket)),
+        |xy AS (SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x, ln(CAST(vocab_size AS DOUBLE)) AS y
+        |       FROM gr WHERE cum_tokens > 0 AND vocab_size > 0),
+        |s AS (SELECT count(*) AS n_points, avg(x) AS xb, avg(y) AS yb,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy),
+        |b AS (SELECT *, (sxy - n_points * xb * yb) / (sxx - n_points * xb * xb) AS beta_raw FROM s)
+        |SELECT n_points, round(beta_raw, 6) AS beta,
+        |       round(exp(yb - beta_raw * xb), 4) AS k
+        |FROM b""".stripMargin,
+    // every 16th byte of the video payload (ascii(substr) — text is
+    // ASCII at generation) → per-doc byte-distribution entropy (nats)
+    "mm_frame_entropy" ->
+      """WITH fr AS (
+        |  SELECT doc_id, CAST(len(frames) AS INTEGER) AS n_frames, unnest(frames) AS b
+        |  FROM (
+        |    SELECT doc_id,
+        |           list_transform(range(1, length(text)+1, 16),
+        |                          i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS frames
+        |    FROM documents WHERE doc_id % 3 = 2)),
+        |c AS (SELECT doc_id, n_frames, b, count(*) AS c FROM fr GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_frames,
+        |       round(-sum((CAST(c AS DOUBLE) / n_frames) * ln(CAST(c AS DOUBLE) / n_frames)), 6)
+        |         AS entropy
+        |FROM c GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "sim_dim_stats" ->
       """WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |     d AS (SELECT CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS x

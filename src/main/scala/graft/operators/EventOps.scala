@@ -721,6 +721,43 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Session-duration percentiles (p50/p90/max over end − start) —
+    * the wall-clock companion of [[sessionHistogram]]'s depth view;
+    * together they separate "many short visits" from "few long
+    * ones". One 1-row aggregate over the sessionize output.
+    */
+  def sessionDurationPercentiles(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .select((col("end_us") - col("start_us")).as("dur_us"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(percentile(col("dur_us"), lit(0.5)), 4).as("p50_us"),
+        round(percentile(col("dur_us"), lit(0.9)), 4).as("p90_us"),
+        max("dur_us").as("max_us"))
+
+  /** Daily new-vs-returning split: per day, active users, first-seen
+    * (new) users, returning users, and the new-user share — the
+    * growth-accounting twin of [[dailyRetention]] (retention asks
+    * "did they come back", this asks "who is each day made of").
+    * User-days dedup in one keyed aggregate; first-seen day is a
+    * second user-keyed aggregate hash-joined back (both map-side
+    * combined, no window).
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val userDays = withTsUs(events)
+      .select(col("user_id"), tsBucket(dayUs).as("day"))
+      .distinct()
+    val firstDay = userDays.groupBy("user_id").agg(min("day").as("first_day"))
+    userDays.join(firstDay, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new").cast("double") / col("n_active"), 6).as("new_share"))
+      .orderBy("day")
+  }
+
   /** Robust (median/MAD) hourly anomaly flags — the heavy-tail-safe
     * twin of the z-score detector ([[hourlyAnomalies]]): a single
     * traffic spike inflates the mean AND the stddev enough to mask

@@ -150,4 +150,21 @@ object Multimodal {
         md5(array_join(transform(col("frame_bytes"), _.cast("string")), ",").cast("binary"))
           .as("frames_md5"))
       .orderBy("doc_id")
+
+  /** Per-video Shannon entropy (nats) of the sampled frame-byte
+    * distribution — the cheap junk detector for opaque payloads:
+    * near-zero entropy is a stuck/black stream, maximal entropy is
+    * encrypted/noise bytes, real media sits between. Same
+    * per-(doc, value) collapse as
+    * [[graft.operators.TextAnalysis.charEntropy]] — frames collapse
+    * map-side to ≤256 rows per doc before the shuffle.
+    */
+  def frameEntropy(documents: DataFrame, stride: Int = 16): DataFrame =
+    sampleFramesRaw(documents, stride)
+      .select(col("doc_id"), col("n_frames"), explode(col("frame_bytes")).as("b"))
+      .groupBy("doc_id", "n_frames", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_frames")
+      .agg(round(-sum((col("c").cast("double") / col("n_frames")) *
+        log(col("c").cast("double") / col("n_frames"))), 6).as("entropy"))
+      .orderBy("doc_id")
 }

@@ -409,6 +409,29 @@ object Similarity {
       .agg(round(avg("v"), 6).as("mean_v"), count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** Label-confusion matrix: cosine similarity between every pair of
+    * label centroids — the class-overlap diagnostic read before
+    * trusting labels for hard-negative mining or stratified dedup
+    * (two labels whose centroids cosine ≈ 1 are the same concept
+    * split by naming, and their "negatives" would be false). Builds
+    * on the rounded [[labelCentroids]] table (labels × dims — KBs),
+    * so the pairwise stage is a broadcast self-join over a
+    * label-count-sized frame; the corpus is read once by the
+    * centroid aggregate.
+    */
+  def labelConfusion(embeddings: DataFrame): DataFrame = {
+    val centroids = labelCentroids(embeddings)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("cs"))
+      .select(col("label"), expr("transform(cs, c -> c.mean_v)").as("centroid"))
+    val a = centroids.select(col("label").as("label_a"), col("centroid").as("ca"))
+    val b = centroids.select(col("label").as("label_b"), col("centroid").as("cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(VectorFunctions.cosineSim(col("ca"), col("cb")), 6).as("centroid_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Label-conditional outlier report: each vector's cosine
     * similarity to ITS label's centroid, flagging vectors below a
     * similarity floor — the SemDeDup-adjacent hygiene pass that

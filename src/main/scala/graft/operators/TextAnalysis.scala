@@ -1025,6 +1025,31 @@ object TextAnalysis {
       .orderBy("source", "n")
   }
 
+  /** Heaps'-law fit over the [[vocabGrowth]] curve: least-squares
+    * slope β and scale K of ln(vocab) = ln(K) + β·ln(tokens) — the
+    * vocabulary-growth exponent (natural corpora sit near β ≈ 0.5;
+    * β → 1 means unbounded id/noise vocabulary, β → 0 means a closed
+    * template vocabulary), the companion diagnostic to
+    * [[zipfSlope]]'s frequency-side fit. The regression runs over
+    * the nBuckets-row growth table — closed-form sums on a bounded
+    * frame, nothing corpus-sized past the vocabGrowth shuffles.
+    */
+  def heapsLawFit(documents: DataFrame, nBuckets: Int = 10): DataFrame =
+    vocabGrowth(documents, nBuckets)
+      .filter(col("cum_tokens") > 0 && col("vocab_size") > 0)
+      .select(log(col("cum_tokens").cast("double")).as("x"),
+        log(col("vocab_size").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_points"),
+        avg("x").as("xb"), avg("y").as("yb"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("beta_raw",
+        (col("sxy") - col("n_points") * col("xb") * col("yb")) /
+          (col("sxx") - col("n_points") * col("xb") * col("xb")))
+      .select(col("n_points"),
+        round(col("beta_raw"), 6).as("beta"),
+        round(exp(col("yb") - col("beta_raw") * col("xb")), 4).as("k"))
+
   /** Per-source type-token ratio (lexical diversity at the SOURCE
     * granularity — the n=1 row of [[ngramDiversity]] is per (source,
     * n); this is the curation-dashboard headline number): distinct

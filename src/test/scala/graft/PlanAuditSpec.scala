@@ -43,7 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_l2_topk",               // corpus streams × broadcast(nQueries=10 vectors) — same bound as sim_bruteforce_topk
     "text_jsd_drift",            // vocabulary table × 1-row corpus total + |sources|-row totals broadcast
     "ev_session_histogram",      // log2-bucket table (≤64 rows) × 1-row broadcast total — share denominator
-    "dedup_lsh_recall"           // three 1-row aggregates (truth/found/candidates) meeting in scalar cross joins
+    "dedup_lsh_recall",          // three 1-row aggregates (truth/found/candidates) meeting in scalar cross joins
+    "sim_label_confusion",       // label-count-sized centroid table × broadcast of itself (a < b pairing)
+    "text_heaps_fit"             // inherits text_vocab_growth's 1-row bucket-width broadcast
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate
@@ -57,6 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_mix_weights",  // window input is the per-LANGUAGE aggregate (|langs| rows)
     "text_mix_resample", // broadcasts text_mix_weights' |langs|-row table; same window
     "text_vocab_growth", // cumulative sums over the BUCKET table (nBuckets rows)
+    "text_heaps_fit",    // regression over the same nBuckets-row growth table
     "text_zipf_slope"    // ranking window input is the limit(topN=1000) frequency head
   )
 

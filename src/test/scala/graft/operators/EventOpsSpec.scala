@@ -379,6 +379,27 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(out.head._3 - 45.0 / 1.4826) < 0.001)
   }
 
+  test("sessionDurationPercentiles: durations from session bounds, singletons are 0") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:10:00", 1L, "view"),   // user 1: 600 s session
+      (3L, "2024-01-01 09:00:00", 2L, "view"))   // user 2: singleton, 0 s
+    val r = EventOps.sessionDurationPercentiles(events).collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 300e6)              // p50 of {0, 600e6}
+    assert(r.getLong(3) == 600L * 1000000)
+  }
+
+  test("newVsReturning: first-seen day splits actives into new and returning") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-02 10:00:00", 1L, "view"),   // user 1 returns day 2
+      (3L, "2024-01-02 11:00:00", 2L, "view"))   // user 2 new on day 2
+    val out = EventOps.newVsReturning(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 1L, 0L, 1.0), (2L, 1L, 1L, 0.5)), out.toSeq.toString)
+  }
+
   test("withTsUs: NTZ wall-clocks read as UTC regardless of session time zone") {
     // An NTZ `ts` has no zone; the contract is "wall clock = UTC
     // instant". A session built outside GraftSession.configure may run

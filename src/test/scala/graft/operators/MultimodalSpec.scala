@@ -49,6 +49,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.getString(2) == md5Hex(expectFrames.mkString(",")))
   }
 
+  test("frameEntropy: uniform two-value frames read ln 2; constant frames read 0") {
+    val d = Seq(
+      (2L, "a" * 16 + "b" * 16, "s"),   // frames at bytes 0,16 → [a, b] → ln 2
+      (5L, "c" * 32, "s"))              // frames [c, c] → entropy 0
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.frameEntropy(d, stride = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val ln2 = BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L) == ((2, ln2)), out.toString)
+    assert(out(5L) == ((2, -0.0)) || out(5L) == ((2, 0.0)), out.toString)
+  }
+
   test("binaryFile source: raw media files ingest into the payload+meta layout") {
     import org.apache.spark.sql.functions._
     // Stand-in for an object-store media drop: one file per blob. The

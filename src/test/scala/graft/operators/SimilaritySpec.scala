@@ -296,6 +296,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.last._2 >= 1L, rows.mkString(","))
   }
 
+  test("labelConfusion: identical-label pair reads 1.0, orthogonal pair 0.0") {
+    import spark.implicits._
+    def axis(j: Int, s: Float) = Array.tabulate(64)(k => if (k == j) s else 0.0f)
+    val e = Seq(
+      (1L, "a", axis(0, 1.0f)), (2L, "a", axis(0, 3.0f)),  // centroid along e0
+      (3L, "b", axis(0, 2.0f)),                            // same direction as a
+      (4L, "c", axis(1, 1.0f)))                            // orthogonal
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelConfusion(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", "b")) == 1.0, out.toString)
+    assert(out(("a", "c")) == 0.0 && out(("b", "c")) == 0.0)
+    assert(out.size == 3) // unordered pairs only, no diagonal
+  }
+
   test("topComponent: recovers a planted dominant direction with its eigenvalue") {
     import spark.implicits._
     // ±2e₀ dominates a single e₁ vector: XᵀX = diag(8, 1, 0, ...) —

@@ -470,6 +470,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("s2", 1)) == ((1L, 1L, 1.0)))
   }
 
+  test("heapsLawFit: all-new-words growth fits beta=1, k=1 exactly") {
+    // 10 docs (ids 0..9 → one per bucket), 2 unique tokens each:
+    // cum vocab == cum tokens at every bucket → ln V = 1·ln N + ln 1
+    val d = (0L to 9L).map(i => (i, s"u${i}a u${i}b", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.heapsLawFit(d).collect().head
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 1.0, r.toString)
+    assert(r.getDouble(2) == 1.0, r.toString)
+  }
+
   test("typeTokenRatio: distinct/total per source") {
     val d = Seq((1L, "s1", "a b a"), (2L, "s1", "a c"), (3L, "s2", "x y z"))
       .toDF("doc_id", "source", "text")
