@@ -237,6 +237,9 @@ object SparkEntry {
     "ev_new_vs_returning" -> ((s, d) => EventOps.newVsReturning(Tables.events(s, d))),
     "text_heaps_fit" -> ((s, d) => TextAnalysis.heapsLawFit(Tables.documents(s, d))),
     "mm_frame_entropy" -> ((s, d) => Multimodal.frameEntropy(Tables.documents(s, d))),
+    "text_vocab_overlap" -> ((s, d) => TextAnalysis.sourceVocabOverlap(Tables.documents(s, d))),
+    "ev_burstiness" -> ((s, d) => EventOps.userBurstiness(Tables.events(s, d))),
+    "q_mad_prices" -> ((s, d) => Relational.priceMadByPriority(Tables.orders(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1172,6 +1175,41 @@ object SparkEntry {
          |SELECT n_truth, n_found, n_candidates,
          |       round(CAST(n_found AS DOUBLE) / n_truth, 6) AS recall
          |FROM nt CROSS JOIN hit CROSS JOIN nc""".stripMargin,
+    "text_vocab_overlap" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |     sw AS (SELECT DISTINCT source, w FROM t WHERE len(w) > 0),
+        |     sz AS (SELECT source, count(*) AS n_types FROM sw GROUP BY 1),
+        |     ov AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        |            FROM sw a JOIN sw b USING (w)
+        |            WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common,
+        |       round(CAST(n_common AS DOUBLE) / (za.n_types + zb.n_types - n_common), 6)
+        |         AS vocab_jaccard
+        |FROM ov JOIN sz za ON za.source = ov.source_a
+        |        JOIN sz zb ON zb.source = ov.source_b
+        |ORDER BY 1, 2""".stripMargin,
+    "ev_burstiness" ->
+      """WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |     gaps AS (
+        |  SELECT user_id,
+        |         CAST(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS DOUBLE)
+        |           AS gap_us
+        |  FROM g),
+        |     s AS (
+        |  SELECT user_id, count(*) AS n_gaps, avg(gap_us) AS mean_gap,
+        |         stddev_samp(gap_us) AS sd_gap
+        |  FROM gaps WHERE gap_us IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, round(mean_gap, 2) AS mean_gap_us,
+        |       round(sd_gap / mean_gap, 6) AS burstiness_cv
+        |FROM s WHERE n_gaps >= 2 AND mean_gap > 0 ORDER BY user_id""".stripMargin,
+    "q_mad_prices" ->
+      """WITH med AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med_price
+        |             FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n,
+        |       round(min(med_price), 4) AS med_price,
+        |       round(quantile_cont(abs(o_totalprice - med_price), 0.5), 4) AS mad_price
+        |FROM orders JOIN med USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_ttr" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
         |     tf AS (SELECT source, w FROM t WHERE len(w) > 0)

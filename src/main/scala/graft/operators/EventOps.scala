@@ -787,6 +787,34 @@ object EventOps {
       .orderBy("hour_us", "event_type")
   }
 
+  /** Per-user inter-arrival burstiness: coefficient of variation
+    * (σ/μ) of the gaps between consecutive events — CV ≈ 1 is
+    * Poisson-like organic traffic, CV ≪ 1 is metronomic scripting
+    * (the bot fingerprint [[hourOfWeekProfile]] sees in aggregate,
+    * here per user), CV ≫ 1 is bursty sessions. Gaps ride one
+    * user-partitioned window (same exchange as sessionize); users
+    * need ≥ 3 events for a sample stddev over ≥ 2 gaps.
+    */
+  def userBurstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    withTsUs(events)
+      .select(col("user_id"), col("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        avg(col("gap_us").cast("double")).as("mean_gap"),
+        stddev_samp(col("gap_us").cast("double")).as("sd_gap"))
+      .filter(col("n_gaps") >= 2 && col("mean_gap") > 0)
+      // 2 decimals: gaps are ~1e10 µs at SF, so round(4) would sit at
+      // the double ulp and flip on sum order (the ev_user_gaps proven
+      // precision)
+      .select(col("user_id"), col("n_gaps"),
+        round(col("mean_gap"), 2).as("mean_gap_us"),
+        round(col("sd_gap") / col("mean_gap"), 6).as("burstiness_cv"))
+      .orderBy("user_id")
+  }
+
   /** Hour-of-week traffic profile: event share by (0–167) hour index,
     * where 0 is the epoch-aligned hour (1970-01-01 00:00 UTC was a
     * Thursday; the index is pure floor-div/modulo arithmetic, not

@@ -1050,6 +1050,36 @@ object TextAnalysis {
         round(col("beta_raw"), 6).as("beta"),
         round(exp(col("yb") - col("beta_raw") * col("xb")), 4).as("k"))
 
+  /** Pairwise source VOCABULARY overlap: Jaccard of the distinct word
+    * sets of every source pair — the set-membership complement of
+    * [[jsdSourceDrift]]'s distributional view (two sources can share
+    * all words at wildly different frequencies, or share few words at
+    * matching frequency shapes; curation needs both axes). The
+    * self-join is keyed on the word with per-word source fan-out ≤
+    * |sources|, so cost is Σ df² with df ≤ |sources| — bounded by
+    * vocab × sources², never corpus-sized.
+    */
+  def sourceVocabOverlap(documents: DataFrame): DataFrame = {
+    val sw = documents
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .select("source", "w").distinct()
+    val sizes = sw.groupBy("source").agg(count(lit(1)).as("n_types"))
+    val a = sw.select(col("source").as("source_a"), col("w"))
+    val b = sw.select(col("source").as("source_b"), col("w"))
+    a.join(b, Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_types").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_types").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")), 6).as("vocab_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Per-source type-token ratio (lexical diversity at the SOURCE
     * granularity — the n=1 row of [[ngramDiversity]] is per (source,
     * n); this is the curation-dashboard headline number): distinct

@@ -612,6 +612,27 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Robust spread per priority: median and MAD of order prices —
+    * the outlier-immune companion of [[pricePercentiles]] (a single
+    * mis-keyed price shifts a stddev arbitrarily, the MAD not at
+    * all). Two grouped exact-percentile passes: medians first, then
+    * absolute deviations against the per-group median joined back —
+    * the per-key twin of the global MAD anomaly detector
+    * ([[graft.operators.EventOps.hourlyAnomaliesMad]]).
+    */
+  def priceMadByPriority(orders: DataFrame): DataFrame = {
+    val med = orders.groupBy("o_orderpriority")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("med_price"))
+    orders.select("o_orderpriority", "o_totalprice")
+      .join(broadcast(med), Seq("o_orderpriority"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(min("med_price"), 4).as("med_price"),
+        round(percentile(abs(col("o_totalprice") - col("med_price")), lit(0.5)), 4)
+          .as("mad_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Sketch twin of [[pricePercentiles]] — the recommended 100 TB
     * path. `approx_percentile` (Greenwald-Khanna / t-digest style) is
     * a mergeable bounded-memory sketch: partial aggregation works, no

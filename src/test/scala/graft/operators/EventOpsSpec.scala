@@ -400,6 +400,23 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 0L, 1.0), (2L, 1L, 1L, 0.5)), out.toSeq.toString)
   }
 
+  test("userBurstiness: metronomic user reads CV 0, bursty user by the sample formula") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "view"),
+      (3L, "2024-01-01 10:02:00", 1L, "view"),   // gaps 60, 60 → CV 0
+      (4L, "2024-01-01 11:00:00", 2L, "view"),
+      (5L, "2024-01-01 11:00:10", 2L, "view"),
+      (6L, "2024-01-01 11:02:00", 2L, "view"),   // gaps 10 s, 110 s
+      (7L, "2024-01-01 12:00:00", 3L, "view"))   // 0 gaps → excluded
+    val out = EventOps.userBurstiness(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 0.0)), out.toString)
+    // mean 60e6, sd = √((50e6² + 50e6²)/1) = 70710678.1187 → cv 1.178511
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - 1.178511) < 1e-6, out.toString)
+    assert(!out.contains(3L))
+  }
+
   test("withTsUs: NTZ wall-clocks read as UTC regardless of session time zone") {
     // An NTZ `ts` has no zone; the contract is "wall clock = UTC
     // instant". A session built outside GraftSession.configure may run

@@ -470,6 +470,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("s2", 1)) == ((1L, 1L, 1.0)))
   }
 
+  test("sourceVocabOverlap: set Jaccard per source pair; disjoint pairs emit no row") {
+    val d = Seq((1L, "s1", "a b c"), (2L, "s2", "b c d"), (3L, "s3", "x"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceVocabOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("s1", "s2")) == ((2L, 0.5)), out.toString) // {b,c} / {a,b,c,d}
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")),
+      "zero-overlap pairs are absent by construction (word-keyed blocking)")
+  }
+
   test("heapsLawFit: all-new-words growth fits beta=1, k=1 exactly") {
     // 10 docs (ids 0..9 → one per bucket), 2 unique tokens each:
     // cum vocab == cum tokens at every bucket → ln V = 1·ln N + ln 1

@@ -119,6 +119,13 @@ class RelationalSpec extends SparkSpec {
     assert(ea == Map("1-URGENT" -> 1L))
   }
 
+  test("priceMadByPriority: outlier moves the mean, not the median/MAD") {
+    val orders = Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+      .map(p => ("1-URGENT", p)).toDF("o_orderpriority", "o_totalprice")
+    val r = Relational.priceMadByPriority(orders).collect().head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3)) == ((5L, 3.0, 1.0)), r.toString)
+  }
+
   test("approx percentiles track exact within 2% relative tolerance") {
     val orders = Tables.orders(spark, sf0001)
     val exact = Relational.pricePercentiles(orders).collect()
