@@ -230,11 +230,13 @@ object Similarity {
         .select((0 until 64).map(j =>
           sum(element_at(col("v"), j + 1) * col("xv")).as(s"s$j")): _*)
         .collect().head
-      val w = Array.tabulate(64)(j => sums.getDouble(j))
+      val w = Array.tabulate(64)(j => if (sums.isNullAt(j)) 0.0 else sums.getDouble(j))
       // left-fold norm — the exact association the oracle SQL unrolls
       val nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      // empty/degenerate input (all-zero sums): keep the current
+      // direction instead of dividing to NaN; eig reports 0
       eig = nrm
-      v = w.map(_ / nrm)
+      if (nrm > 0) v = w.map(_ / nrm)
     }
     v.zipWithIndex.map { case (x, j) => (j, x) }.toSeq.toDF("dim", "loading_raw")
       .select(col("dim"), round(col("loading_raw"), 6).as("loading"),

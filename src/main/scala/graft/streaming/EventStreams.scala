@@ -173,6 +173,44 @@ object EventStreams {
       }
   }
 
+  case class UserDay(user_id: Long, day: Long)
+  case class DayFlag(user_id: Long, day: Long, is_new: Boolean)
+
+  /** Streaming new-vs-returning classification — the stateful face of
+    * [[graft.operators.EventOps.newVsReturning]]: each (user, day)
+    * pair is emitted exactly once, flagged `is_new` iff it is the
+    * user's FIRST day ever seen. State per user = first day + the set
+    * of already-emitted days (bounded by the user's active days; a
+    * production deployment caps it with EventTimeTimeout once the
+    * watermark passes — days older than the watermark can't arrive).
+    * Contract: time-ordered replay (first day arrives first), the
+    * same documented contract as [[streamingAttribution]]; the spec
+    * replays real events and pins the aggregate against the
+    * oracle-green batch twin.
+    */
+  def newVsReturningFlags(events: Dataset[UserDay]): Dataset[DayFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Set[Long]), DayFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[UserDay], state: GroupState[(Long, Set[Long])]) =>
+          var (first, seen) = state.getOption.getOrElse((Long.MaxValue, Set.empty[Long]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DayFlag]
+          it.toSeq.sortBy(_.day).foreach { e =>
+            if (!seen.contains(e.day)) {
+              val isNew = first == Long.MaxValue
+              if (isNew) first = e.day
+              seen += e.day
+              out += DayFlag(userId, e.day, isNew)
+            }
+          }
+          state.update((first, seen))
+          out.iterator
+      }
+  }
+
   case class TimedUserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class ActivityState(n_events: Long, total_value: Double, last_ms: Long)
   case class ActivitySummary(user_id: Long, n_events: Long, total_value: Double)

@@ -118,4 +118,38 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.cohortMatrix(noEvents).count() == 0)
     assert(Dedup.impactBySource(noDocs).count() == 0)
   }
+
+  test("round-7 operators: empty inputs → empty/zero-report results") {
+    import graft.queries.Relational
+    assert(Dedup.minhashBandHistogram(noDocs).count() == 0)
+    assert(Dedup.crossSourceNearDups(noDocs).count() == 0)
+    assert(Graph.degreeHistogram(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    assert(TextAnalysis.typeTokenRatio(noDocs).count() == 0)
+    assert(TextAnalysis.jsdSourceDrift(noDocs).count() == 0)
+    assert(TextAnalysis.docLengthHistogram(noDocs).count() == 0)
+    assert(TextAnalysis.sourceVocabOverlap(noDocs).count() == 0)
+    assert(TextAnalysis.heapsLawFit(noDocs).count() == 1) // 1-row report, null fit
+    assert(Similarity.l2TopK(noEmb).count() == 0)
+    assert(Similarity.dimensionStats(noEmb).count() == 0)
+    assert(Similarity.labelConfusion(noEmb).count() == 0)
+    // degenerate power iteration: e0 loading preserved, eig reports 0
+    val tc = Similarity.topComponent(noEmb).collect()
+    assert(tc.length == 64 && tc.head.getDouble(1) == 1.0 && tc.head.getDouble(2) == 0.0)
+    assert(EventOps.hourOfWeekProfile(noEvents).count() == 0)
+    assert(EventOps.powerUsers(noEvents).count() == 0)
+    assert(EventOps.sessionHistogram(noEvents).count() == 0)
+    assert(EventOps.userLifecycle(noEvents).count() == 0)
+    assert(EventOps.hourlyAnomaliesMad(noEvents).count() == 0)
+    assert(EventOps.newVsReturning(noEvents).count() == 0)
+    assert(EventOps.userBurstiness(noEvents).count() == 0)
+    // 1-row latency report with zero conversions
+    assert(EventOps.timeToConvert(noEvents).collect().head.getLong(0) == 0L)
+    assert(EventOps.sessionDurationPercentiles(noEvents).collect().head.getLong(0) == 0L)
+    // 1-row recall report over an empty truth set
+    assert(Dedup.lshRecallAudit(noDocs).count() == 1)
+    assert(Multimodal.frameEntropy(noDocs).count() == 0)
+    val noOrders = Seq.empty[(Long, Double, String)]
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    assert(Relational.priceMadByPriority(noOrders).count() == 0)
+  }
 }

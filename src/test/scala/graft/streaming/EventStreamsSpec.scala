@@ -375,6 +375,42 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("replayed sf0.001 events through newVsReturningFlags equals the oracle-green batch twin") {
+    // The batch twin (ev_new_vs_returning) hash-matches the DuckDB
+    // oracle; aggregating the replayed per-(user, day) flags to daily
+    // new/returning counts and comparing transitively oracle-checks
+    // the stateful streaming path. Time-ordered replay in 3 chunks —
+    // the documented contract.
+    implicit val sq = spark.sqlContext
+    val batchDf = graft.Tables.events(spark, sf0001)
+    val dayUs = 86400L * 1000000
+    val rows = graft.operators.EventOps.withTsUs(batchDf)
+      .select(col("user_id"),
+        expr(s"ts_us div $dayUs - (CASE WHEN ts_us % $dayUs < 0 THEN 1 ELSE 0 END)").as("day"))
+      .collect().map(r => EventStreams.UserDay(r.getLong(0), r.getLong(1)))
+      .sortBy(_.day)
+    val mem = MemoryStream[EventStreams.UserDay]
+    val q = EventStreams.newVsReturningFlags(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("nvr_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("nvr_test").collect()
+        .map(r => (r.getLong(1), r.getBoolean(2)))
+        .groupBy(_._1)
+        .map { case (day, vs) =>
+          day -> ((vs.length.toLong, vs.count(_._2).toLong))
+        }
+      val batch = graft.operators.EventOps.newVsReturning(batchDf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed == batch, s"stream=${streamed.toSeq.sorted} batch=${batch.toSeq.sorted}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("perUserQuota admits exactly `quota` events per user across batches, matching the batch twin") {
     implicit val sq = spark.sqlContext
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
