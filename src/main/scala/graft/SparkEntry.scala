@@ -240,6 +240,8 @@ object SparkEntry {
     "text_vocab_overlap" -> ((s, d) => TextAnalysis.sourceVocabOverlap(Tables.documents(s, d))),
     "ev_burstiness" -> ((s, d) => EventOps.userBurstiness(Tables.events(s, d))),
     "q_mad_prices" -> ((s, d) => Relational.priceMadByPriority(Tables.orders(s, d))),
+    "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "ev_session_funnel" -> ((s, d) => EventOps.sessionFunnel(Tables.events(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1202,6 +1204,50 @@ object SparkEntry {
         |SELECT user_id, n_gaps, round(mean_gap, 2) AS mean_gap_us,
         |       round(sd_gap / mean_gap, 6) AS burstiness_cv
         |FROM s WHERE n_gaps >= 2 AND mean_gap > 0 ORDER BY user_id""".stripMargin,
+    // RE2-safe pre-tokenizer: letter/digit/punct runs — disjoint
+    // character classes, so Java and RE2 split identically
+    "text_token_count" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS n_tok,
+        |         len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n_words
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_words) AS BIGINT) AS n_words,
+        |       round(CAST(sum(n_tok) AS DOUBLE) / sum(n_words), 6) AS tokens_per_word
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sessionize chain carrying event_type → per-session first
+    // view / last purchase → 1-row conversion rollup
+    "ev_session_funnel" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, ts_us, event_type,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sess AS (
+        |  SELECT user_id, ts_us, event_type,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked
+        |), per AS (
+        |  SELECT user_id, session_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view,
+        |         max(CASE WHEN event_type = 'purchase' THEN ts_us END) AS last_purchase
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |       CAST(coalesce(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |         AS n_with_view,
+        |       CAST(coalesce(sum(CASE WHEN first_view IS NOT NULL AND last_purchase >= first_view
+        |                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_converted,
+        |       round(CAST(sum(CASE WHEN first_view IS NOT NULL AND last_purchase >= first_view
+        |                           THEN 1 ELSE 0 END) AS DOUBLE) /
+        |             sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END), 6)
+        |         AS session_conversion
+        |FROM per""".stripMargin,
     "q_mad_prices" ->
       """WITH med AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med_price
         |             FROM orders GROUP BY 1)

@@ -236,28 +236,64 @@ object EventOps {
       .orderBy("event_id")
   }
 
-  /** Sessionization: split each user's event stream on gaps >
-    * `gapMinutes`, emit per-session stats. One shuffle on user_id;
-    * both windows share the same partitioning so Catalyst plans a
-    * single Exchange + Sort reused by lag and running-sum.
+  /** Per-event session ids: each user's stream split on gaps >
+    * `gapMinutes`, every event row tagged with its session_id —
+    * the shared kernel of [[sessionize]] and [[sessionFunnel]]. One
+    * shuffle on user_id; the lag and running-sum windows share the
+    * same partitioning so Catalyst plans a single Exchange + Sort.
+    * Ties on ts_us are safe: a zero gap can never open a session
+    * regardless of tie order.
     */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  private[graft] def withSessionIds(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes.toLong * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy("ts_us")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withTsUs(events)
-      .select(col("user_id"), col("ts_us"))
+      .select(col("user_id"), col("ts_us"), col("event_type"))
       .withColumn("prev_us", lag("ts_us", 1).over(w))
       .withColumn("is_new",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum("is_new").over(run))
+      .select("user_id", "ts_us", "event_type", "session_id")
+  }
+
+  /** Sessionization: split each user's event stream on gaps >
+    * `gapMinutes`, emit per-session stats (see [[withSessionIds]] for
+    * the shared windowing kernel and its scale shape).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(events, gapMinutes)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
         min("ts_us").as("start_us"),
         max("ts_us").as("end_us"))
       .orderBy("user_id", "session_id")
-  }
+
+  /** WITHIN-session funnel: sessions that contain a view, and among
+    * those, sessions where a purchase follows (or coincides with) the
+    * first view — conversion confined to one visit, the stricter
+    * metric next to the cross-session as-of funnel
+    * ([[viewToPurchaseFunnel]] credits a purchase to a view hours
+    * earlier; this one only inside the same session). Rides the
+    * [[withSessionIds]] exchange plus one per-session aggregate and
+    * a 1-row rollup.
+    */
+  def sessionFunnel(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("first_view"),
+        max(when(col("event_type") === "purchase", col("ts_us"))).as("last_purchase"))
+      .agg(count(lit(1)).as("n_sessions"),
+        coalesce(sum(when(col("first_view").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_with_view"),
+        coalesce(sum(when(col("first_view").isNotNull &&
+          col("last_purchase") >= col("first_view"), 1L).otherwise(0L)), lit(0L))
+          .as("n_converted"))
+      .select(col("n_sessions"), col("n_with_view"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_with_view"), 6)
+          .as("session_conversion"))
 
   /** Funnel conversion on top of the as-of join: purchases whose most
     * recent prior view (same user) happened within `windowMinutes` —

@@ -1050,6 +1050,30 @@ object TextAnalysis {
         round(col("beta_raw"), 6).as("beta"),
         round(exp(col("yb") - col("beta_raw") * col("xb")), 4).as("k"))
 
+  /** BPE-style token accounting per source: tokens under a
+    * pre-tokenizer regex (letter runs | digit runs | punctuation
+    * runs — the GPT-2-family pre-tokenization shape, RE2-safe so
+    * every engine splits identically) next to whitespace words, and
+    * their ratio — the tokens-per-word expansion factor that converts
+    * corpus word counts into training-token budgets (code and
+    * punctuation-heavy sources expand 2–3×; prose sits near 1.2).
+    * Map-only regex per row, one source-keyed partial aggregate.
+    */
+  def tokenCount(documents: DataFrame): DataFrame = {
+    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+    documents
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_tok"),
+        size(filter(split(col("text"), " ", -1), w => length(w) > 0)).as("n_words"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_words").as("n_words"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_words"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("tokens_per_word"))
+      .orderBy("source")
+  }
+
   /** Pairwise source VOCABULARY overlap: Jaccard of the distinct word
     * sets of every source pair — the set-membership complement of
     * [[jsdSourceDrift]]'s distributional view (two sources can share

@@ -400,6 +400,19 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 0L, 1.0), (2L, 1L, 1L, 0.5)), out.toSeq.toString)
   }
 
+  test("sessionFunnel: purchase converts only inside the view's session") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "purchase"),  // same session → converts
+      (3L, "2024-01-01 12:00:00", 2L, "view"),
+      (4L, "2024-01-01 14:00:00", 2L, "purchase"),  // 2h gap → NEW session, no view in it
+      (5L, "2024-01-01 15:00:00", 3L, "click"))     // session without view
+    val r = EventOps.sessionFunnel(events).collect().head
+    // sessions: u1×1, u2×2, u3×1 = 4; with view: 2; converted: 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((4L, 2L, 1L, 0.5)), r.toString)
+  }
+
   test("userBurstiness: metronomic user reads CV 0, bursty user by the sample formula") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),

@@ -470,6 +470,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("s2", 1)) == ((1L, 1L, 1.0)))
   }
 
+  test("tokenCount: regex pre-tokenizer splits punctuation runs off words") {
+    val d = Seq(
+      (1L, "s1", "Hello, world! 123 foo_bar"),  // 8 tokens, 4 words
+      (2L, "s2", "plain words here"))           // 3 tokens, 3 words
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.tokenCount(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("s1") == ((1L, 8L, 4L, 2.0)), out.toString)
+    assert(out("s2") == ((1L, 3L, 3L, 1.0)))
+  }
+
   test("sourceVocabOverlap: set Jaccard per source pair; disjoint pairs emit no row") {
     val d = Seq((1L, "s1", "a b c"), (2L, "s2", "b c d"), (3L, "s3", "x"))
       .toDF("doc_id", "source", "text")
