@@ -242,6 +242,10 @@ object SparkEntry {
     "q_mad_prices" -> ((s, d) => Relational.priceMadByPriority(Tables.orders(s, d))),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "ev_session_funnel" -> ((s, d) => EventOps.sessionFunnel(Tables.events(s, d))),
+    "ev_asof_forward" -> ((s, d) => EventOps.nextViewAfterPurchase(Tables.events(s, d))),
+    "ev_type_entropy" -> ((s, d) => EventOps.userTypeEntropy(Tables.events(s, d))),
+    "ev_peak_concurrency" -> ((s, d) => EventOps.peakConcurrency(Tables.events(s, d))),
+    "q_revenue_deciles" -> ((s, d) => Relational.revenueDeciles(Tables.orders(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1217,6 +1221,72 @@ object SparkEntry {
         |       CAST(sum(n_words) AS BIGINT) AS n_words,
         |       round(CAST(sum(n_tok) AS DOUBLE) / sum(n_words), 6) AS tokens_per_word
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |       min(v.ts_us) AS next_view_us
+        |FROM e p LEFT JOIN e v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts_us >= p.ts_us
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // single-aggregate entropy identity: H = ln N − (Σ c·ln c)/N
+    "ev_type_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_types,
+        |       round(ln(sum(c)) - sum(CAST(c AS DOUBLE) * ln(c)) / sum(c), 6) AS type_entropy
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // day-partitioned sweep line + per-day carry-in over the session chain
+    "ev_peak_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked
+        |), s AS (
+        |  SELECT min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM sess GROUP BY user_id, session_id
+        |), b AS (
+        |  SELECT start_us AS ts, 1 AS d FROM s
+        |  UNION ALL SELECT end_us + 1, -1 FROM s
+        |), bd AS (
+        |  SELECT ts, d, (ts // 86400000000) AS day FROM b
+        |), days AS (SELECT DISTINCT day FROM bd),
+        |carry AS (
+        |  SELECT days.day, count(*) AS carry_in
+        |  FROM s JOIN days ON s.start_us < days.day * 86400000000
+        |                  AND s.end_us >= days.day * 86400000000
+        |  GROUP BY 1
+        |), runs AS (
+        |  SELECT day, CAST(sum(d) OVER (PARTITION BY day ORDER BY ts, d DESC
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM bd
+        |), mx AS (SELECT day, max(run) AS max_run FROM runs GROUP BY 1)
+        |SELECT mx.day, CAST(coalesce(carry_in, 0) AS BIGINT) AS carry_in,
+        |       CAST(coalesce(carry_in, 0) + greatest(max_run, 0) AS BIGINT)
+        |         AS peak_concurrency
+        |FROM mx LEFT JOIN carry ON mx.day = carry.day
+        |ORDER BY mx.day""".stripMargin,
+    // nine broadcast thresholds; bin = #thresholds strictly below
+    "q_revenue_deciles" ->
+      """WITH thr AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS thr FROM orders)
+        |SELECT CAST(len(list_filter(thr, t -> t < o_totalprice)) AS INTEGER) AS decile,
+        |       count(*) AS n_orders,
+        |       round(min(o_totalprice), 2) AS min_price,
+        |       round(max(o_totalprice), 2) AS max_price,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders CROSS JOIN thr
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the sessionize chain carrying event_type → per-session first
     // view / last purchase → 1-row conversion rollup
     "ev_session_funnel" ->

@@ -295,6 +295,84 @@ object EventOps {
         round(col("n_converted").cast("double") / col("n_with_view"), 6)
           .as("session_conversion"))
 
+  /** FORWARD as-of: the earliest view at or after each purchase —
+    * mirror of [[lastViewBeforePurchase]] (post-purchase re-engagement
+    * rather than attribution). Same union + user-partitioned window
+    * shape, ordered DESCENDING so the running `last(ignoreNulls)`
+    * carries the NEXT view backward onto each purchase; views sort
+    * before purchases on ts ties so "at or after" includes the same
+    * instant. One shuffle on user_id, linear per partition.
+    */
+  def nextViewAfterPurchase(events: DataFrame): DataFrame = {
+    val e = withTsUs(events)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        lit(null).cast("long").as("event_id"), col("ts_us").as("view_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id"), lit(null).cast("long").as("view_us"))
+    val tagged = views.unionByName(purchases)
+      .withColumn("is_purchase", when(col("event_id").isNotNull, 1).otherwise(0))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("is_purchase"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("next_view_us", last(col("view_us"), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("next_view_us"))
+      .orderBy("event_id")
+  }
+
+  /** Per-user behavioral entropy over event-type usage: H = ln N −
+    * (Σ c·ln c)/N — the single-aggregate identity, so no join or
+    * second pass carries the total. Near-zero entropy on a
+    * high-volume user is the "only ever one action" scripted-client
+    * fingerprint ([[userBurstiness]] is the timing face of the same
+    * screen); n_types rides the same grouped shuffle.
+    */
+  def userTypeEntropy(events: DataFrame): DataFrame =
+    events.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+        round(log(sum("c")) -
+          sum(col("c").cast("double") * log(col("c"))) / sum("c"), 6).as("type_entropy"))
+      .orderBy("user_id")
+
+  /** Peak concurrent sessions per day — capacity planning over the
+    * sessionized log. Sweep-line done scale-correctly: session
+    * boundaries (+1 at start, −1 just after end — closed intervals)
+    * partition by DAY so the running sum is a day-partitioned window,
+    * never a global sort; sessions spanning a day boundary enter as a
+    * per-day carry-in computed by a bounded non-equi join against the
+    * (tiny, broadcast) day list. Peak = carry_in + max(0, running),
+    * exact because concurrency only changes at boundaries. Output
+    * covers days containing at least one boundary.
+    */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val s = sessionize(events, gapMinutes)
+      .select(col("start_us"), col("end_us"))
+    val b = s.select(explode(array(
+        struct(col("start_us").as("ts"), lit(1L).as("d")),
+        struct((col("end_us") + 1).as("ts"), lit(-1L).as("d")))).as("e"))
+      .select(col("e.ts").as("ts"), col("e.d").as("d"))
+      .withColumn("day",
+        expr(s"ts div $dayUs - (CASE WHEN ts % $dayUs < 0 THEN 1 ELSE 0 END)"))
+    val days = b.select("day").distinct()
+    val carry = s.join(broadcast(days),
+        col("start_us") < col("day") * dayUs && col("end_us") >= col("day") * dayUs)
+      .groupBy("day").agg(count(lit(1)).as("carry_in"))
+    val w = Window.partitionBy("day").orderBy(col("ts"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("run", sum("d").over(w))
+      .groupBy("day").agg(max("run").as("max_run"))
+      .join(carry, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("carry_in"), lit(0L)).as("carry_in"),
+        (coalesce(col("carry_in"), lit(0L)) + greatest(col("max_run"), lit(0L)))
+          .as("peak_concurrency"))
+      .orderBy("day")
+  }
+
   /** Funnel conversion on top of the as-of join: purchases whose most
     * recent prior view (same user) happened within `windowMinutes` —
     * the view→purchase conversion metric. Composes the native as-of

@@ -612,6 +612,28 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Order-value deciles WITHOUT a global ntile window: the nine
+    * interpolated decile thresholds ride ONE 1-row broadcast and each
+    * row bins itself by counting thresholds strictly below its price
+    * — the scale-safe quantile-binning idiom (ntile would funnel the
+    * whole table through one task; this is a map-side CASE against
+    * nine broadcast doubles). Per-bin count/min/max/sum profile the
+    * distribution for curriculum-style tiering.
+    */
+  def revenueDeciles(orders: DataFrame): DataFrame = {
+    val thr = orders.agg(percentile(col("o_totalprice"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("thr"))
+    orders.select("o_totalprice").crossJoin(broadcast(thr))
+      .select(col("o_totalprice"),
+        size(filter(col("thr"), t => t < col("o_totalprice"))).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("decile")
+  }
+
   /** Robust spread per priority: median and MAD of order prices —
     * the outlier-immune companion of [[pricePercentiles]] (a single
     * mis-keyed price shifts a stddev arbitrarily, the MAD not at

@@ -45,7 +45,9 @@ class PlanAuditSpec extends SparkSpec {
     "ev_session_histogram",      // log2-bucket table (≤64 rows) × 1-row broadcast total — share denominator
     "dedup_lsh_recall",          // three 1-row aggregates (truth/found/candidates) meeting in scalar cross joins
     "sim_label_confusion",       // label-count-sized centroid table × broadcast of itself (a < b pairing)
-    "text_heaps_fit"             // inherits text_vocab_growth's 1-row bucket-width broadcast
+    "text_heaps_fit",            // inherits text_vocab_growth's 1-row bucket-width broadcast
+    "ev_peak_concurrency",       // sessions × broadcast |days|-row list (carry-in non-equi join)
+    "q_revenue_deciles"          // order stream × 1-row broadcast threshold array — map-side binning
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

@@ -400,6 +400,53 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 0L, 1.0), (2L, 1L, 1L, 0.5)), out.toSeq.toString)
   }
 
+  test("nextViewAfterPurchase: earliest view at or after; none → null") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase"),
+      (2L, "2024-01-01 10:05:00", 1L, "view"),      // next view for purchase 1
+      (3L, "2024-01-01 11:00:00", 1L, "purchase"),  // no later view → null
+      (4L, "2024-01-01 09:00:00", 2L, "view"),      // BEFORE the purchase → not next
+      (5L, "2024-01-01 09:30:00", 2L, "purchase"),
+      (6L, "2024-01-01 12:00:00", 3L, "view"),
+      (7L, "2024-01-01 12:00:00", 3L, "purchase"))  // same instant counts
+    val out = EventOps.nextViewAfterPurchase(events).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L) == Some(us("2024-01-01 10:05:00")))
+    assert(out(3L) == None)
+    assert(out(5L) == None)
+    assert(out(7L) == Some(us("2024-01-01 12:00:00")))
+  }
+
+  test("userTypeEntropy: uniform two-type user reads ln 2; single-type reads 0") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 2L, "view"),
+      (4L, "2024-01-01 10:03:00", 2L, "view"))
+    val out = EventOps.userTypeEntropy(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ln2 = BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((2L, 2L, ln2)), out.toString)
+    assert(out(2L) == ((2L, 1L, 0.0)) || out(2L) == ((2L, 1L, -0.0)), out.toString)
+  }
+
+  test("peakConcurrency: overlapping sessions stack; midnight-spanning session carries in") {
+    val events = ev(
+      // three users online 10:00–10:20, overlapping
+      (1L, "2024-01-01 10:00:00", 1L, "view"), (2L, "2024-01-01 10:20:00", 1L, "view"),
+      (3L, "2024-01-01 10:05:00", 2L, "view"), (4L, "2024-01-01 10:15:00", 2L, "view"),
+      (5L, "2024-01-01 10:10:00", 3L, "view"), (6L, "2024-01-01 10:25:00", 3L, "view"),
+      // user 4's session spans midnight into Jan 2 (25-min steps < 30-min gap)
+      (7L, "2024-01-01 23:50:00", 4L, "view"), (8L, "2024-01-02 00:10:00", 4L, "view"),
+      (9L, "2024-01-02 06:00:00", 5L, "view"))
+    val out = EventOps.peakConcurrency(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val day1 = us("2024-01-01 00:00:00") / 86400000000L
+    assert(out(day1) == ((0L, 3L)), out.toString)        // 3-deep overlap
+    // carry-in 1 (user 4 still on at midnight); user 5 never overlaps
+    assert(out(day1 + 1) == ((1L, 1L)), out.toString)
+  }
+
   test("sessionFunnel: purchase converts only inside the view's session") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),

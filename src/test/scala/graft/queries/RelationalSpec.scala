@@ -119,6 +119,17 @@ class RelationalSpec extends SparkSpec {
     assert(ea == Map("1-URGENT" -> 1L))
   }
 
+  test("revenueDeciles: ten distinct prices land one per bin, no global window planned") {
+    val orders = (1 to 10).map(i => (i.toLong, i * 10.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val out = Relational.revenueDeciles(orders).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == (0 to 9).map(_ -> 1L).toMap, out.toString)
+    // the binning must not plan an ntile/global Window
+    val plan = Relational.revenueDeciles(orders).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"quantile binning must stay window-free:\n$plan")
+  }
+
   test("priceMadByPriority: outlier moves the mean, not the median/MAD") {
     val orders = Seq(1.0, 2.0, 3.0, 4.0, 100.0)
       .map(p => ("1-URGENT", p)).toDF("o_orderpriority", "o_totalprice")
