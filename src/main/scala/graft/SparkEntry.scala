@@ -246,6 +246,9 @@ object SparkEntry {
     "ev_type_entropy" -> ((s, d) => EventOps.userTypeEntropy(Tables.events(s, d))),
     "ev_peak_concurrency" -> ((s, d) => EventOps.peakConcurrency(Tables.events(s, d))),
     "q_revenue_deciles" -> ((s, d) => Relational.revenueDeciles(Tables.orders(s, d))),
+    "text_lang_confusion" -> ((s, d) =>
+      TextAnalysis.langConfusionMatrix(Tables.documents(s, d))),
+    "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -325,6 +328,40 @@ object SparkEntry {
       Multimodal.decodeFeatures(Tables.documents(s, d)).toDF().orderBy("doc_id")),
     "mm_sample_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
   )
+
+  /** Shared CTE chain for the relational language-ID oracles —
+    * mirrors [[graft.operators.TextAnalysis.languageIdRelational]]
+    * (modulo-8 train/holdout split, 300-gram profiles, weighted-rank
+    * scoring, argmax with the fast path's tiebreak). Ends with a
+    * `pred(doc_id, true_lang, pred_lang, score)` CTE over the
+    * holdout.
+    */
+  private val langIdRelChain: String =
+    """lowered AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      |tg AS (SELECT doc_id, lang,
+      |              unnest(list_transform(range(1, length(t) - 1),
+      |                     i -> substr(t, CAST(i AS INTEGER), 3))) AS gram
+      |       FROM lowered),
+      |train AS (SELECT lang, gram, count(*) AS cnt FROM tg
+      |          WHERE doc_id % 8 = 0 GROUP BY 1, 2),
+      |prof AS (SELECT lang AS plang, gram, 301 - rank AS wt FROM (
+      |           SELECT lang, gram,
+      |                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+      |           FROM train) r
+      |         WHERE rank <= 300),
+      |scores AS (SELECT tg.doc_id, plang, CAST(sum(wt) AS BIGINT) AS score
+      |           FROM tg JOIN prof USING (gram)
+      |           WHERE tg.doc_id % 8 = 1 GROUP BY 1, 2),
+      |best AS (SELECT doc_id, plang, score FROM (
+      |           SELECT doc_id, plang, score,
+      |                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+      |           FROM scores WHERE score > 0) b
+      |         WHERE rn = 1),
+      |pred AS (SELECT d.doc_id, d.lang AS true_lang,
+      |                coalesce(b.plang, 'und') AS pred_lang,
+      |                CAST(coalesce(b.score, 0) AS BIGINT) AS score
+      |         FROM documents d LEFT JOIN best b USING (doc_id)
+      |         WHERE d.doc_id % 8 = 1)""".stripMargin
 
   /** Shared CTE: 32-bit md5 SimHash per doc — mirrors
     * [[graft.operators.Dedup.simhashMd5]] (lowercased whitespace
@@ -1113,32 +1150,16 @@ object SparkEntry {
     // same trigram profile (train on doc_id%8=0, top-300 per lang by
     // cnt desc/gram asc, weight 301-rank), same argmax tiebreaks
     "text_lang_id_rel" ->
-      """WITH lowered AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
-        |tg AS (SELECT doc_id, lang,
-        |              unnest(list_transform(range(1, length(t) - 1),
-        |                     i -> substr(t, CAST(i AS INTEGER), 3))) AS gram
-        |       FROM lowered),
-        |train AS (SELECT lang, gram, count(*) AS cnt FROM tg
-        |          WHERE doc_id % 8 = 0 GROUP BY 1, 2),
-        |prof AS (SELECT lang AS plang, gram, 301 - rank AS wt FROM (
-        |           SELECT lang, gram,
-        |                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
-        |           FROM train) r
-        |         WHERE rank <= 300),
-        |scores AS (SELECT tg.doc_id, plang, CAST(sum(wt) AS BIGINT) AS score
-        |           FROM tg JOIN prof USING (gram)
-        |           WHERE tg.doc_id % 8 = 1 GROUP BY 1, 2),
-        |best AS (SELECT doc_id, plang, score FROM (
-        |           SELECT doc_id, plang, score,
-        |                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
-        |           FROM scores WHERE score > 0) b
-        |         WHERE rn = 1)
-        |SELECT d.doc_id, d.lang AS true_lang,
-        |       coalesce(b.plang, 'und') AS pred_lang,
-        |       CAST(coalesce(b.score, 0) AS BIGINT) AS score
-        |FROM documents d LEFT JOIN best b USING (doc_id)
-        |WHERE d.doc_id % 8 = 1
+      s"""WITH $langIdRelChain
+        |SELECT doc_id, true_lang, pred_lang, score FROM pred
         |ORDER BY doc_id""".stripMargin,
+    // the classifier chain's holdout predictions × the labeled lang
+    "text_lang_confusion" ->
+      s"""WITH $langIdRelChain
+        |SELECT true_lang, pred_lang, count(*) AS n,
+        |       CAST(max(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS correct
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_minhash_est_error" -> minhashEstErrorOracle,
     "dedup_pagerank" -> pagerankOracle(),
@@ -1208,6 +1229,22 @@ object SparkEntry {
         |SELECT user_id, n_gaps, round(mean_gap, 2) AS mean_gap_us,
         |       round(sd_gap / mean_gap, 6) AS burstiness_cv
         |FROM s WHERE n_gaps >= 2 AND mean_gap > 0 ORDER BY user_id""".stripMargin,
+    // per-doc symbol-density score ('g' flag: DuckDB replaces first
+    // match by default, Spark replaces all)
+    "text_code_detect" ->
+      """WITH s AS (
+        |  SELECT source,
+        |         round(CAST(length(text) -
+        |               length(regexp_replace(text, '[{}\[\]();=<>#|&*_]', '', 'g')) AS DOUBLE)
+        |               / length(text), 6) AS code_score
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN code_score >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_code_like,
+        |       round(CAST(sum(CASE WHEN code_score >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS code_share,
+        |       round(avg(code_score), 6) AS avg_code_score
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // RE2-safe pre-tokenizer: letter/digit/punct runs — disjoint
     // character classes, so Java and RE2 split identically
     "text_token_count" ->

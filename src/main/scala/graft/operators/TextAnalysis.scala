@@ -1050,6 +1050,47 @@ object TextAnalysis {
         round(col("beta_raw"), 6).as("beta"),
         round(exp(col("yb") - col("beta_raw") * col("xb")), 4).as("k"))
 
+  /** Language-ID confusion matrix: the relational n-gram classifier's
+    * predictions ([[languageIdRelational]], oracle-green) crossed
+    * with the labeled `lang` column — per (true, predicted) counts
+    * with a correctness flag, the evaluation artifact that turns the
+    * classifier from "runs" into "measured" (precision/recall per
+    * language read straight off the matrix). Adds one tiny
+    * (langs × langs)-key aggregate on the classifier's scored
+    * holdout.
+    */
+  def langConfusionMatrix(documents: DataFrame): DataFrame =
+    languageIdRelational(documents)
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("true_lang") === col("pred_lang"), 1L).otherwise(0L)).as("correct"))
+      .orderBy("true_lang", "pred_lang")
+
+  /** Code-vs-prose detection per source: density of code-symbol
+    * characters ({}[]();=<>#|&*_) — the cheap structural signal
+    * code-filtering curation passes run before anything model-based
+    * (prose sits near 0, source code 5–15%). Map-only per-doc regex
+    * count, one source-keyed aggregate; `minScore` sets the
+    * code-like flag threshold.
+    */
+  def codeDetect(documents: DataFrame, minScore: Double = 0.05): DataFrame = {
+    val symPat = "[{}\\[\\]();=<>#|&*_]"
+    val scored = documents
+      .filter(length(col("text")) > 0)
+      .select(col("source"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), symPat, ""))).cast("double") /
+          length(col("text")), 6).as("code_score"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("code_score") >= minScore, 1L).otherwise(0L)).as("n_code_like"),
+        round(avg("code_score"), 6).as("avg_code_score"))
+      .select(col("source"), col("n_docs"), col("n_code_like"),
+        round(col("n_code_like").cast("double") / col("n_docs"), 6).as("code_share"),
+        col("avg_code_score"))
+      .orderBy("source")
+  }
+
   /** BPE-style token accounting per source: tokens under a
     * pre-tokenizer regex (letter runs | digit runs | punctuation
     * runs — the GPT-2-family pre-tokenization shape, RE2-safe so

@@ -470,6 +470,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("s2", 1)) == ((1L, 1L, 1.0)))
   }
 
+  test("codeDetect: symbol-dense doc flags code-like, prose does not") {
+    val d = Seq(
+      (1L, "s1", "def f(x) { return (x + y[0]); } # comment"),
+      (2L, "s1", "plain prose with ordinary words and no symbols at all"),
+      (3L, "s2", "more plain text"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.codeDetect(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("s1")) == ((2L, 1L, 0.5)), out.toString)
+    assert(out(("s2")) == ((1L, 0L, 0.0)))
+  }
+
+  test("langConfusionMatrix aggregates exactly the relational classifier's holdout") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val rel = TextAnalysis.languageIdRelational(docs).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = rel.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val got = TextAnalysis.langConfusionMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.values.sum == rel.length.toLong)
+  }
+
   test("tokenCount: regex pre-tokenizer splits punctuation runs off words") {
     val d = Seq(
       (1L, "s1", "Hello, world! 123 foo_bar"),  // 8 tokens, 4 words
