@@ -249,6 +249,7 @@ object SparkEntry {
     "text_lang_confusion" -> ((s, d) =>
       TextAnalysis.langConfusionMatrix(Tables.documents(s, d))),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(Tables.documents(s, d))),
+    "dedup_split_leakage" -> ((s, d) => Dedup.splitLeakage(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1363,6 +1364,22 @@ object SparkEntry {
         |       round(quantile_cont(abs(o_totalprice - med_price), 0.5), 4) AS mad_price
         |FROM orders JOIN med USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_split_leakage" ->
+      s"""WITH ${minhashPairCtes("documents")},
+         |nd AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |         round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 6) AS ej
+         |  FROM pairs) q WHERE ej >= 0.5),
+         |sp AS (SELECT
+         |  CASE WHEN doc_a % 10 < 8 THEN 'train'
+         |       WHEN doc_a % 10 = 8 THEN 'val' ELSE 'test' END AS sa,
+         |  CASE WHEN doc_b % 10 < 8 THEN 'train'
+         |       WHEN doc_b % 10 = 8 THEN 'val' ELSE 'test' END AS sb
+         |  FROM nd)
+         |SELECT least(sa, sb) AS split_x, greatest(sa, sb) AS split_y,
+         |       count(*) AS n_pairs,
+         |       least(sa, sb) <> greatest(sa, sb) AS leaks
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_ttr" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
         |     tf AS (SELECT source, w FROM t WHERE len(w) > 0)

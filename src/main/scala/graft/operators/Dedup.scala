@@ -945,6 +945,31 @@ object Dedup {
         round(col("n_found").cast("double") / col("n_truth"), 6).as("recall"))
   }
 
+  /** Dataset-split leakage audit: near-dup pairs crossing the
+    * train/val/test assignment ([[TextAnalysis.datasetSplit]]'s
+    * deterministic rule) — the SELF-contamination check run after any
+    * split ([[decontaminate]] guards against an EXTERNAL eval set; a
+    * near-dup of a training doc sitting in your own test split
+    * inflates eval exactly the same way). Cells are unordered split
+    * pairs with a `leaks` flag on the off-diagonal; pair generation
+    * is the capped banded LSH join, the split tags are pure modulo
+    * arithmetic on the pair ids (no second scan of the corpus).
+    */
+  def splitLeakage(documents: DataFrame): DataFrame = {
+    def split(c: Column): Column =
+      when(pmod(c, lit(10)) < 8, "train")
+        .when(pmod(c, lit(10)) === 8, "val").otherwise("test")
+    minhashNearDupsMd5(documents)
+      .select(split(col("doc_a")).as("sa"), split(col("doc_b")).as("sb"))
+      .select(least(col("sa"), col("sb")).as("split_x"),
+        greatest(col("sa"), col("sb")).as("split_y"))
+      .groupBy("split_x", "split_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_x"), col("split_y"), col("n_pairs"),
+        (col("split_x") =!= col("split_y")).as("leaks"))
+      .orderBy("split_x", "split_y")
+  }
+
   /** Cross-source near-duplication matrix: which sources copy from
     * which — minhash-LSH near-dup pairs rolled up to unordered
     * (source, source) cells with the mean estimated Jaccard. The

@@ -113,6 +113,17 @@ class DedupSpec extends SparkSpec {
     assert(nCand >= nFound)
   }
 
+  test("splitLeakage: cross-split dup pair flags leaks; within-split does not") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    // ids 1,2 → train/train; 7 (train) & 9 (test) share text → leak
+    val d = docs(1L -> base, 2L -> base, 7L -> other, 9L -> other)
+    val out = Dedup.splitLeakage(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(("train", "train")) == ((1L, false)), out.toString)
+    assert(out(("test", "train")) == ((1L, true)), out.toString)
+  }
+
   test("crossSourceNearDups: pairs roll up to unordered source cells") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq(
