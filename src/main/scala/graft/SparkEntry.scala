@@ -250,6 +250,10 @@ object SparkEntry {
       TextAnalysis.langConfusionMatrix(Tables.documents(s, d))),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(Tables.documents(s, d))),
     "dedup_split_leakage" -> ((s, d) => Dedup.splitLeakage(Tables.documents(s, d))),
+    "ev_error_rate" -> ((s, d) => EventOps.errorRateHourly(Tables.events(s, d))),
+    "ev_funnel_by_segment" -> ((s, d) =>
+      EventOps.funnelBySegment(Tables.events(s, d), Tables.customer(s, d))),
+    "sim_split_drift" -> ((s, d) => Similarity.splitDrift(Tables.embeddings(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1259,6 +1263,46 @@ object SparkEntry {
         |       CAST(sum(n_words) AS BIGINT) AS n_words,
         |       round(CAST(sum(n_tok) AS DOUBLE) / sum(n_words), 6) AS tokens_per_word
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_error_rate" ->
+      """WITH h AS (
+        |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS hour_us,
+        |         count(*) AS n_events,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+        |  FROM events GROUP BY 1)
+        |SELECT hour_us, n_events, CAST(n_errors AS BIGINT) AS n_errors,
+        |       round(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate
+        |FROM h ORDER BY hour_us""".stripMargin,
+    // the backward as-of chain + broadcast segment dim + per-segment rollup
+    "ev_funnel_by_segment" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |     lastv AS (
+        |  SELECT p.event_id, p.user_id, p.ts_us, max(v.ts_us) AS last_view_us
+        |  FROM e p LEFT JOIN e v
+        |    ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts_us <= p.ts_us
+        |  WHERE p.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment, count(*) AS n_purchases,
+        |       CAST(coalesce(sum(CASE WHEN last_view_us IS NOT NULL
+        |                               AND ts_us - last_view_us <= 3600000000
+        |                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_converted,
+        |       round(CAST(sum(CASE WHEN last_view_us IS NOT NULL
+        |                            AND ts_us - last_view_us <= 3600000000
+        |                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |         AS conversion
+        |FROM lastv JOIN customer ON c_custkey = user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_split_drift" ->
+      """WITH x AS (SELECT vec_id % 10 < 8 AS is_train,
+        |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     d AS (SELECT is_train, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS x
+        |           FROM x CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx)
+        |SELECT dim,
+        |       round(avg(CASE WHEN is_train THEN x END), 6) AS train_mean,
+        |       round(avg(CASE WHEN NOT is_train THEN x END), 6) AS holdout_mean,
+        |       round(abs(avg(CASE WHEN is_train THEN x END) -
+        |                 avg(CASE WHEN NOT is_train THEN x END)), 6) AS mean_gap
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

@@ -929,6 +929,49 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Hourly error-rate monitoring: per epoch-aligned hour, total
+    * events, error events, and the error share — the reliability
+    * dashboard series SLO alerting reads (pair with
+    * [[hourlyAnomaliesMad]] to flag the spikes). One conditional
+    * aggregate over the hourly-bucket shuffle; no join.
+    */
+  def errorRateHourly(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    withTsUs(events)
+      .select((tsBucket(hourUs) * hourUs).as("hour_us"), col("event_type"))
+      .groupBy("hour_us")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .select(col("hour_us"), col("n_events"), col("n_errors"),
+        round(col("n_errors").cast("double") / col("n_events"), 6).as("error_rate"))
+      .orderBy("hour_us")
+  }
+
+  /** Funnel conversion split by customer segment: the as-of
+    * view→purchase conversion ([[viewToPurchaseFunnel]]) broken down
+    * by the purchaser's market segment — the dimensional variant that
+    * tells you WHERE conversion differs, not just that it does. The
+    * as-of leg is the proven union + user-window merge; the segment
+    * attach is one broadcast hash join on the (small) customer dim;
+    * the rollup is |segments| rows.
+    */
+  def funnelBySegment(events: DataFrame, customer: DataFrame,
+                      windowMinutes: Int = 60): DataFrame = {
+    val winUs = windowMinutes.toLong * 60 * 1000000
+    lastViewBeforePurchase(events)
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_purchases"),
+        coalesce(sum(when(col("last_view_us").isNotNull &&
+          col("ts_us") - col("last_view_us") <= winUs, 1L).otherwise(0L)), lit(0L))
+          .as("n_converted"))
+      .select(col("c_mktsegment"), col("n_purchases"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_purchases"), 6)
+          .as("conversion"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Hour-of-week traffic profile: event share by (0–167) hour index,
     * where 0 is the epoch-aligned hour (1970-01-01 00:00 UTC was a
     * Thursday; the index is pure floor-div/modulo arithmetic, not

@@ -178,6 +178,27 @@ object Similarity {
     topKPerQuery(scoredPairs(embeddings, nQueries, VectorFunctions.dotProduct, "score",
       excludeSameLabel = false), k, "score")
 
+  /** Train/holdout embedding drift per dimension: split the corpus by
+    * the deterministic modulo rule (vec_id % 10 < 8 → train, else
+    * holdout) and compare per-dimension means — a non-zero gap on a
+    * random split is sampling noise, but on a TIME- or SOURCE-ordered
+    * id space it is distribution drift, the silent killer of ANN
+    * recall and centroid models trained on yesterday's corpus. Same
+    * posexplode + 64-key aggregate as [[dimensionStats]], pivoted by
+    * the split flag in one pass (conditional aggregates, no join).
+    */
+  def splitDrift(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(pmod(col("vec_id"), lit(10)).<(8).as("is_train"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(
+        round(avg(when(col("is_train"), col("x"))), 6).as("train_mean"),
+        round(avg(when(!col("is_train"), col("x"))), 6).as("holdout_mean"),
+        round(abs(avg(when(col("is_train"), col("x"))) -
+          avg(when(!col("is_train"), col("x")))), 6).as("mean_gap"))
+      .orderBy("dim")
+
   /** Per-DIMENSION embedding statistics (the axis [[vectorStats]]
     * doesn't cover: that op profiles each vector, this one profiles
     * each coordinate across the corpus) — dead dimensions (max_abs ≈

@@ -400,6 +400,32 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 0L, 1.0), (2L, 1L, 1L, 0.5)), out.toSeq.toString)
   }
 
+  test("errorRateHourly: conditional error share per hour") {
+    val events = ev(
+      (1L, "2024-01-01 10:05:00", 1L, "view"),
+      (2L, "2024-01-01 10:15:00", 2L, "error"),
+      (3L, "2024-01-01 10:25:00", 3L, "error"),
+      (4L, "2024-01-01 10:35:00", 4L, "click"),
+      (5L, "2024-01-01 11:05:00", 5L, "view"))
+    val out = EventOps.errorRateHourly(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(us("2024-01-01 10:00:00")) == ((4L, 2L, 0.5)), out.toString)
+    assert(out(us("2024-01-01 11:00:00")) == ((1L, 0L, 0.0)))
+  }
+
+  test("funnelBySegment: conversion only for the converting segment") {
+    val customer = Seq((1L, "BUILDING"), (2L, "AUTO")).toDF("c_custkey", "c_mktsegment")
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:30:00", 1L, "purchase"),  // within 60 min → converts
+      (3L, "2024-01-01 08:00:00", 2L, "view"),
+      (4L, "2024-01-01 12:00:00", 2L, "purchase"))  // stale view → no conversion
+    val out = EventOps.funnelBySegment(events, customer).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("BUILDING") == ((1L, 1L, 1.0)), out.toString)
+    assert(out("AUTO") == ((1L, 0L, 0.0)))
+  }
+
   test("nextViewAfterPurchase: earliest view at or after; none → null") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "purchase"),

@@ -296,6 +296,18 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.last._2 >= 1L, rows.mkString(","))
   }
 
+  test("splitDrift: planted mean shift between train and holdout ids reads exactly") {
+    import spark.implicits._
+    def const(v: Float) = Array.fill(64)(v)
+    // ids 0..7 → train (value 1.0), ids 8..9 → holdout (value 3.0)
+    val e = (0L to 9L).map(i => (i, const(if (i % 10 < 8) 1.0f else 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.splitDrift(e).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 64)
+    assert(out.forall { case (_, t, h, g) => t == 1.0 && h == 3.0 && g == 2.0 }, out.head.toString)
+  }
+
   test("labelConfusion: identical-label pair reads 1.0, orthogonal pair 0.0") {
     import spark.implicits._
     def axis(j: Int, s: Float) = Array.tabulate(64)(k => if (k == j) s else 0.0f)
