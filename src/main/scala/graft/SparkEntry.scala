@@ -254,6 +254,10 @@ object SparkEntry {
     "ev_funnel_by_segment" -> ((s, d) =>
       EventOps.funnelBySegment(Tables.events(s, d), Tables.customer(s, d))),
     "sim_split_drift" -> ((s, d) => Similarity.splitDrift(Tables.embeddings(s, d))),
+    "ev_ewma_daily" -> ((s, d) => EventOps.ewmaDaily(Tables.events(s, d))),
+    "text_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
+    "dedup_band_plan" -> ((s, _) => Dedup.lshBandPlan(s)),
+    "sim_trunc_recall" -> ((s, d) => Similarity.truncatedDimRecall(Tables.embeddings(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1303,6 +1307,86 @@ object SparkEntry {
         |       round(abs(avg(CASE WHEN is_train THEN x END) -
         |                 avg(CASE WHEN NOT is_train THEN x END)), 6) AS mean_gap
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // truncated-horizon EWMA; weights are driver-computed literals
+    // (exact dyadic rationals for decay=0.75) shared with the Spark
+    // side via EventOps.ewmaWeights, so no pow() runs in either engine
+    "ev_ewma_daily" -> {
+      val weights = graft.operators.EventOps.ewmaWeights(14, 0.75)
+        .map { case (o, w) => s"($o, CAST('$w' AS DOUBLE))" }.mkString(", ")
+      s"""WITH daily AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |o AS (SELECT * FROM (VALUES $weights) v(o, w)),
+         |m AS (SELECT min(day) AS min_day FROM daily),
+         |g AS (
+         |  SELECT d.day, o.o, o.w, coalesce(l.n, 0) AS n0
+         |  FROM daily d CROSS JOIN o CROSS JOIN m
+         |  LEFT JOIN daily l ON l.day = d.day - o.o
+         |  WHERE d.day - o.o >= m.min_day)
+         |SELECT day, CAST(sum(CASE WHEN o = 0 THEN n0 END) AS BIGINT) AS n,
+         |       round(sum(w * n0) / sum(w), 6) AS ewma
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // same rule expressions as TextAnalysis.gopherRules; keep is
+    // decided on the unrounded ratios in both engines
+    "text_gopher_rules" -> {
+      val stop = graft.operators.TextAnalysis.gopherStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id,
+         |                  list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |             len(ws) AS n_words,
+         |             CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_len,
+         |             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         |             len(list_filter(ws, x -> list_contains([$stop], x))) AS n_stop
+         |      FROM w)
+         |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+         |       CASE WHEN n_words > 0
+         |            THEN round(CAST(sum_len AS DOUBLE) / n_words, 4) END AS mean_word_len,
+         |       CASE WHEN n_words > 0
+         |            THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6) END AS frac_alpha,
+         |       CAST(n_stop AS INTEGER) AS n_stop,
+         |       (n_words >= 5 AND n_words <= 100000 AND
+         |        CAST(sum_len AS DOUBLE) / n_words >= 3.0 AND
+         |        CAST(sum_len AS DOUBLE) / n_words <= 10.0 AND
+         |        CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AND
+         |        n_stop >= 2) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    // divisors×levels s-curve grid; both engines compute the same
+    // power() arithmetic over the same literal grid
+    "dedup_band_plan" ->
+      """WITH b AS (SELECT CAST(range AS INTEGER) AS b FROM range(1, 65)
+        |           WHERE 64 % range = 0),
+        |j AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9, 0.95]) AS DOUBLE) AS jaccard),
+        |g AS (SELECT b, CAST(64 // b AS INTEGER) AS r, jaccard FROM b CROSS JOIN j)
+        |SELECT b, r,
+        |       round(power(1.0 / b, 1.0 / r), 6) AS threshold,
+        |       jaccard,
+        |       round(1.0 - power(1.0 - power(jaccard, r), b), 6) AS p_candidate
+        |FROM g ORDER BY b, jaccard""".stripMargin,
+    // full-dim truth top-5 vs first-32-dims top-5, overlap per query
+    "sim_trunc_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |sf AS (SELECT qid, cid, round(list_cosine_similarity(qv, cv), 6) AS cs
+        |       FROM q CROSS JOIN c WHERE qid <> cid),
+        |tf AS (SELECT qid, cid FROM (
+        |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |                ORDER BY cs DESC, cid) AS rnk FROM sf) WHERE rnk <= 5),
+        |st AS (SELECT qid, cid, round(list_cosine_similarity(qv[1:32], cv[1:32]), 6) AS cs
+        |       FROM q CROSS JOIN c WHERE qid <> cid),
+        |tt AS (SELECT qid, cid FROM (
+        |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |                ORDER BY cs DESC, cid) AS rnk FROM st) WHERE rnk <= 5),
+        |ov AS (SELECT qid, count(*) AS n_overlap FROM tf JOIN tt USING (qid, cid)
+        |       GROUP BY 1)
+        |SELECT qid, CAST(coalesce(n_overlap, 0) AS INTEGER) AS n_overlap,
+        |       round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / 5, 6) AS recall
+        |FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN ov USING (qid)
+        |ORDER BY qid""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

@@ -992,4 +992,38 @@ object Dedup {
         round(avg("est_jaccard"), 6).as("avg_est_jaccard"))
       .orderBy("source_x", "source_y")
   }
+
+  /** LSH band-plan sweep: for every (bands b, rows-per-band r) split
+    * of an `nHashes`-hash MinHash signature, the s-curve candidate
+    * probability P(pair surfaces) = 1 − (1 − j^r)^b at each planted
+    * Jaccard level, plus the ≈50% crossover threshold (1/b)^(1/r)
+    * (Leskovec–Rajaraman–Ullman, MMDS ch. 3). This is the parameter-
+    * planning table consulted BEFORE running [[minhashNearDups]] at
+    * scale — pick the (b, r) whose threshold brackets your target
+    * similarity and whose tail probability at nuisance similarity is
+    * acceptable, then measure the realized halves with
+    * [[graft.operators.Dedup]]'s recall (`dedup_lsh_recall`) and
+    * precision (`dedup_minhash_est_error`) audits.
+    *
+    * Pure generated arithmetic over a divisors×levels literal grid
+    * (13×5 rows at the default 64 hashes) — no input table; the cost
+    * is nil at any corpus size, which is the point: plan on paper,
+    * not by re-running the join.
+    */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession,
+                  nHashes: Int = 64,
+                  jaccards: Seq[Double] = Seq(0.5, 0.7, 0.8, 0.9, 0.95)): DataFrame = {
+    import spark.implicits._
+    val grid = for {
+      b <- 1 to nHashes if nHashes % b == 0
+      j <- jaccards
+    } yield (b, nHashes / b, j)
+    grid.toDF("b", "r", "jaccard")
+      .select(col("b"), col("r"),
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6).as("threshold"),
+        col("jaccard"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), col("r")), col("b")), 6)
+          .as("p_candidate"))
+      .orderBy("b", "jaccard")
+  }
 }

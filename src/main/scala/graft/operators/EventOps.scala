@@ -1015,4 +1015,58 @@ object EventOps {
         round(col("n_events").cast("double") / col("n_total"), 6).as("traffic_share"))
       .orderBy(desc("n_events"), col("user_id"))
   }
+
+  /** Exact truncated-horizon EWMA of the daily event count — the
+    * smoothed traffic series behind load forecasting and "is today
+    * anomalous vs trend" checks (pairs with [[hourlyAnomaliesMad]]).
+    * ewma(d) = Σₒ wₒ·n(d−o) / Σₒ wₒ over offsets o < `horizon` with
+    * wₒ = decay^o, where offsets reaching before the first observed
+    * day are excluded (so early days average over what exists) and
+    * in-range days with no events count as genuine zeros.
+    *
+    * Cross-engine exactness: decay defaults to 0.75 = 3/4, so every
+    * weight 3^o/4^o is a dyadic rational with ≤2·horizon significand
+    * bits; weights are built by repeated multiplication (each step
+    * exact in IEEE double) on the driver and shipped as literals to
+    * BOTH engines — no `pow` in either plan, so numerator and
+    * denominator sums are bit-exact regardless of summation order.
+    * [[ewmaWeights]] is shared with the oracle-SQL generator.
+    *
+    * Scale: the only fact-sized stage is the map-side-combined daily
+    * count; everything after runs on |days| rows. The offset grid and
+    * the min-day scalar ride broadcasts, and the lag lookup
+    * broadcasts the (tiny) daily table — no fact shuffle beyond the
+    * first aggregate.
+    */
+  def ewmaDaily(events: DataFrame, horizon: Int = 14,
+                decay: Double = 0.75): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = withTsUs(events)
+      .select(tsBucket(86400000000L).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val offsets = ewmaWeights(horizon, decay).toDF("o", "w")
+    val minDay = daily.agg(min("day").as("min_day"))
+    val lag = daily.select(col("day").as("lag_day"), col("n").as("n_lag"))
+    daily.select(col("day"))
+      .crossJoin(broadcast(offsets))
+      .crossJoin(broadcast(minDay))
+      .filter(col("day") - col("o") >= col("min_day"))
+      .withColumn("lag_day", col("day") - col("o"))
+      .join(broadcast(lag), Seq("lag_day"), "left_outer")
+      .withColumn("n0", coalesce(col("n_lag"), lit(0L)))
+      .groupBy("day")
+      .agg(sum(when(col("o") === 0, col("n0"))).as("n"),
+        round(sum(col("w") * col("n0")) / sum(col("w")), 6).as("ewma"))
+      .select(col("day"), col("n"), col("ewma"))
+      .orderBy("day")
+  }
+
+  /** (offset, decay^offset) pairs by repeated multiplication —
+    * exact per step for dyadic decays; the single weight definition
+    * shared by [[ewmaDaily]] and its literal-unrolled oracle SQL.
+    */
+  private[graft] def ewmaWeights(horizon: Int, decay: Double): Seq[(Long, Double)] =
+    Iterator.iterate(1.0)(_ * decay).take(horizon).zipWithIndex
+      .map { case (w, o) => (o.toLong, w) }.toSeq
 }

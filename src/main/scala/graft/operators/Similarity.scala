@@ -662,4 +662,36 @@ object Similarity {
       .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
       .orderBy("threshold")
   }
+
+  /** Truncated-dimension retrieval recall: overlap@k between the
+    * full-dimension cosine top-k (ground truth) and the top-k
+    * computed on only the first `keepDims` coordinates — the
+    * Matryoshka-style "can we search on a prefix of the vector"
+    * audit run before committing to a cheaper index dimension
+    * (complement of [[randomProjection]], which changes the basis;
+    * this keeps it and just truncates).
+    *
+    * Both sides are the proven broadcast-query scoring frame with the
+    * bounded-heap top-k finisher; the truncated leg simply slices the
+    * stored vector before scoring, so corpus bytes are read once per
+    * leg and never shuffled. The final overlap count joins two
+    * (queries×k)-row tables — driver-trivial at any corpus size.
+    */
+  def truncatedDimRecall(embeddings: DataFrame, k: Int = 5,
+                         nQueries: Int = 10, keepDims: Int = 32): DataFrame = {
+    val truth = bruteForceTopK(embeddings, k, nQueries)
+    val sliced = embeddings.withColumn(
+      "embedding", slice(col("embedding"), 1, keepDims))
+    val trunc = bruteForceTopK(sliced, k, nQueries)
+    val overlap = truth.as("f")
+      .join(trunc.as("t"), Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    truth.select("qid").distinct()
+      .join(overlap, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("n_overlap"), lit(0L)).cast("int").as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+      .orderBy("qid")
+  }
 }

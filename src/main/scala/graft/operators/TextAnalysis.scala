@@ -1233,4 +1233,51 @@ object TextAnalysis {
         round(col("n_docs").cast("double") / col("n_src"), 6).as("share"))
       .orderBy("source", "bucket")
   }
+
+  /** Gopher-style multi-rule quality gate (Rae et al. 2021 §A1.1
+    * adapted to this corpus's whitespace-token text): per document,
+    * word count bounds, mean-word-length band, minimum fraction of
+    * words containing an alphabetic character, and a minimum number
+    * of stopword hits — the classic "is this natural language at
+    * all" screen that catches lorem-ipsum, symbol soup, and
+    * navigation-bar scrapes before any model-based filter runs.
+    * `keep` is the conjunction, decided on the UNROUNDED ratios so
+    * both engines compare identical doubles; the reported ratios are
+    * rounded for display.
+    *
+    * Scale: entirely map-side — the word array is materialized once
+    * per doc in its own projection (interpreted higher-order lambdas
+    * re-evaluate inlined children per element) and every rule is a
+    * size/filter/aggregate over that array. No shuffle, no UDF; at
+    * 100 TB this runs at scan speed and the `keep` column doubles as
+    * a partition-pruning predicate for the write.
+    */
+  def gopherRules(documents: DataFrame,
+                  minWords: Int = 5, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+      filter(split(col("text"), " ", -1), w => length(w) > 0).as("ws"))
+    val scored = docs.select(
+      col("doc_id"),
+      size(col("ws")).as("n_words"),
+      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+      size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).as("n_alpha"),
+      size(filter(col("ws"), w => w.isInCollection(gopherStopwords))).as("n_stop"))
+    val meanLen = col("sum_len").cast("double") / col("n_words")
+    val alphaFrac = col("n_alpha").cast("double") / col("n_words")
+    scored.select(
+      col("doc_id"), col("n_words"),
+      when(col("n_words") > 0, round(meanLen, 4)).as("mean_word_len"),
+      when(col("n_words") > 0, round(alphaFrac, 6)).as("frac_alpha"),
+      col("n_stop"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        alphaFrac >= minAlphaFrac && col("n_stop") >= minStopHits).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
+  private[graft] val gopherStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")
 }

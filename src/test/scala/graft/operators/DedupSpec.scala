@@ -404,4 +404,23 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.toSeq == Seq((1L, 2L, "one two three four")), out.mkString(","))
   }
+
+  test("lshBandPlan: divisor grid, exact crossover for b=16/r=4, s-curve monotone in jaccard") {
+    val out = Dedup.lshBandPlan(spark).collect()
+      .map(r => ((r.getInt(0), r.getDouble(3)), (r.getInt(1), r.getDouble(2), r.getDouble(4))))
+      .toMap
+    // 7 divisors of 64 × 5 jaccard levels
+    assert(out.size == 35)
+    // (1/16)^(1/4) = 0.5 exactly
+    assert(out((16, 0.5))._2 == 0.5)
+    // b=64, r=1: p = 1 − (1−j)^64 ≈ 1 at every level
+    assert(out((64, 0.5))._3 == 1.0)
+    // monotone: more similar pairs always more likely to surface
+    for (b <- Seq(1, 2, 4, 8, 16, 32, 64)) {
+      val ps = Seq(0.5, 0.7, 0.8, 0.9, 0.95).map(j => out((b, j))._3)
+      assert(ps == ps.sorted, s"b=$b not monotone: $ps")
+    }
+    // steeper banding (smaller r) raises the low-similarity tail
+    assert(out((64, 0.5))._3 > out((1, 0.5))._3)
+  }
 }

@@ -522,4 +522,26 @@ class EventOpsSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
+
+  test("ewmaDaily: truncated-horizon weights, in-range gap days count as zero, pre-range offsets excluded") {
+    // days 9, 10, 12 (epoch days); day 11 exists in-range but has no events
+    val events = ev(
+      (1L, "1970-01-10 01:00:00", 1L, "view"),
+      (2L, "1970-01-10 02:00:00", 1L, "view"),
+      (3L, "1970-01-11 01:00:00", 1L, "view"),
+      (4L, "1970-01-13 01:00:00", 1L, "view"),
+      (5L, "1970-01-13 02:00:00", 1L, "view"),
+      (6L, "1970-01-13 03:00:00", 1L, "view"),
+      (7L, "1970-01-13 04:00:00", 1L, "view"))
+    val out = EventOps.ewmaDaily(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // day 9: only o=0 valid (earlier offsets fall before min_day) → ewma = n = 2
+    assert(out(9L) == ((2L, 2.0)))
+    // day 10: (1 + 0.75·2) / (1 + 0.75) = 2.5 / 1.75
+    assert(out(10L) == ((1L, 1.428571)))
+    // day 12: (4 + 0.75·0 + 0.5625·1 + 0.421875·2) / (1+0.75+0.5625+0.421875)
+    //       = 5.40625 / 2.734375 — the day-11 gap contributes a true zero
+    assert(out(12L) == ((4L, 1.977143)))
+    assert(out.size == 3) // gap day 11 emits no row (no observed events)
+  }
 }

@@ -365,4 +365,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (0L, 1, 2L, 1.0), (0L, 2, 3L, 1.0), (0L, 3, 1L, 5.0)), out.toSeq.toString)
   }
+
+  test("truncatedDimRecall: a prefix-identical imposter displaces the true second neighbor") {
+    def vec(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      pairs.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    val e = Seq(
+      (0L, vec(0 -> 1.0f, 32 -> 1.0f)),              // query
+      (1L, vec(0 -> 1.0f, 32 -> 1.0f)),              // identical: full 1.0, trunc 1.0
+      (2L, vec(0 -> 1.0f, 32 -> -1.0f)),             // imposter: full 0.0, trunc 1.0
+      (3L, vec(1 -> 0.001f, 32 -> 1.0f)),            // true #2: full ≈0.707, trunc 0.0
+      (4L, vec(1 -> 1.0f, 33 -> 1.0f))               // orthogonal everywhere
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.truncatedDimRecall(e, k = 2, nQueries = 1, keepDims = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // truth top-2 = {1, 3}; truncated top-2 = {1, 2} → overlap 1 of 2
+    assert(out.toSeq == Seq((0L, 1, 0.5)), out.toSeq.toString)
+    // keeping every dimension reproduces the truth exactly
+    val full = Similarity.truncatedDimRecall(e, k = 2, nQueries = 1, keepDims = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(full.toSeq == Seq((0L, 2, 1.0)), full.toSeq.toString)
+  }
 }

@@ -569,4 +569,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == ((2L, 3L, 2L, 0.5)))       // 2,3 → bucket 1 [2,3]
     assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
   }
+
+  test("gopherRules: each rule fails on its planted doc; conjunction keeps only clean text") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"), // clean
+      (2L, "12345 67890 11111 22222 33333"),   // no alphabetic words
+      (3L, "supercalifragilistic extraordinarily incomprehensibilities the and"), // mean len 12.4
+      (4L, "cat dog fox"),                     // < 5 words, no stopwords
+      (5L, "")                                  // empty → 0 words, null ratios
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d).collect().map { r =>
+      r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getInt(4), r.getBoolean(5)))
+    }.toMap
+    // sum_len 46 / 12 words → 3.8333; stop hits: the,the,and
+    assert(out(1L) == ((12, Some(3.8333), Some(1.0), 3, true)))
+    assert(out(2L) == ((5, Some(5.0), Some(0.0), 0, false)))
+    assert(out(3L) == ((5, Some(12.4), Some(1.0), 2, false)))
+    assert(out(4L) == ((3, Some(3.0), Some(1.0), 0, false)))
+    assert(out(5L) == ((0, None, None, 0, false)))
+  }
 }
