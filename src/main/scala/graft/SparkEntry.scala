@@ -258,6 +258,9 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
     "dedup_band_plan" -> ((s, _) => Dedup.lshBandPlan(s)),
     "sim_trunc_recall" -> ((s, d) => Similarity.truncatedDimRecall(Tables.embeddings(s, d))),
+    "sim_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(Tables.embeddings(s, d))),
+    "sim_label_margin" -> ((s, d) => Similarity.labelMargin(Tables.embeddings(s, d))),
+    "text_lang_source_mix" -> ((s, d) => TextAnalysis.langSourceMix(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1387,6 +1390,86 @@ object SparkEntry {
         |       round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / 5, 6) AS recall
         |FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN ov USING (qid)
         |ORDER BY qid""".stripMargin,
+    // seed-centroid IVF probe sweep: candidates carry the probe rank
+    // of their cell; levels grid replays the ranking per nProbe
+    "sim_probe_sweep" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS centroid
+        |          FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, cell_id, v FROM (
+        |    SELECT e.vec_id, c.cell_id, e.v,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell_id) AS rn
+        |    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT qid, qv, cell_id, rn AS probe_rn FROM (
+        |    SELECT q.qid, q.qv, c.cell_id,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.cell_id) AS rn
+        |    FROM q CROSS JOIN cents c) t WHERE rn <= 8),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id AS cid, p.probe_rn,
+        |         round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+        |  FROM pr p JOIN assigned a USING (cell_id)
+        |  WHERE p.qid <> a.vec_id),
+        |lv AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS n_probe),
+        |cand AS (SELECT lv.n_probe, s.qid, s.cid, s.cos_sim
+        |         FROM scored s JOIN lv ON s.probe_rn <= lv.n_probe),
+        |ivf AS (SELECT n_probe, qid, cid FROM (
+        |          SELECT n_probe, qid, cid,
+        |                 row_number() OVER (PARTITION BY n_probe, qid
+        |                   ORDER BY cos_sim DESC, cid) AS rnk
+        |          FROM cand) t WHERE rnk <= 5),
+        |sf AS (SELECT q.qid, e.vec_id AS cid,
+        |              round(list_cosine_similarity(q.qv, e.v), 6) AS cs
+        |       FROM q CROSS JOIN e WHERE q.qid <> e.vec_id),
+        |truth AS (SELECT qid, cid FROM (
+        |            SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |                   ORDER BY cs DESC, cid) AS rnk FROM sf) t WHERE rnk <= 5),
+        |hits AS (SELECT n_probe, qid, count(*) AS n_hit
+        |         FROM ivf JOIN truth USING (qid, cid) GROUP BY 1, 2),
+        |nc AS (SELECT n_probe, qid, count(*) AS n_candidates FROM cand GROUP BY 1, 2)
+        |SELECT lv.n_probe, q.qid,
+        |       CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
+        |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5, 6) AS recall
+        |FROM lv CROSS JOIN q
+        |LEFT JOIN nc ON nc.n_probe = lv.n_probe AND nc.qid = q.qid
+        |LEFT JOIN hits h ON h.n_probe = lv.n_probe AND h.qid = q.qid
+        |ORDER BY lv.n_probe, q.qid""".stripMargin,
+    // own-centroid vs best-other-centroid margin on the rounded
+    // label-centroid table (same cent CTE as sim_outliers)
+    "sim_label_margin" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(mean_v ORDER BY pos) AS centroid FROM (
+        |    SELECT label, pos, round(avg(v), 6) AS mean_v FROM (
+        |      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings) u
+        |    GROUP BY 1, 2) t
+        |  GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label, c.label AS cl,
+        |             list_cosine_similarity(e.v, c.centroid) AS sim
+        |      FROM e CROSS JOIN cent c)
+        |SELECT vec_id, label,
+        |       round(max(CASE WHEN cl = label THEN sim END), 6) AS own_sim,
+        |       round(max(CASE WHEN cl <> label THEN sim END), 6) AS best_other_sim,
+        |       round(max(CASE WHEN cl = label THEN sim END) -
+        |             max(CASE WHEN cl <> label THEN sim END), 6) AS margin
+        |FROM s GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    "text_lang_source_mix" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1, 2),
+        |totals AS (SELECT source, sum(n_docs) AS n_src FROM cells GROUP BY 1)
+        |SELECT c.source, c.lang, c.n_docs, c.n_chars,
+        |       round(CAST(c.n_docs AS DOUBLE) / t.n_src, 6) AS share
+        |FROM cells c JOIN totals t USING (source)
+        |ORDER BY c.source, c.lang""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

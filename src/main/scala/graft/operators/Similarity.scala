@@ -663,6 +663,92 @@ object Similarity {
       .orderBy("threshold")
   }
 
+  /** IVF probe-count sweep: recall@k and candidate-set size per
+    * query at nProbe ∈ `levels` — the cost/recall trade-off curve an
+    * index owner reads before fixing nProbe (the [[lshBandPlan]]
+    * analogue for the ANN side, but measured on the live index, not
+    * closed-form). Seed centroids (iters = 0) keep it oracle-exact.
+    *
+    * One pass builds everything: scored candidates carry the probe
+    * rank of their cell, so "candidates at level p" is a broadcast
+    * BNLJ against the tiny levels grid (`probe_rn` ≤ `n_probe`) —
+    * the corpus is scored ONCE, not once per level. Ranking windows
+    * partition by (level, query): bounded keys × bounded candidates.
+    */
+  def ivfProbeSweep(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+                    nCells: Int = 16,
+                    levels: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = seedCentroids(embeddings, nCells)
+    val assigned = assignToCells(embeddings, cents)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell_id"))
+    val probeRanked = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cell_id"),
+        VectorFunctions.cosineSim(col("qv"), col("centroid")).as("csim"))
+      .withColumn("probe_rn", row_number().over(wProbe))
+      .filter(col("probe_rn") <= levels.max)
+      .select("qid", "qv", "cell_id", "probe_rn")
+    val scored = probeRanked.join(assigned, "cell_id")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), col("probe_rn"),
+        round(VectorFunctions.cosineSim(col("qv"), col("v")), 6).as("cos_sim"))
+    val lv = levels.toDF("n_probe")
+    val cand = scored.join(broadcast(lv), col("probe_rn") <= col("n_probe"))
+    val wTop = Window.partitionBy("n_probe", "qid")
+      .orderBy(col("cos_sim").desc, col("cid"))
+    val ivfTop = cand.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k).select("n_probe", "qid", "cid")
+    val truth = bruteForceTopK(embeddings, k, nQueries).select("qid", "cid")
+    val hits = ivfTop.join(truth, Seq("qid", "cid"))
+      .groupBy("n_probe", "qid").agg(count(lit(1)).as("n_hit"))
+    val nCand = cand.groupBy("n_probe", "qid").agg(count(lit(1)).as("n_candidates"))
+    lv.crossJoin(queries.select("qid"))
+      .join(nCand, Seq("n_probe", "qid"), "left_outer")
+      .join(hits, Seq("n_probe", "qid"), "left_outer")
+      .select(col("n_probe"), col("qid"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy("n_probe", "qid")
+  }
+
+  /** Per-vector label margin: similarity to the OWN label's centroid
+    * minus the best similarity to any OTHER label's centroid — the
+    * separability audit behind hard-negative mining and
+    * label-stratified curation (negative margin ⇒ the vector sits in
+    * another class's territory: mislabeled, or the classes overlap;
+    * [[labelConfusion]] says which classes, this says which rows).
+    * Centroids are the rounded [[labelCentroids]] table collapsed to
+    * one array per label and BROADCAST; scoring is a map-only pass
+    * over the corpus with a labels-count fan-out collapsed by one
+    * keyed aggregate — no corpus shuffle.
+    */
+  def labelMargin(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val centroids = labelCentroids(embeddings)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("cs"))
+      .select(col("label").as("cl"), expr("transform(cs, c -> c.mean_v)").as("centroid"))
+    embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("cl"),
+        VectorFunctions.cosineSim(col("v"), col("centroid")).as("sim"))
+      .groupBy("vec_id", "label")
+      .agg(max(when(col("cl") === col("label"), col("sim"))).as("own_raw"),
+        max(when(col("cl") =!= col("label"), col("sim"))).as("other_raw"))
+      .select(col("vec_id"), col("label"),
+        round(col("own_raw"), 6).as("own_sim"),
+        round(col("other_raw"), 6).as("best_other_sim"),
+        round(col("own_raw") - col("other_raw"), 6).as("margin"))
+      .orderBy("vec_id")
+  }
+
   /** Truncated-dimension retrieval recall: overlap@k between the
     * full-dimension cosine top-k (ground truth) and the top-k
     * computed on only the first `keepDims` coordinates — the

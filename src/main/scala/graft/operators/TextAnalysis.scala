@@ -1277,6 +1277,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language × source composition: per (source, lang) cell, doc and
+    * char counts plus the share of the source's documents — the
+    * "which crawls are language-pure" table a multilingual curation
+    * run reads before setting per-language mix weights
+    * ([[mixWeights]]) or routing sources to language-specific
+    * filters. One map-side-combined aggregate over the labeled lang
+    * column (for unlabeled corpora, feed [[languageId]]'s predictions
+    * in as `lang`); per-source totals ride a broadcast join of a
+    * sources-sized frame.
+    */
+  def langSourceMix(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val totals = cells.groupBy("source").agg(sum("n_docs").as("n_src"))
+    cells.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        round(col("n_docs").cast("double") / col("n_src"), 6).as("share"))
+      .orderBy("source", "lang")
+  }
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

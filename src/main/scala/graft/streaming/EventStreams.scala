@@ -31,6 +31,25 @@ object EventStreams {
         unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming hourly error rate — the live SLO series twin of
+    * [[graft.operators.EventOps.errorRateHourly]]: one watermarked
+    * tumbling window per hour carrying two counters (total, errors),
+    * so state is O(open windows) regardless of event volume and each
+    * closed window emits exactly the batch row. Feed it to the MAD
+    * detector's thresholds for paging; replay equality against the
+    * oracle-green batch twin is the correctness gate.
+    */
+  def errorRateHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .select(
+        unix_micros(col("window.start")).as("hour_us"),
+        col("n_events"), col("n_errors"),
+        round(col("n_errors").cast("double") / col("n_events"), 6).as("error_rate"))
+
   /** Sliding 1-hour windows every 30 minutes — overlapping windows
     * (each event lands in two), the smoothing twin of [[hourlyCounts]].
     * Watermark bounds open-window state exactly as for tumbling.

@@ -366,6 +366,39 @@ class SimilaritySpec extends SparkSpec {
       (0L, 1, 2L, 1.0), (0L, 2, 3L, 1.0), (0L, 3, 1L, 5.0)), out.toSeq.toString)
   }
 
+  test("ivfProbeSweep: missed cross-cell neighbor at nProbe=1, full recall when every cell is probed") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.01f)),    // query + seed centroid 0
+      (1L, Array(0.6f, 0.8f)),     // seed centroid 1
+      (2L, Array(0.99f, 0.0f)),    // cell 0 — truth #1
+      (3L, Array(0.707f, 0.707f)), // cell 1 — truth #2, invisible at nProbe=1
+      (4L, Array(0.0f, 1.0f))      // cell 1 — far from query
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfProbeSweep(e, k = 2, nQueries = 1, nCells = 2,
+      levels = Seq(1, 2)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    // nProbe=1 probes only the query's own cell: 1 candidate, 1 of 2 truth hits;
+    // nProbe=2 probes both cells = brute force: 4 candidates, perfect recall
+    assert(out.toSeq == Seq((1, 0L, 1L, 1, 0.5), (2, 0L, 4L, 2, 1.0)), out.toSeq.toString)
+  }
+
+  test("labelMargin: correctly-labeled vectors get positive margin, a planted mislabel goes negative") {
+    val e = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 1, Array(0.0f, 1.0f)),
+      (3L, 1, Array(0.0f, 1.0f)),
+      (4L, 1, Array(1.0f, 0.0f))  // mislabeled: sits on label 0's centroid
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelMargin(e).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L)._3 > 0 && out(2L)._3 > 0)
+    assert(out(4L)._3 < 0, s"mislabeled margin should be negative: ${out(4L)}")
+    // own/other decompose consistently: margin = own − best_other (rounded)
+    out.values.foreach { case (own, other, margin) =>
+      assert(math.abs((own - other) - margin) < 2e-6) }
+  }
+
   test("truncatedDimRecall: a prefix-identical imposter displaces the true second neighbor") {
     def vec(pairs: (Int, Float)*): Array[Float] = {
       val a = Array.fill(64)(0.0f)

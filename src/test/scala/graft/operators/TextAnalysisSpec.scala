@@ -570,6 +570,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
   }
 
+  test("langSourceMix: per-source language shares sum to one") {
+    val d = Seq(
+      (1L, "s1", "en", 10L), (2L, "s1", "en", 20L),
+      (3L, "s1", "de", 5L), (4L, "s2", "de", 7L)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+    val out = TextAnalysis.langSourceMix(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("s1", "de", 1L, 5L, 0.333333),
+      ("s1", "en", 2L, 30L, 0.666667),
+      ("s2", "de", 1L, 7L, 1.0)), out.toSeq.toString)
+  }
+
   test("gopherRules: each rule fails on its planted doc; conjunction keeps only clean text") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs away"), // clean

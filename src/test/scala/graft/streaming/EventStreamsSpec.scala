@@ -174,6 +174,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayed sf0.01 events through streaming errorRateHourly equals the oracle-green batch rows") {
+    val sf001 = "/root/testdata/sf0.01"
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_errrate").toString
+    val batchDf = graft.Tables.events(spark, sf001)
+    batchDf.repartition(4).write.mode("overwrite").parquet(src)
+    val streamDf = EventOps.withTsTimestamp(spark.readStream.schema(
+      spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1).parquet(src))
+    val q = EventStreams.toMemorySink(
+      EventStreams.errorRateHourly(streamDf),
+      "parity_errrate_test", org.apache.spark.sql.streaming.OutputMode.Complete())
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity_errrate_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventOps.errorRateHourly(batchDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // the series is non-degenerate: some hours have errors, none is all-errors
+      assert(streamed.exists(_._3 > 0) && streamed.forall(r => r._3 < r._2))
+    } finally q.stop()
+  }
+
   test("foreachBatch pipeline: replayed dedup+sessionize parquet equals the batch twins") {
     // End-to-end streaming→batch: sf0.001 events replayed time-ordered
     // with injected duplicate event_ids, through watermarked dedup →
