@@ -261,6 +261,9 @@ object SparkEntry {
     "sim_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(Tables.embeddings(s, d))),
     "sim_label_margin" -> ((s, d) => Similarity.labelMargin(Tables.embeddings(s, d))),
     "text_lang_source_mix" -> ((s, d) => TextAnalysis.langSourceMix(Tables.documents(s, d))),
+    "ev_session_paths" -> ((s, d) => EventOps.sessionPaths(Tables.events(s, d))),
+    "ev_seasonal_anomaly" -> ((s, d) => EventOps.seasonalAnomalies(Tables.events(s, d))),
+    "text_quality_vs_dup" -> ((s, d) => TextAnalysis.qualityVsDup(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1470,6 +1473,75 @@ object SparkEntry {
         |       round(CAST(c.n_docs AS DOUBLE) / t.n_src, 6) AS share
         |FROM cells c JOIN totals t USING (source)
         |ORDER BY c.source, c.lang""".stripMargin,
+    // session chain (same CTEs as ev_sessionize) → first-3-steps path
+    // string, (ts, type)-ordered so tied timestamps are deterministic
+    "ev_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sess AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |         array_to_string(list(event_type ORDER BY ts_us, event_type)[1:3], '>') AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // per-hour-of-week median/MAD baseline (same conventions as
+    // ev_anomaly_mad, grouped by the 168-slot weekly index)
+    "ev_seasonal_anomaly" ->
+      """WITH h AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |hh AS (SELECT hour_idx, n, hour_idx % 168 AS how FROM h),
+        |med AS (SELECT how, quantile_cont(n, 0.5) AS med_n FROM hh GROUP BY 1),
+        |mad AS (SELECT hh.how, quantile_cont(abs(n - med_n), 0.5) AS mad_n
+        |        FROM hh JOIN med USING (how) GROUP BY 1)
+        |SELECT hour_idx * 3600000000 AS hour_us, hh.how, n,
+        |       round(med_n, 4) AS med_n,
+        |       round(abs(n - med_n) / (1.4826 * mad_n), 4) AS robust_score
+        |FROM hh JOIN med USING (how) JOIN mad USING (how)
+        |WHERE mad_n > 0 AND abs(n - med_n) > 3.0 * 1.4826 * mad_n
+        |ORDER BY hour_us""".stripMargin,
+    // gopher keep flag × exact-digest dup membership, two-row rollup
+    "text_quality_vs_dup" -> {
+      val stop = graft.operators.TextAnalysis.gopherStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id,
+         |                  list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |             len(ws) AS n_words,
+         |             CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_len,
+         |             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         |             len(list_filter(ws, x -> list_contains([$stop], x))) AS n_stop
+         |      FROM w),
+         |k AS (SELECT doc_id,
+         |             (n_words >= 5 AND n_words <= 100000 AND
+         |              CAST(sum_len AS DOUBLE) / n_words >= 3.0 AND
+         |              CAST(sum_len AS DOUBLE) / n_words <= 10.0 AND
+         |              CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AND
+         |              n_stop >= 2) AS keep
+         |      FROM s),
+         |dg AS (SELECT doc_id, md5(text) AS digest FROM documents),
+         |cnt AS (SELECT digest, count(*) AS n_copies FROM dg GROUP BY 1),
+         |fl AS (SELECT dg.doc_id, cnt.n_copies > 1 AS is_dup
+         |       FROM dg JOIN cnt USING (digest))
+         |SELECT k.keep, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN fl.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       round(CAST(sum(CASE WHEN fl.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS dup_rate
+         |FROM k JOIN fl USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

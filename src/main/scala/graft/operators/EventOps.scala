@@ -1062,6 +1062,62 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Top opening session paths: the first `depth` event types of
+    * every session joined into a `a>b>c` path string, ranked by
+    * session count — the navigation-pattern table behind onboarding
+    * and bot triage (scripted clients repeat one opening path with
+    * unnatural frequency; [[transitionMatrix]] shows single hops,
+    * this shows the entry n-gram).
+    *
+    * Rides the [[withSessionIds]] exchange; the per-session step list
+    * is sorted by (ts_us, event_type) so tied timestamps produce one
+    * deterministic path in every engine, and it is SLICED to `depth`
+    * right after collection so the path column never exceeds a few
+    * strings per session regardless of session length. The final
+    * ranking is a global top-k — TakeOrderedAndProject over the
+    * (small) distinct-path table, never a full sort.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30, depth: Int = 3,
+                   topK: Int = 20): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .groupBy("user_id", "session_id")
+      .agg(array_sort(collect_list(struct(col("ts_us"), col("event_type")))).as("steps"))
+      .select(concat_ws(">",
+        expr(s"transform(slice(steps, 1, $depth), s -> s.event_type)")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(topK)
+
+  /** Seasonality-aware traffic anomalies: hourly totals scored
+    * against the median/MAD of THEIR OWN hour-of-week slot — the
+    * detector that doesn't page on every Monday morning
+    * ([[hourlyAnomaliesMad]] scores against the global per-type
+    * distribution; this one learns the 168-slot weekly shape from
+    * [[hourOfWeekProfile]] and flags departures from it). Same
+    * epoch-aligned floor-div/pmod bucketing, same breakdown-safe
+    * median/MAD conventions; baselines are two 168-row broadcast
+    * joins, so the hourly table streams through the filter.
+    */
+  def seasonalAnomalies(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val hourUs = 3600000000L
+    val h = withTsUs(events)
+      .select(tsBucket(hourUs).as("hour_idx"))
+      .groupBy("hour_idx").agg(count(lit(1)).as("n"))
+      .withColumn("how", pmod(col("hour_idx"), lit(168L)))
+    val med = h.groupBy("how").agg(percentile(col("n"), lit(0.5)).as("med_n"))
+    val mad = h.join(broadcast(med), Seq("how"))
+      .groupBy("how")
+      .agg(percentile(abs(col("n") - col("med_n")), lit(0.5)).as("mad_n"))
+    h.join(broadcast(med), Seq("how")).join(broadcast(mad), Seq("how"))
+      .filter(col("mad_n") > 0 &&
+        abs(col("n") - col("med_n")) > lit(k) * lit(1.4826) * col("mad_n"))
+      .select((col("hour_idx") * hourUs).as("hour_us"), col("how"), col("n"),
+        round(col("med_n"), 4).as("med_n"),
+        round(abs(col("n") - col("med_n")) / (lit(1.4826) * col("mad_n")), 4)
+          .as("robust_score"))
+      .orderBy("hour_us")
+  }
+
   /** (offset, decay^offset) pairs by repeated multiplication —
     * exact per step for dyadic decays; the single weight definition
     * shared by [[ewmaDaily]] and its literal-unrolled oracle SQL.

@@ -1297,6 +1297,34 @@ object TextAnalysis {
       .orderBy("source", "lang")
   }
 
+  /** Quality × duplication cross-report: do documents that FAIL the
+    * [[gopherRules]] gate duplicate more often than clean ones? (In
+    * web crawls they do — boilerplate and template spam is both
+    * low-quality and heavily mirrored — and the answer decides
+    * whether to run the cheap quality filter before the expensive
+    * dedup join to shrink its input.) Two rows: keep ∈ {true,
+    * false}, each with its exact-duplicate membership rate.
+    *
+    * The dup flag rides the [[graft.operators.Dedup.exact]] wire
+    * discipline — 16-byte digests shuffle, text never does; the
+    * quality leg is the map-only rules pass; the final rollup is two
+    * rows.
+    */
+  def qualityVsDup(documents: DataFrame): DataFrame = {
+    val keepFlags = gopherRules(documents).select(col("doc_id"), col("keep"))
+    val withDigest = documents.select(col("doc_id"), md5(col("text")).as("digest"))
+    val counts = withDigest.groupBy("digest").agg(count(lit(1)).as("n_copies"))
+    val dupFlags = withDigest.join(counts, Seq("digest"))
+      .select(col("doc_id"), (col("n_copies") > 1).as("is_dup"))
+    keepFlags.join(dupFlags, Seq("doc_id"))
+      .groupBy("keep")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("keep"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_rate"))
+      .orderBy("keep")
+  }
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

@@ -523,6 +523,42 @@ class EventOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("sessionPaths: depth-3 truncation, per-session split, tied timestamps ordered by type") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "click"),
+      (3L, "2024-01-01 10:10:00", 1L, "view"),
+      (4L, "2024-01-01 10:12:00", 1L, "purchase"), // 4th step truncated
+      (5L, "2024-01-01 12:00:00", 1L, "view"),     // new session (gap > 30 min)
+      (6L, "2024-01-01 12:05:00", 1L, "click"),
+      (7L, "2024-01-01 09:00:00", 2L, "b"),        // tied instant:
+      (8L, "2024-01-01 09:00:00", 2L, "a"))        // path must sort to a>b
+    val out = EventOps.sessionPaths(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(
+      ("a>b", 1L), ("view>click", 1L), ("view>click>view", 1L)), out.toSeq.toString)
+  }
+
+  test("seasonalAnomalies: spike flagged against its own hour-of-week slot; MAD-0 slots drop") {
+    // slot how=0 over 4 weeks: 9,10,11,100 events — the 100 is the anomaly;
+    // slot how=1: constant 5 → MAD 0 → excluded by the degeneracy guard
+    val hourUs = 3600000000L
+    val rows = for {
+      (week, n) <- Seq((0, 9), (1, 10), (2, 11), (3, 100))
+      i <- 0 until n
+    } yield (week * 168L * hourUs + i * 1000000L, 1L, "view")
+    val rows1 = for {
+      week <- 0 to 3; i <- 0 until 5
+    } yield (week * 168L * hourUs + hourUs + i * 1000000L, 2L, "view")
+    val events = (rows ++ rows1).zipWithIndex
+      .map { case ((us, u, t), id) => (id.toLong, us, u, t) }
+      .toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id", "event_type")
+    val out = EventOps.seasonalAnomalies(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L * 168 * hourUs, 0L, 100L)), out.toSeq.toString)
+  }
+
   test("ewmaDaily: truncated-horizon weights, in-range gap days count as zero, pre-range offsets excluded") {
     // days 9, 10, 12 (epoch days); day 11 exists in-range but has no events
     val events = ev(

@@ -570,6 +570,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
   }
 
+  test("qualityVsDup: dup rates split by the gopher keep flag") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs away"
+    val clean2 = "the quick brown fox jumps over the lazy dog and walks away"
+    val junk = "111 222 333 444 555"
+    val d = Seq((1L, clean), (2L, clean), (3L, clean2), (4L, junk), (5L, junk))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityVsDup(d).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (false, 2L, 2L, 1.0), (true, 3L, 2L, 0.666667)), out.toSeq.toString)
+  }
+
   test("langSourceMix: per-source language shares sum to one") {
     val d = Seq(
       (1L, "s1", "en", 10L), (2L, "s1", "en", 20L),
