@@ -264,6 +264,11 @@ object SparkEntry {
     "ev_session_paths" -> ((s, d) => EventOps.sessionPaths(Tables.events(s, d))),
     "ev_seasonal_anomaly" -> ((s, d) => EventOps.seasonalAnomalies(Tables.events(s, d))),
     "text_quality_vs_dup" -> ((s, d) => TextAnalysis.qualityVsDup(Tables.documents(s, d))),
+    "dedup_kcore" -> ((s, d) =>
+      operators.Graph.kCorePeel(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
+    "ev_metric_corr" -> ((s, d) => EventOps.metricCorrelation(Tables.events(s, d))),
+    "ev_dwell_time" -> ((s, d) => EventOps.dwellTime(Tables.events(s, d))),
+    "text_word_burstiness" -> ((s, d) => TextAnalysis.wordBurstiness(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1542,6 +1547,86 @@ object SparkEntry {
          |FROM k JOIN fl USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // 3 unrolled peel rounds over the shared jaccard pair graph —
+    // the fixed-iteration convention of the pagerank oracle
+    "dedup_kcore" ->
+      s"""WITH $jaccardPairsCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+         |      UNION ALL SELECT doc_b, doc_a FROM pp),
+         |n0 AS (SELECT DISTINCT src AS node FROM e),
+         |d1 AS (SELECT e.src AS node, count(*) AS deg
+         |       FROM e JOIN n0 a ON e.src = a.node JOIN n0 b ON e.dst = b.node
+         |       GROUP BY 1),
+         |w1 AS (SELECT n0.node, coalesce(d1.deg, 0) AS deg FROM n0 LEFT JOIN d1 USING (node)),
+         |n1 AS (SELECT node FROM w1 WHERE deg >= 2),
+         |d2 AS (SELECT e.src AS node, count(*) AS deg
+         |       FROM e JOIN n1 a ON e.src = a.node JOIN n1 b ON e.dst = b.node
+         |       GROUP BY 1),
+         |w2 AS (SELECT n1.node, coalesce(d2.deg, 0) AS deg FROM n1 LEFT JOIN d2 USING (node)),
+         |n2 AS (SELECT node FROM w2 WHERE deg >= 2),
+         |d3 AS (SELECT e.src AS node, count(*) AS deg
+         |       FROM e JOIN n2 a ON e.src = a.node JOIN n2 b ON e.dst = b.node
+         |       GROUP BY 1),
+         |w3 AS (SELECT n2.node, coalesce(d3.deg, 0) AS deg FROM n2 LEFT JOIN d3 USING (node)),
+         |n3 AS (SELECT node FROM w3 WHERE deg >= 2)
+         |SELECT node, CAST(peeled_round AS INTEGER) AS peeled_round FROM (
+         |  SELECT node, 1 AS peeled_round FROM w1 WHERE deg < 2
+         |  UNION ALL SELECT node, 2 FROM w2 WHERE deg < 2
+         |  UNION ALL SELECT node, 3 FROM w3 WHERE deg < 2
+         |  UNION ALL SELECT node, 0 FROM n3) t
+         |ORDER BY node""".stripMargin,
+    // dense days×types grid; zero-variance series filtered on the
+    // exact stddev=0 predicate BEFORE corr's NaN/NULL conventions
+    "ev_metric_corr" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |grid AS (SELECT d.day, t.event_type, CAST(coalesce(x.n, 0) AS DOUBLE) AS n
+        |         FROM days d CROSS JOIN types t
+        |         LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             count(*) AS n_days,
+        |             stddev_samp(a.n) AS sa, stddev_samp(b.n) AS sb,
+        |             corr(a.n, b.n) AS r
+        |      FROM grid a JOIN grid b ON a.day = b.day AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_days, round(r, 6) AS corr FROM p
+        |WHERE sa > 0 AND sb > 0 ORDER BY 1, 2""".stripMargin,
+    // session chain + lead on the same (ts, type)-deterministic order
+    "ev_dwell_time" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sess AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked),
+        |l AS (SELECT event_type, ts_us,
+        |             lead(ts_us) OVER (PARTITION BY user_id, session_id
+        |                               ORDER BY ts_us, event_type) AS next_us
+        |      FROM sess)
+        |SELECT event_type, count(*) AS n,
+        |       round(avg(next_us - ts_us), 4) AS avg_dwell_us,
+        |       quantile_cont(next_us - ts_us, 0.5) AS p50_dwell_us
+        |FROM l WHERE next_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_word_burstiness" ->
+      """WITH wd AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |            FROM documents),
+        |c AS (SELECT word, doc_id, count(*) AS c FROM wd
+        |      WHERE length(word) > 0 GROUP BY 1, 2),
+        |a AS (SELECT word, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df FROM c GROUP BY 1)
+        |SELECT word, cf, df, round(CAST(cf AS DOUBLE) / df, 6) AS burst
+        |FROM a ORDER BY cf DESC, word LIMIT 30""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

@@ -1118,6 +1118,62 @@ object EventOps {
       .orderBy("hour_us")
   }
 
+  /** Daily-series correlation between event-type pairs: Pearson r of
+    * the two types' DENSE daily counts (days either type was silent
+    * count as genuine zeros via a days × types grid) — the "do errors
+    * move with traffic / do purchases track views" coupling matrix
+    * behind metric dashboards and anomaly root-causing. Zero-variance
+    * series are excluded explicitly (both engines agree exactly on
+    * stddev = 0; NaN/NULL conventions differ, so they never reach the
+    * output). The grid is |days| × |types| rows — post-aggregate
+    * scale, trivially broadcastable; the corpus is touched once by
+    * the daily count.
+    */
+  def metricCorrelation(events: DataFrame): DataFrame = {
+    val daily = withTsUs(events)
+      .select(tsBucket(86400000000L).as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val days = daily.select("day").distinct()
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).cast("double").as("n"))
+    val a = grid.select(col("day"), col("event_type").as("type_a"), col("n").as("na"))
+    val b = grid.select(col("day"), col("event_type").as("type_b"), col("n").as("nb"))
+    a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_days"),
+        stddev_samp(col("na")).as("sa"), stddev_samp(col("nb")).as("sb"),
+        corr(col("na"), col("nb")).as("r"))
+      .filter(col("sa") > 0 && col("sb") > 0)
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        round(col("r"), 6).as("corr"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Per-type dwell time: the gap from each event to the NEXT event
+    * in the same session, attributed to the current event's type —
+    * "how long do users sit on a view vs a search" (session-final
+    * events have no successor and drop out). Rides the
+    * [[withSessionIds]] exchange plus one lead() on the same
+    * user-partitioned ordering, tie-broken by (ts_us, event_type) so
+    * simultaneous events dwell deterministically in every engine.
+    */
+  def dwellTime(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts_us"), col("event_type"))
+    withSessionIds(events, gapMinutes)
+      .withColumn("next_us", lead("ts_us", 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .select(col("event_type"), (col("next_us") - col("ts_us")).as("dwell_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg("dwell_us"), 4).as("avg_dwell_us"),
+        percentile(col("dwell_us"), lit(0.5)).as("p50_dwell_us"))
+      .orderBy("event_type")
+  }
+
   /** (offset, decay^offset) pairs by repeated multiplication —
     * exact per step for dyadic decays; the single weight definition
     * shared by [[ewmaDaily]] and its literal-unrolled oracle SQL.

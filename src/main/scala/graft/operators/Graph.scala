@@ -145,4 +145,44 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
       .orderBy("deg")
+
+  /** Fixed-round k-core peel (Seidman 1983 coreness, bounded
+    * iteration): repeatedly remove nodes whose degree in the
+    * SURVIVING subgraph is < k — after `rounds` passes, survivors
+    * are an upper bound on the k-core and `peeled_round` records how
+    * early each node fell. On a near-dup pair graph this separates
+    * the dense template-farm nucleus (survives) from incidental
+    * chain/pendant matches (peeled round 1–2) — the triage that
+    * decides which clusters get a human look before mass deletion.
+    * A FIXED round count keeps it deterministic and oracle-checkable
+    * (the unrolled-CTE convention of [[pageRank]]); coreness
+    * converges after few rounds on df-capped pair graphs.
+    *
+    * Per round: degrees of the induced subgraph via two semi-joins
+    * of the (checkpointed-once) edge list against the shrinking
+    * alive set, one partial-agg count — O(|E|) a round, alive-set
+    * lineage cut per round, no driver data movement.
+    */
+  def kCorePeel(pairs: DataFrame, k: Int = 2, rounds: Int = 3,
+                checkpoint: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val edges = checkpoint(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var alive = edges.select(col("src").as("node")).distinct()
+    var peeledParts = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val degAlive = edges
+        .join(alive.select(col("node").as("src")), Seq("src"))
+        .join(alive.select(col("node").as("dst")), Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node")
+      val withDeg = alive.join(degAlive, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      peeledParts ::= withDeg.filter(col("deg") < k)
+        .select(col("node"), lit(r).as("peeled_round"))
+      alive = checkpoint(withDeg.filter(col("deg") >= k).select("node"))
+    }
+    val survivors = alive.select(col("node"), lit(0).as("peeled_round"))
+    (peeledParts :+ survivors).reduce(_ unionByName _).orderBy("node")
+  }
 }

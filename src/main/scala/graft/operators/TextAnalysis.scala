@@ -1325,6 +1325,28 @@ object TextAnalysis {
       .orderBy("keep")
   }
 
+  /** Word burstiness (Church & Gale 1995): collection frequency over
+    * document frequency for the top-`n` words — cf/df ≈ 1 marks
+    * function-word-like even spreading, cf/df ≫ 1 marks words that
+    * "burst" inside few documents (topic terms, or boilerplate
+    * repeated within template pages). Read next to [[topWords]]
+    * before building stopword lists: high-cf words with high burst
+    * are NOT stopwords, they're boilerplate. One vocabulary-keyed
+    * aggregate over (word, doc) pairs — the df side dedups per doc
+    * map-side via the distinct pair grouping; text never shuffles.
+    */
+  def wordBurstiness(documents: DataFrame, n: Int = 30): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("word")
+      .agg(sum("c").as("cf"), count(lit(1)).as("df"))
+      .select(col("word"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df"), 6).as("burst"))
+      .orderBy(col("cf").desc, col("word"))
+      .limit(n)
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

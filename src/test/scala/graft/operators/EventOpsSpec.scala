@@ -559,6 +559,38 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L * 168 * hourUs, 0L, 100L)), out.toSeq.toString)
   }
 
+  test("metricCorrelation: dense zero-fill, perfect and partial correlations, constant series dropped") {
+    // daily counts — a:(1,2,3) b:(2,4,6) c:(5,5,5) d:(3,2,1) e:(4,0,0 via zero-fill)
+    val counts = Seq(
+      ("2024-01-01", Seq(("a", 1), ("b", 2), ("c", 5), ("d", 3), ("e", 4))),
+      ("2024-01-02", Seq(("a", 2), ("b", 4), ("c", 5), ("d", 2))),
+      ("2024-01-03", Seq(("a", 3), ("b", 6), ("c", 5), ("d", 1))))
+    val rows = for {
+      (day, ts) <- counts; (t, n) <- ts; i <- 0 until n
+    } yield (day, t, i)
+    val events = rows.zipWithIndex.map { case ((day, t, i), id) =>
+      (id.toLong, s"$day 01:0${i % 10}:0${i / 10}", 1L, t) }
+    val out = EventOps.metricCorrelation(ev(events: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // every pair with c is constant-variance-zero → dropped
+    assert(out.toSeq == Seq(
+      ("a", "b", 3L, 1.0), ("a", "d", 3L, -1.0), ("a", "e", 3L, -0.866025),
+      ("b", "d", 3L, -1.0), ("b", "e", 3L, -0.866025), ("d", "e", 3L, 0.866025)),
+      out.toSeq.toString)
+  }
+
+  test("dwellTime: gap to next event within session, attributed to the current type") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "click"),
+      (3L, "2024-01-01 10:06:00", 1L, "purchase"), // session-final: no dwell row
+      (4L, "2024-01-01 09:00:00", 2L, "view"))     // singleton session: dropped
+    val out = EventOps.dwellTime(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("click", 1L, 6.0e7, 6.0e7), ("view", 1L, 3.0e8, 3.0e8)), out.toSeq.toString)
+  }
+
   test("ewmaDaily: truncated-horizon weights, in-range gap days count as zero, pre-range offsets excluded") {
     // days 9, 10, 12 (epoch days); day 11 exists in-range but has no events
     val events = ev(

@@ -69,4 +69,15 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 4L, 4L -> 1L), out.toString)
   }
+
+  test("kCorePeel: pendant chain peels outside-in, triangle nucleus survives") {
+    // triangle {1,2,3} with a chain 3–4–5 hanging off it
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val out = Graph.kCorePeel(g).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 5 (deg 1) peels round 1; 4's degree then drops to 1 → round 2;
+    // the triangle is the 2-core and survives all rounds
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 2, 5L -> 1), out.toString)
+  }
 }

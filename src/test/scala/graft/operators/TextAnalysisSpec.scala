@@ -570,6 +570,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
   }
 
+  test("wordBurstiness: cf/df separates bursty words from evenly-spread ones") {
+    val d = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordBurstiness(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 3L, 1L, 3.0), ("b", 2L, 2L, 1.0), ("c", 1L, 1L, 1.0)), out.toSeq.toString)
+  }
+
   test("qualityVsDup: dup rates split by the gopher keep flag") {
     val clean = "the quick brown fox jumps over the lazy dog and runs away"
     val clean2 = "the quick brown fox jumps over the lazy dog and walks away"
