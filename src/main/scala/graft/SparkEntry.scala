@@ -269,6 +269,9 @@ object SparkEntry {
     "ev_metric_corr" -> ((s, d) => EventOps.metricCorrelation(Tables.events(s, d))),
     "ev_dwell_time" -> ((s, d) => EventOps.dwellTime(Tables.events(s, d))),
     "text_word_burstiness" -> ((s, d) => TextAnalysis.wordBurstiness(Tables.documents(s, d))),
+    "ev_user_overlap" -> ((s, d) => EventOps.userOverlapAcrossTypes(Tables.events(s, d))),
+    "sim_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(Tables.embeddings(s, d))),
+    "text_mix_diversity" -> ((s, d) => TextAnalysis.mixDiversity(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1627,6 +1630,62 @@ object SparkEntry {
         |a AS (SELECT word, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df FROM c GROUP BY 1)
         |SELECT word, cf, df, round(CAST(cf AS DOUBLE) / df, 6) AS burst
         |FROM a ORDER BY cf DESC, word LIMIT 30""".stripMargin,
+    // distinct (type, user) sets → pairwise Jaccard; grid join
+    // restores zero-intersection pairs
+    "ev_user_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1),
+        |inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_common
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT a.event_type AS type_a, a.n_users AS n_a,
+        |         b.event_type AS type_b, b.n_users AS n_b
+        |  FROM sz a CROSS JOIN sz b WHERE a.event_type < b.event_type)
+        |SELECT g.type_a, g.type_b, g.n_a, g.n_b,
+        |       coalesce(i.n_common, 0) AS n_common,
+        |       round(CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+        |             (g.n_a + g.n_b - coalesce(i.n_common, 0)), 6) AS jaccard
+        |FROM grid g LEFT JOIN inter i
+        |  ON i.type_a = g.type_a AND i.type_b = g.type_b
+        |ORDER BY g.type_a, g.type_b""".stripMargin,
+    // seed-centroid assignment (same CTE as sim_ivf_topk_seed) → cell
+    // counts with share and load factor
+    "sim_cell_balance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS centroid
+        |          FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT e.vec_id, c.cell_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell_id) AS rn
+        |    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+        |counts AS (SELECT cell_id, count(*) AS n_vectors FROM assigned GROUP BY 1),
+        |tot AS (SELECT sum(n_vectors) AS total FROM counts)
+        |SELECT cell_id, n_vectors,
+        |       round(CAST(n_vectors AS DOUBLE) / total, 6) AS share,
+        |       round(CAST(n_vectors AS DOUBLE) * 16 / total, 6) AS load_factor
+        |FROM counts, tot ORDER BY cell_id""".stripMargin,
+    // single-aggregate entropy identity per grouping dimension
+    "text_mix_diversity" ->
+      """WITH l AS (SELECT lang AS k, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT source AS k, count(*) AS n FROM documents GROUP BY 1),
+        |dl AS (SELECT 'lang' AS dimension, count(*) AS n_values,
+        |              CAST(sum(n) AS BIGINT) AS total_docs,
+        |              sum(CAST(n AS DOUBLE) * ln(n)) AS nlogn,
+        |              sum(CAST(n AS DOUBLE) * n) AS nsq FROM l),
+        |ds AS (SELECT 'source' AS dimension, count(*) AS n_values,
+        |              CAST(sum(n) AS BIGINT) AS total_docs,
+        |              sum(CAST(n AS DOUBLE) * ln(n)) AS nlogn,
+        |              sum(CAST(n AS DOUBLE) * n) AS nsq FROM s),
+        |u AS (SELECT * FROM dl UNION ALL SELECT * FROM ds)
+        |SELECT dimension, n_values, total_docs,
+        |       round(ln(total_docs) - nlogn / total_docs, 6) AS entropy,
+        |       round(exp(ln(total_docs) - nlogn / total_docs), 4) AS effective_n,
+        |       round(nsq / (CAST(total_docs AS DOUBLE) * total_docs), 6) AS herfindahl
+        |FROM u ORDER BY dimension""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

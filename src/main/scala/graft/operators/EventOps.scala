@@ -1174,6 +1174,36 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Audience overlap between event types: Jaccard of the USER sets
+    * behind each type pair ("do purchasers also search?") — the
+    * audience-segmentation companion of [[metricCorrelation]] (that
+    * one couples volumes over time; this one couples people).
+    * Distinct (type, user) pairs first — the only fact-sized shuffle
+    * carries one row per user-type, not per event — then a per-user
+    * self-join whose fan-out is bounded by types² per user, and a
+    * types²-sized rollup. Zero-intersection pairs are restored by a
+    * broadcast grid join so the matrix is always complete.
+    */
+  def userOverlapAcrossTypes(events: DataFrame): DataFrame = {
+    val tu = events.select("event_type", "user_id").distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val inter = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_common"))
+    val grid = sizes.select(col("event_type").as("type_a"), col("n_users").as("n_a"))
+      .crossJoin(broadcast(
+        sizes.select(col("event_type").as("type_b"), col("n_users").as("n_b"))))
+      .filter(col("type_a") < col("type_b"))
+    grid.join(inter, Seq("type_a", "type_b"), "left_outer")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** (offset, decay^offset) pairs by repeated multiplication —
     * exact per step for dyadic decays; the single weight definition
     * shared by [[ewmaDaily]] and its literal-unrolled oracle SQL.

@@ -717,6 +717,27 @@ object Similarity {
       .orderBy("n_probe", "qid")
   }
 
+  /** IVF cell-balance report: vectors per cell with share and load
+    * factor (n · nCells / total — 1.0 is perfectly balanced) — the
+    * index-health check run after [[ivfAssign]] and before committing
+    * nCells/nProbe: a cell with load 8× means its probes scan 8× the
+    * expected candidates ([[ivfProbeSweep]] then measures what that
+    * costs), and empty-ish cells waste probe budget. Seed centroids
+    * for oracle exactness; one count aggregate over the map-only
+    * assignment, total rides the 1-row broadcast scalar pattern.
+    */
+  def ivfCellBalance(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val counts = assignToCells(embeddings, seedCentroids(embeddings, nCells))
+      .groupBy("cell_id").agg(count(lit(1)).as("n_vectors"))
+    counts.crossJoin(broadcast(counts.agg(sum("n_vectors").as("total"))))
+      .select(col("cell_id"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("total"), 6).as("share"),
+        round(col("n_vectors").cast("double") * nCells / col("total"), 6)
+          .as("load_factor"))
+      .orderBy("cell_id")
+  }
+
   /** Per-vector label margin: similarity to the OWN label's centroid
     * minus the best similarity to any OTHER label's centroid — the
     * separability audit behind hard-negative mining and

@@ -1347,6 +1347,34 @@ object TextAnalysis {
       .orderBy(col("cf").desc, col("word"))
       .limit(n)
 
+  /** Corpus-mix diversity indices: for each grouping dimension
+    * (source, lang), the Shannon entropy of the document shares, its
+    * exponential (the "effective number" of equally-weighted sources
+    * — Hill number of order 1), and the Herfindahl concentration
+    * Σ share² — the one-page answer to "is this corpus actually
+    * diverse or is it one crawl wearing ten names", read before
+    * [[mixWeights]] re-balancing. Single-aggregate entropy identity
+    * H = ln N − Σ n·ln n / N (the [[graft.operators.EventOps.userTypeEntropy]]
+    * convention); each dimension is a values-sized aggregate
+    * collapsed to ONE row.
+    */
+  def mixDiversity(documents: DataFrame): DataFrame = {
+    def dim(name: String, key: org.apache.spark.sql.Column): DataFrame =
+      documents.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_values"), sum("n").as("total_docs"),
+          sum(col("n").cast("double") * log(col("n"))).as("nlogn"),
+          sum(col("n").cast("double") * col("n")).as("nsq"))
+        .select(lit(name).as("dimension"), col("n_values"), col("total_docs"),
+          round(log(col("total_docs")) - col("nlogn") / col("total_docs"), 6)
+            .as("entropy"),
+          round(exp(log(col("total_docs")) - col("nlogn") / col("total_docs")), 4)
+            .as("effective_n"),
+          round(col("nsq") / (col("total_docs") * col("total_docs")), 6)
+            .as("herfindahl"))
+    dim("lang", col("lang")).unionByName(dim("source", col("source")))
+      .orderBy("dimension")
+  }
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

@@ -579,6 +579,22 @@ class EventOpsSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("userOverlapAcrossTypes: pairwise audience Jaccard, zero-overlap pairs restored") {
+    val events = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (2L, "a"), // dup pair collapses
+      (2L, "b"), (3L, "b"), (4L, "b"),
+      (9L, "c"))
+      .zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, s"2024-01-01 10:00:0$i", u, t) }
+    val out = EventOps.userOverlapAcrossTypes(ev(events: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 3L, 3L, 2L, 0.5),
+      ("a", "c", 3L, 1L, 0L, 0.0),
+      ("b", "c", 3L, 1L, 0L, 0.0)), out.toSeq.toString)
+  }
+
   test("dwellTime: gap to next event within session, attributed to the current type") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),

@@ -382,6 +382,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 0L, 1L, 1, 0.5), (2, 0L, 4L, 2, 1.0)), out.toSeq.toString)
   }
 
+  test("ivfCellBalance: cell counts, shares, and load factors on a planted 2-cell split") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),  // seed 0
+      (1L, Array(0.0f, 1.0f)),  // seed 1
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfCellBalance(e, nCells = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 3L, 0.6, 1.2), (1, 2L, 0.4, 0.8)), out.toSeq.toString)
+  }
+
   test("labelMargin: correctly-labeled vectors get positive margin, a planted mislabel goes negative") {
     val e = Seq(
       (0L, 0, Array(1.0f, 0.0f)),

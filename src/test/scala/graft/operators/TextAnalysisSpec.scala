@@ -570,6 +570,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
   }
 
+  test("mixDiversity: single-valued dimension degenerates to zero entropy, even split to ln 2") {
+    val d = Seq(
+      (1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s2"), (4L, "en", "s2")
+    ).toDF("doc_id", "lang", "source")
+    val out = TextAnalysis.mixDiversity(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("lang", 1L, 4L, 0.0, 1.0, 1.0),
+      ("source", 2L, 4L, 0.693147, 2.0, 0.5)), out.toSeq.toString)
+  }
+
   test("wordBurstiness: cf/df separates bursty words from evenly-spread ones") {
     val d = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = TextAnalysis.wordBurstiness(d).collect()
