@@ -47,7 +47,14 @@ class PlanAuditSpec extends SparkSpec {
     "sim_label_confusion",       // label-count-sized centroid table × broadcast of itself (a < b pairing)
     "text_heaps_fit",            // inherits text_vocab_growth's 1-row bucket-width broadcast
     "ev_peak_concurrency",       // sessions × broadcast |days|-row list (carry-in non-equi join)
-    "q_revenue_deciles"          // order stream × 1-row broadcast threshold array — map-side binning
+    "q_revenue_deciles",         // order stream × 1-row broadcast threshold array — map-side binning
+    "ev_ewma_daily",             // |days|-row daily table × broadcast 14-row offset grid + 1-row min-day scalar
+    "ev_metric_corr",            // |days|-row day list × broadcast |types|-row table (dense-grid build)
+    "ev_user_overlap",           // |types|-row size table × broadcast of itself (a < b pairing)
+    "sim_cell_balance",          // corpus × broadcast 16 centroids; cell-count table × 1-row total
+    "sim_label_margin",          // corpus streams × broadcast label-count-sized centroid table
+    "sim_probe_sweep",           // corpus × broadcast query/centroid sets; candidates × broadcast 4-row levels grid
+    "sim_trunc_recall"           // corpus streams × broadcast(nQueries=10 vectors), both top-k legs
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate
