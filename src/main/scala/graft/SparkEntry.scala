@@ -272,6 +272,9 @@ object SparkEntry {
     "ev_user_overlap" -> ((s, d) => EventOps.userOverlapAcrossTypes(Tables.events(s, d))),
     "sim_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(Tables.embeddings(s, d))),
     "text_mix_diversity" -> ((s, d) => TextAnalysis.mixDiversity(Tables.documents(s, d))),
+    "dedup_lex_vs_sem" -> ((s, d) =>
+      Dedup.lexicalVsSemantic(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "mm_modality_mix" -> ((s, d) => Multimodal.modalityMix(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1686,6 +1689,34 @@ object SparkEntry {
         |       round(exp(ln(total_docs) - nlogn / total_docs), 4) AS effective_n,
         |       round(nsq / (CAST(total_docs AS DOUBLE) * total_docs), 6) AS herfindahl
         |FROM u ORDER BY dimension""".stripMargin,
+    // the oracle-green minhash md5 pair chain + embedding cosine on
+    // both pair ids (inner joins: pairs need vectors on both sides)
+    "dedup_lex_vs_sem" ->
+      s"""WITH ${minhashPairCtes("documents")},
+         |p AS (SELECT doc_a, doc_b,
+         |             round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 6) AS est_jaccard
+         |      FROM pairs),
+         |pf AS (SELECT * FROM p WHERE est_jaccard >= 0.5),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT pf.doc_a, pf.doc_b, pf.est_jaccard,
+         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |FROM pf JOIN e a ON a.vec_id = pf.doc_a JOIN e b ON b.vec_id = pf.doc_b
+         |ORDER BY pf.doc_a, pf.doc_b""".stripMargin,
+    // deterministic fake-modality fan-out (doc_id % 3) — the
+    // mm_payload_stats convention rolled to (source, media_type)
+    "mm_modality_mix" ->
+      """WITH m AS (SELECT source,
+        |                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |                       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |                  octet_length(encode(text)) AS n_bytes
+        |           FROM documents),
+        |cells AS (SELECT source, media_type, count(*) AS n_assets,
+        |                 CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |          FROM m GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(n_assets) AS n_src FROM cells GROUP BY 1)
+        |SELECT c.source, c.media_type, c.n_assets, c.total_bytes,
+        |       round(CAST(c.n_assets AS DOUBLE) / t.n_src, 6) AS share
+        |FROM cells c JOIN tot t USING (source) ORDER BY 1, 2""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

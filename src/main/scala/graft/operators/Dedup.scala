@@ -993,6 +993,32 @@ object Dedup {
       .orderBy("source_x", "source_y")
   }
 
+  /** Lexical-vs-semantic agreement audit: every MinHash-LSH near-dup
+    * candidate pair annotated with the cosine similarity of the two
+    * documents' embeddings — the cross-modal sanity check run before
+    * trusting EITHER signal alone (high est-Jaccard + low cosine =
+    * template pages with swapped entities, exactly what
+    * entity-preserving dedup must NOT merge; low Jaccard pairs with
+    * high cosine are paraphrases only the semantic pass can catch).
+    * Pairs come from the capped banded join ([[minhashNearDupsMd5]]);
+    * the embedding attach is two hash joins on the pair ids against
+    * an id→vector projection, so vectors move only for candidate
+    * pairs (LSH-bounded), never pairwise. Pairs without embeddings
+    * on both sides drop (inner joins) — coverage is reported by the
+    * row count vs `dedup_minhash_md5`.
+    */
+  def lexicalVsSemantic(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(documents.sparkSession)
+    val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    minhashNearDupsMd5(documents)
+      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")), 6)
+          .as("cos_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** LSH band-plan sweep: for every (bands b, rows-per-band r) split
     * of an `nHashes`-hash MinHash signature, the s-curve candidate
     * probability P(pair surfaces) = 1 − (1 − j^r)^b at each planted

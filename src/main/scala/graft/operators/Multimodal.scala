@@ -66,6 +66,29 @@ object Multimodal {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("media_type", "keep_id")
 
+  /** Modality mix per source: asset and byte counts per (source,
+    * media_type) cell with within-source share — the storage-planning
+    * and mix-weighting table a multimodal corpus needs before
+    * training-shard layout (media type decides decode cost and shard
+    * packing; a source that is 90% video packs very differently from
+    * a text-heavy one). Metadata-only: reads the meta struct, never
+    * the payload pages — the columnar win the [[asMedia]] layout
+    * exists for.
+    */
+  def modalityMix(documents: DataFrame): DataFrame = {
+    val cells = asMedia(documents)
+      .select(col("meta.source").as("source"),
+        col("meta.media_type").as("media_type"),
+        col("meta.n_bytes").as("n_bytes"))
+      .groupBy("source", "media_type")
+      .agg(count(lit(1)).as("n_assets"), sum("n_bytes").as("total_bytes"))
+    val totals = cells.groupBy("source").agg(sum("n_assets").as("n_src"))
+    cells.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("media_type"), col("n_assets"), col("total_bytes"),
+        round(col("n_assets").cast("double") / col("n_src"), 6).as("share"))
+      .orderBy("source", "media_type")
+  }
+
   /** Typed record crossing the Dataset boundary into decode. */
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
 

@@ -405,6 +405,21 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, "one two three four")), out.mkString(","))
   }
 
+  test("lexicalVsSemantic: template pairs split by embedding agreement; uncovered pairs drop") {
+    val t1 = "one two three four five six seven"
+    val t2 = "alpha beta gamma delta epsilon zeta eta"
+    val t3 = "red green blue cyan magenta yellow black"
+    val d = docs(1L -> t1, 2L -> t1, 3L -> t2, 4L -> t2, 5L -> t3, 6L -> t3)
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),  // same direction → cos 1
+      (3L, Array(1.0f, 0.0f)), (4L, Array(0.0f, 1.0f))   // orthogonal → cos 0
+      // docs 5/6 have no embeddings → their pair drops
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.lexicalVsSemantic(d, e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0, 1.0), (3L, 4L, 1.0, 0.0)), out.toSeq.toString)
+  }
+
   test("lshBandPlan: divisor grid, exact crossover for b=16/r=4, s-curve monotone in jaccard") {
     val out = Dedup.lshBandPlan(spark).collect()
       .map(r => ((r.getInt(0), r.getDouble(3)), (r.getInt(1), r.getDouble(2), r.getDouble(4))))

@@ -25,6 +25,20 @@ class MultimodalSpec extends SparkSpec {
     assert(types == Map(0L -> "image", 1L -> "audio", 2L -> "video"))
   }
 
+  test("modalityMix: per-source cells with byte totals and within-source shares") {
+    val d = Seq(
+      (0L, "aaaa", "s1"), (1L, "bb", "s1"), (2L, "c", "s1"),
+      (3L, "dddddd", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.modalityMix(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("s1", "audio", 1L, 2L, 0.333333),
+      ("s1", "image", 1L, 4L, 0.333333),
+      ("s1", "video", 1L, 1L, 0.333333),
+      ("s2", "image", 1L, 6L, 1.0)), out.toSeq.toString)
+  }
+
   test("decodeFeatures: deterministic stub features, one per record") {
     val out1 = Multimodal.decodeFeatures(docs).collect().sortBy(_.doc_id)
     val out2 = Multimodal.decodeFeatures(docs.repartition(3)).collect().sortBy(_.doc_id)
