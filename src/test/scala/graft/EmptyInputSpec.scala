@@ -152,4 +152,28 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
     assert(Relational.priceMadByPriority(noOrders).count() == 0)
   }
+
+  test("round-7 continuation operators: empty inputs → empty/zero-report results") {
+    assert(EventOps.ewmaDaily(noEvents).count() == 0)
+    assert(EventOps.sessionPaths(noEvents).count() == 0)
+    assert(EventOps.seasonalAnomalies(noEvents).count() == 0)
+    assert(EventOps.metricCorrelation(noEvents).count() == 0)
+    assert(EventOps.dwellTime(noEvents).count() == 0)
+    assert(EventOps.userOverlapAcrossTypes(noEvents).count() == 0)
+    assert(TextAnalysis.gopherRules(noDocs).count() == 0)
+    assert(TextAnalysis.qualityVsDup(noDocs).count() == 0)
+    assert(TextAnalysis.langSourceMix(noDocs).count() == 0)
+    assert(TextAnalysis.wordBurstiness(noDocs).count() == 0)
+    // 2-row diversity report survives with zeroed counts
+    val md = TextAnalysis.mixDiversity(noDocs).collect()
+    assert(md.length == 2 && md.forall(_.getLong(1) == 0L))
+    assert(Similarity.truncatedDimRecall(noEmb).count() == 0)
+    assert(Similarity.ivfProbeSweep(noEmb).count() == 0)
+    assert(Similarity.ivfCellBalance(noEmb).count() == 0)
+    assert(Similarity.labelMargin(noEmb).count() == 0)
+    assert(Dedup.lexicalVsSemantic(noDocs, noEmb).count() == 0)
+    assert(Dedup.lshBandPlan(spark).count() == 35) // generated grid, input-free
+    assert(Graph.kCorePeel(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    assert(Multimodal.modalityMix(noDocs).count() == 0)
+  }
 }
