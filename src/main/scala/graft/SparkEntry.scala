@@ -275,6 +275,9 @@ object SparkEntry {
     "dedup_lex_vs_sem" -> ((s, d) =>
       Dedup.lexicalVsSemantic(Tables.documents(s, d), Tables.embeddings(s, d))),
     "mm_modality_mix" -> ((s, d) => Multimodal.modalityMix(Tables.documents(s, d))),
+    "sim_effective_dims" -> ((s, d) => Similarity.effectiveDims(Tables.embeddings(s, d))),
+    "ev_wow_growth" -> ((s, d) => EventOps.wowGrowth(Tables.events(s, d))),
+    "dedup_ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1717,6 +1720,52 @@ object SparkEntry {
         |SELECT c.source, c.media_type, c.n_assets, c.total_bytes,
         |       round(CAST(c.n_assets AS DOUBLE) / t.n_src, 6) AS share
         |FROM cells c JOIN tot t USING (source) ORDER BY 1, 2""".stripMargin,
+    // per-dim variance shares + cumulative in descending-variance
+    // order + participation ratio (Σλ)²/Σλ²
+    "sim_effective_dims" ->
+      """WITH x AS (SELECT CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS x
+        |           FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+        |           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx),
+        |vr AS (SELECT dim, var_pop(x) AS v FROM x GROUP BY 1),
+        |tot AS (SELECT sum(v) AS tv, sum(v * v) AS tv2 FROM vr),
+        |c AS (SELECT dim, v, sum(v) OVER (ORDER BY v DESC, dim
+        |             ROWS UNBOUNDED PRECEDING) AS cum FROM vr)
+        |SELECT dim, round(v, 9) AS variance,
+        |       round(v / tv, 6) AS var_share,
+        |       round(cum / tv, 6) AS cum_share,
+        |       round(tv * tv / tv2, 4) AS participation_ratio
+        |FROM c, tot ORDER BY variance DESC, dim""".stripMargin,
+    // epoch-aligned weekly counts + lag against the previous OBSERVED week
+    "ev_wow_growth" ->
+      """WITH wk AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT week, event_type, n,
+        |             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |      FROM wk)
+        |SELECT week, event_type, n, prev_n,
+        |       CASE WHEN prev_n IS NOT NULL
+        |            THEN round(CAST(n - prev_n AS DOUBLE) / prev_n, 6) END AS growth
+        |FROM l ORDER BY week, event_type""".stripMargin,
+    // distinct (source, shingle) vocabulary → cross-source spread →
+    // per-source unique-content share
+    "dedup_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |shl AS (SELECT doc_id, source,
+        |               list_distinct(CASE WHEN len(ws) >= 5
+        |                 THEN list_transform(range(0, len(ws)-4),
+        |                        i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
+        |                 ELSE [] END) AS shs
+        |        FROM w),
+        |ss AS (SELECT DISTINCT source, unnest(shs) AS sh FROM shl),
+        |sp AS (SELECT sh, count(*) AS n_sources FROM ss GROUP BY 1)
+        |SELECT source, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |       round(CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS novelty
+        |FROM ss JOIN sp USING (sh)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

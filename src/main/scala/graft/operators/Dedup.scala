@@ -1019,6 +1019,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-source shingle novelty: how much of each source's distinct
+    * k-shingle vocabulary appears in NO other source — the "does this
+    * crawl add new content or re-serve the others" measurement that
+    * ranks acquisition value before mix weighting (complement of
+    * [[crossSourceNearDups]]: that scores pairwise mirroring at
+    * document level, this scores corpus-level content novelty).
+    * Distinct (source, shingle) rows are the only fact-sized shuffle
+    * (shingle-keyed, like the jaccard join); the spread count and
+    * rollup are vocabulary-sized.
+    */
+  def ngramNovelty(documents: DataFrame, shingleK: Int = 5): DataFrame = {
+    val srcSh = explodedShingles(documents, shingleK)
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), col("sh"))
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select("source", "sh").distinct()
+    val spread = srcSh.groupBy("sh").agg(count(lit(1)).as("n_sources"))
+    srcSh.join(spread, Seq("sh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6).as("novelty"))
+      .orderBy("source")
+  }
+
   /** LSH band-plan sweep: for every (bands b, rows-per-band r) split
     * of an `nHashes`-hash MinHash signature, the s-curve candidate
     * probability P(pair surfaces) = 1 − (1 − j^r)^b at each planted

@@ -1204,6 +1204,29 @@ object EventOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** Week-over-week growth per event type: epoch-aligned weekly
+    * counts with the previous OBSERVED week's count and the relative
+    * change — the growth-accounting series next to
+    * [[newVsReturning]]'s user-level split (this is volume-level).
+    * Weeks with no events for a type simply don't appear, so `growth`
+    * compares against the last week that did (documented semantics —
+    * gap-fill with [[gapFilledHourlyCounts]]'s pattern if zeros are
+    * wanted). One map-side-combined weekly aggregate + a
+    * type-partitioned lag.
+    */
+  def wowGrowth(events: DataFrame): DataFrame = {
+    val weekly = withTsUs(events)
+      .select(tsBucket(604800000000L).as("week"), col("event_type"))
+      .groupBy("week", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly.withColumn("prev_n", lag("n", 1).over(w))
+      .select(col("week"), col("event_type"), col("n"), col("prev_n"),
+        when(col("prev_n").isNotNull,
+          round((col("n") - col("prev_n")).cast("double") / col("prev_n"), 6))
+          .as("growth"))
+      .orderBy("week", "event_type")
+  }
+
   /** (offset, decay^offset) pairs by repeated multiplication —
     * exact per step for dyadic decays; the single weight definition
     * shared by [[ewmaDaily]] and its literal-unrolled oracle SQL.

@@ -738,6 +738,35 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** Effective dimensionality: per-coordinate variance with its share
+    * of total variance, the cumulative share in descending-variance
+    * order ("how many dims hold 90%"), and the participation ratio
+    * (Σλ)²/Σλ² — the axis-aligned screen run before paying for
+    * [[randomProjection]] / [[truncatedDimRecall]] experiments (if 10
+    * of 64 dims hold the variance, truncation is nearly free; PR ≈ 64
+    * says don't bother). Axis-aligned variance, not PCA — the
+    * covariance-free one-pass version ([[topComponent]] finds the
+    * rotated direction when this screen says it exists).
+    * One posexplode aggregate (dims-keyed); totals ride a 1-row
+    * broadcast; the cumulative window runs on the 64-row dim table.
+    */
+  def effectiveDims(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vars = embeddings
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy("dim").agg(var_pop(col("x")).as("v"))
+    val tot = vars.agg(sum("v").as("tv"), sum(col("v") * col("v")).as("tv2"))
+    val w = Window.orderBy(col("v").desc, col("dim"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vars.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("v").over(w))
+      .select(col("dim"), round(col("v"), 9).as("variance"),
+        round(col("v") / col("tv"), 6).as("var_share"),
+        round(col("cum") / col("tv"), 6).as("cum_share"),
+        round(col("tv") * col("tv") / col("tv2"), 4).as("participation_ratio"))
+      .orderBy(col("variance").desc, col("dim"))
+  }
+
   /** Per-vector label margin: similarity to the OWN label's centroid
     * minus the best similarity to any OTHER label's centroid — the
     * separability audit behind hard-negative mining and

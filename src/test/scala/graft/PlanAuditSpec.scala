@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_cell_balance",          // corpus × broadcast 16 centroids; cell-count table × 1-row total
     "sim_label_margin",          // corpus streams × broadcast label-count-sized centroid table
     "sim_probe_sweep",           // corpus × broadcast query/centroid sets; candidates × broadcast 4-row levels grid
-    "sim_trunc_recall"           // corpus streams × broadcast(nQueries=10 vectors), both top-k legs
+    "sim_trunc_recall",          // corpus streams × broadcast(nQueries=10 vectors), both top-k legs
+    "sim_effective_dims"         // 64-row per-dim variance table × 1-row (tv, tv2) broadcast scalar
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate
@@ -69,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_mix_resample", // broadcasts text_mix_weights' |langs|-row table; same window
     "text_vocab_growth", // cumulative sums over the BUCKET table (nBuckets rows)
     "text_heaps_fit",    // regression over the same nBuckets-row growth table
-    "text_zipf_slope"    // ranking window input is the limit(topN=1000) frequency head
+    "text_zipf_slope",   // ranking window input is the limit(topN=1000) frequency head
+    "sim_effective_dims" // cumulative window over the 64-row per-dim variance aggregate
   )
 
   private def windowPartitionSpecs(

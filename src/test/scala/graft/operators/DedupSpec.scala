@@ -405,6 +405,17 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, "one two three four")), out.mkString(","))
   }
 
+  test("ngramNovelty: shared shingles are not novel, short docs contribute nothing") {
+    val d = Seq(
+      (1L, "a b c d e f", "s1"),  // shingles: "a b c d e"(shared), "b c d e f"(unique)
+      (2L, "a b c d e x", "s2"),  // shingles: "a b c d e"(shared), "b c d e x"(unique)
+      (3L, "too short", "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.ngramNovelty(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("s1", 2L, 1L, 0.5), ("s2", 2L, 1L, 0.5)), out.toSeq.toString)
+  }
+
   test("lexicalVsSemantic: template pairs split by embedding agreement; uncovered pairs drop") {
     val t1 = "one two three four five six seven"
     val t2 = "alpha beta gamma delta epsilon zeta eta"

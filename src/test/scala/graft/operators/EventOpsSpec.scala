@@ -579,6 +579,24 @@ class EventOpsSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("wowGrowth: growth vs previous OBSERVED week, null on the first week") {
+    val weekUs = 604800000000L
+    val rows = Seq((0L, 2), (1L, 4), (3L, 1)).flatMap { case (wk, n) =>
+      (0 until n).map(i => (wk * weekUs + i * 1000000L, 1L, "a")) }
+    val events = rows.zipWithIndex
+      .map { case ((us, u, t), id) => (id.toLong, us, u, t) }
+      .toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id", "event_type")
+    val out = EventOps.wowGrowth(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.toSeq == Seq(
+      (0L, 2L, None, None),
+      (1L, 4L, Some(2L), Some(1.0)),
+      (3L, 1L, Some(4L), Some(-0.75))), out.toSeq.toString)
+  }
+
   test("userOverlapAcrossTypes: pairwise audience Jaccard, zero-overlap pairs restored") {
     val events = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (2L, "a"), // dup pair collapses

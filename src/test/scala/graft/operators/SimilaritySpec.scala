@@ -382,6 +382,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 0L, 1L, 1, 0.5), (2, 0L, 4L, 2, 1.0)), out.toSeq.toString)
   }
 
+  test("effectiveDims: one-hot variance → PR 1, even split → PR 2, cumulative shares ordered") {
+    val oneHot = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(4.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val o = Similarity.effectiveDims(oneHot).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(o.toSeq == Seq(
+      (0, 2.666666667, 1.0, 1.0, 1.0), (1, 0.0, 0.0, 1.0, 1.0)), o.toSeq.toString)
+    val even = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.0f)), (3L, Array(0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val e = Similarity.effectiveDims(even).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(e.toSeq == Seq(
+      (0, 0.5, 0.5, 0.5, 2.0), (1, 0.5, 0.5, 1.0, 2.0)), e.toSeq.toString)
+  }
+
   test("ivfCellBalance: cell counts, shares, and load factors on a planted 2-cell split") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),  // seed 0
