@@ -167,7 +167,8 @@ object Graph {
                 checkpoint: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val edges = checkpoint(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct()) // duplicate pair rows must not inflate degrees
     var alive = edges.select(col("src").as("node")).distinct()
     var peeledParts = List.empty[DataFrame]
     for (r <- 1 to rounds) {

@@ -167,4 +167,25 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(c1.keySet == c5.keySet)
     c1.foreach { case (cell, n) => assert(c5(cell) == 5 * n, s"cell $cell") }
   }
+
+  test("shingle novelty is invariant under within-source duplication") {
+    // duplicating documents INSIDE their sources adds no new distinct
+    // (source, shingle) rows — novelty must not move (catches any
+    // accidental dependence on doc counts rather than vocabulary)
+    val d1 = docs1
+    val d2 = docs1.union(docs1.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      .repartition(16)
+    val n1 = operators.Dedup.ngramNovelty(d1).collect().toSeq
+    val n2 = operators.Dedup.ngramNovelty(d2).collect().toSeq
+    assert(n1 == n2)
+  }
+
+  test("kCorePeel is invariant under duplicated edge rows") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val once = g.toDF("doc_a", "doc_b")
+    val thrice = (g ++ g ++ g).toDF("doc_a", "doc_b").repartition(8)
+    val r1 = operators.Graph.kCorePeel(once).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val r3 = operators.Graph.kCorePeel(thrice).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(r1 == r3)
+  }
 }
