@@ -278,6 +278,9 @@ object SparkEntry {
     "sim_effective_dims" -> ((s, d) => Similarity.effectiveDims(Tables.embeddings(s, d))),
     "ev_wow_growth" -> ((s, d) => EventOps.wowGrowth(Tables.events(s, d))),
     "dedup_ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(Tables.documents(s, d))),
+    "text_temperature_weights" -> ((s, d) =>
+      TextAnalysis.temperatureWeights(Tables.documents(s, d))),
+    "ev_path_conversion" -> ((s, d) => EventOps.pathConversion(Tables.events(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1766,6 +1769,46 @@ object SparkEntry {
         |             / count(*), 6) AS novelty
         |FROM ss JOIN sp USING (sh)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // τ=2 temperature scaling: q ∝ √p — sqrt is correctly-rounded
+    // IEEE in both engines, so no pow() parity risk
+    "text_temperature_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total FROM c),
+        |p AS (SELECT source, n_docs,
+        |             CAST(n_docs AS DOUBLE) / total AS p,
+        |             sqrt(CAST(n_docs AS DOUBLE) / total) AS sp
+        |      FROM c, t),
+        |z AS (SELECT sum(sp) AS z FROM p)
+        |SELECT source, n_docs, round(p, 6) AS p,
+        |       round(sp / z, 6) AS q,
+        |       round(sp / z / p, 4) AS upsample
+        |FROM p, z ORDER BY source""".stripMargin,
+    // session chain + per-session purchase flag folded into the same
+    // grouping as ev_session_paths
+    "ev_path_conversion" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sess AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |         array_to_string(list(event_type ORDER BY ts_us, event_type)[1:3], '>') AS path,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions,
+        |       CAST(sum(has_purchase) AS BIGINT) AS n_converted,
+        |       round(CAST(sum(has_purchase) AS DOUBLE) / count(*), 6) AS conversion
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

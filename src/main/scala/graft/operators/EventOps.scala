@@ -1088,6 +1088,30 @@ object EventOps {
       .orderBy(desc("n_sessions"), col("path"))
       .limit(topK)
 
+  /** Conversion rate per opening session path: [[sessionPaths]]'s
+    * entry n-gram table with each path's purchase rate — "which ways
+    * of arriving convert" (onboarding flows that never convert are
+    * either broken funnels or bot entry points; cross-check the
+    * latter with [[userBurstiness]]). Same single session-kernel
+    * aggregate — the purchase flag folds into the existing groupBy,
+    * so this costs nothing over the path count alone.
+    */
+  def pathConversion(events: DataFrame, gapMinutes: Int = 30, depth: Int = 3,
+                     topK: Int = 20): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .groupBy("user_id", "session_id")
+      .agg(array_sort(collect_list(struct(col("ts_us"), col("event_type")))).as("steps"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+      .select(concat_ws(">",
+        expr(s"transform(slice(steps, 1, $depth), s -> s.event_type)")).as("path"),
+        col("has_purchase"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"), sum("has_purchase").as("n_converted"))
+      .select(col("path"), col("n_sessions"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_sessions"), 6).as("conversion"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(topK)
+
   /** Seasonality-aware traffic anomalies: hourly totals scored
     * against the median/MAD of THEIR OWN hour-of-week slot — the
     * detector that doesn't page on every Monday morning

@@ -1375,6 +1375,31 @@ object TextAnalysis {
       .orderBy("dimension")
   }
 
+  /** Temperature-scaled sampling weights (τ = 2): q_s ∝ √p_s over
+    * the per-source document shares — the standard multilingual/
+    * multi-source upsampling rule (Conneau & Lample 2019 §3.1;
+    * T5/mC4 use the same family) that lifts small sources without
+    * letting any source dominate. τ = 2 keeps both engines exact:
+    * √ is correctly rounded IEEE everywhere, no pow() anywhere.
+    * `upsample` = q/p says how much hotter each source samples than
+    * its natural rate — feed it to [[mixResample]]. Two aggregates
+    * over a sources-sized table; scalars ride 1-row broadcasts.
+    */
+  def temperatureWeights(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("total"))
+    val p = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total")).as("p"),
+        sqrt(col("n_docs").cast("double") / col("total")).as("sp"))
+    val z = p.agg(sum("sp").as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), round(col("p"), 6).as("p"),
+        round(col("sp") / col("z"), 6).as("q"),
+        round(col("sp") / col("z") / col("p"), 4).as("upsample"))
+      .orderBy("source")
+  }
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

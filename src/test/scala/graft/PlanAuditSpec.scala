@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_label_margin",          // corpus streams × broadcast label-count-sized centroid table
     "sim_probe_sweep",           // corpus × broadcast query/centroid sets; candidates × broadcast 4-row levels grid
     "sim_trunc_recall",          // corpus streams × broadcast(nQueries=10 vectors), both top-k legs
-    "sim_effective_dims"         // 64-row per-dim variance table × 1-row (tv, tv2) broadcast scalar
+    "sim_effective_dims",        // 64-row per-dim variance table × 1-row (tv, tv2) broadcast scalar
+    "text_temperature_weights"   // sources-sized table × two 1-row broadcast scalars (total, Z)
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

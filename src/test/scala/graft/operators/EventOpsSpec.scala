@@ -579,6 +579,25 @@ class EventOpsSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("pathConversion: purchase anywhere in the session converts its opening path") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase"),
+      (4L, "2024-01-01 10:00:00", 2L, "view"),
+      (5L, "2024-01-01 10:01:00", 2L, "click"),
+      (6L, "2024-01-01 10:00:00", 3L, "view"),
+      (7L, "2024-01-01 10:01:00", 3L, "click"),
+      (8L, "2024-01-01 10:02:00", 3L, "view"),
+      (9L, "2024-01-01 10:03:00", 3L, "purchase")) // beyond depth-3 but still converts
+    val out = EventOps.pathConversion(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("view>click", 1L, 0L, 0.0),
+      ("view>click>purchase", 1L, 1L, 1.0),
+      ("view>click>view", 1L, 1L, 1.0)), out.toSeq.toString)
+  }
+
   test("wowGrowth: growth vs previous OBSERVED week, null on the first week") {
     val weekUs = 604800000000L
     val rows = Seq((0L, 2), (1L, 4), (3L, 1)).flatMap { case (wk, n) =>

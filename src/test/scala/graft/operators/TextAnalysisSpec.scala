@@ -570,6 +570,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
   }
 
+  test("temperatureWeights: sqrt scaling lifts the small source, weights sum to one") {
+    val d = ((1 to 9).map(i => (i.toLong, "s1")) :+ (10L, "s2"))
+      .toDF("doc_id", "source")
+    val out = TextAnalysis.temperatureWeights(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val (sa, sb) = (math.sqrt(0.9), math.sqrt(0.1))
+    val z = sa + sb
+    assert(out("s1") == ((9L, 0.9, r6(sa / z), r4(sa / z / 0.9))), out("s1").toString)
+    assert(out("s2") == ((1L, 0.1, r6(sb / z), r4(sb / z / 0.1))), out("s2").toString)
+    // τ=2 softens: the big source samples cooler, the small one hotter
+    assert(out("s1")._3 < 0.9 && out("s2")._3 > 0.1)
+  }
+
   test("mixDiversity: single-valued dimension degenerates to zero entropy, even split to ln 2") {
     val d = Seq(
       (1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s2"), (4L, "en", "s2")
