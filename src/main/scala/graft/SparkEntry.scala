@@ -281,6 +281,10 @@ object SparkEntry {
     "text_temperature_weights" -> ((s, d) =>
       TextAnalysis.temperatureWeights(Tables.documents(s, d))),
     "ev_path_conversion" -> ((s, d) => EventOps.pathConversion(Tables.events(s, d))),
+    "ev_cohort_ltv" -> ((s, d) => EventOps.cohortLtv(Tables.events(s, d))),
+    "sim_coverage" -> ((s, d) =>
+      Similarity.embeddingCoverage(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "dedup_shingle_df_hist" -> ((s, d) => Dedup.shingleDfHistogram(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1809,6 +1813,51 @@ object SparkEntry {
         |       round(CAST(sum(has_purchase) AS DOUBLE) / count(*), 6) AS conversion
         |FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // first-seen-week cohorts × week offsets; cumulative over the
+    // ROUNDED weekly cells in deterministic offset order
+    "ev_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_type, value FROM events),
+        |w AS (SELECT user_id, ts_us - ts_us % 604800000000 AS week_us,
+        |             event_type, value FROM e),
+        |fs AS (SELECT user_id, min(week_us) AS cohort_us FROM w GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort_us,
+        |         CAST((week_us - cohort_us) // 604800000000 AS BIGINT) AS week_offset,
+        |         count(*) AS n_purchases, round(sum(value), 4) AS week_value
+        |  FROM w JOIN fs USING (user_id)
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT cohort_us, week_offset, n_purchases, week_value,
+        |       round(sum(week_value) OVER (PARTITION BY cohort_us ORDER BY week_offset
+        |             ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+        |FROM cells ORDER BY 1, 2""".stripMargin,
+    "sim_coverage" ->
+      """SELECT d.source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_with_vec,
+        |       round(CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS coverage
+        |FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // distinct (doc, shingle) → df per shingle → binary-digit buckets
+    "dedup_shingle_df_hist" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |shl AS (SELECT doc_id,
+        |               list_distinct(CASE WHEN len(ws) >= 5
+        |                 THEN list_transform(range(0, len(ws)-4),
+        |                        i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
+        |                 ELSE [] END) AS shs
+        |        FROM w),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS bucket FROM df),
+        |tot AS (SELECT count(*) AS n_total FROM b)
+        |SELECT bucket,
+        |       CAST(1 AS BIGINT) << bucket AS lo_df,
+        |       (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_df,
+        |       count(*) AS n_shingles,
+        |       round(CAST(count(*) AS DOUBLE) / any_value(n_total), 6) AS share
+        |FROM b, tot GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

@@ -1045,6 +1045,32 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Shingle document-frequency histogram (log₂ buckets): how many
+    * distinct 5-shingles occur in 1 doc, 2–3, 4–7, … — the
+    * calibration table for the `maxDf` caps on [[ngramJaccardPairs]]
+    * and [[Dedup]]'s other df-capped joins (the join cost is
+    * Σ min(df, maxDf)², so this histogram IS the cost model: read it,
+    * pick the cap at the knee, know exactly what pair mass you
+    * dropped). Distinct (doc, shingle) → df per shingle →
+    * binary-digit bucket; all shuffles are shingle- or bucket-keyed.
+    */
+  def shingleDfHistogram(documents: DataFrame, shingleK: Int = 5): DataFrame = {
+    val df = explodedShingles(documents, shingleK)
+      .filter(col("sh").isNotNull)
+      .select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val b = df.select((length(expr("bin(df)")) - 1).cast("int").as("bucket"))
+    val totals = b.agg(count(lit(1)).as("n_total"))
+    b.groupBy("bucket").agg(count(lit(1)).as("n_shingles"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("lo_df"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").as("hi_df"),
+        col("n_shingles"),
+        round(col("n_shingles").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy("bucket")
+  }
+
   /** LSH band-plan sweep: for every (bands b, rows-per-band r) split
     * of an `nHashes`-hash MinHash signature, the s-curve candidate
     * probability P(pair surfaces) = 1 − (1 − j^r)^b at each planted

@@ -1112,6 +1112,33 @@ object EventOps {
       .orderBy(desc("n_sessions"), col("path"))
       .limit(topK)
 
+  /** Cohort lifetime value: for each weekly signup cohort (first-seen
+    * week) and week offset, the purchase value added that week and
+    * the cumulative LTV — [[cohortMatrix]]'s revenue-weighted sibling
+    * and the payback-period table behind acquisition-spend decisions.
+    * First-seen weeks ride the per-user min aggregate (one shuffle on
+    * user_id, shared shape with [[newVsReturning]]); the cumulative
+    * sum windows over the cohort × offset matrix, which is
+    * weeks²-sized — post-aggregate scale at any corpus size.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val weekUs = 604800000000L
+    val e = withTsUs(events)
+      .select(col("user_id"), (col("ts_us") - pmod(col("ts_us"), lit(weekUs)))
+        .as("week_us"), col("event_type"), col("value"))
+    val firstSeen = e.groupBy("user_id").agg(min("week_us").as("cohort_us"))
+    val cells = e.join(firstSeen, Seq("user_id"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("cohort_us"),
+        ((col("week_us") - col("cohort_us")) / weekUs).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 4).as("week_value"))
+    val w = Window.partitionBy("cohort_us").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_value", round(sum("week_value").over(w), 4))
+      .orderBy("cohort_us", "week_offset")
+  }
+
   /** Seasonality-aware traffic anomalies: hourly totals scored
     * against the median/MAD of THEIR OWN hour-of-week slot — the
     * detector that doesn't page on every Monday morning

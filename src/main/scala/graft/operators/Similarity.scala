@@ -767,6 +767,28 @@ object Similarity {
       .orderBy(col("variance").desc, col("dim"))
   }
 
+  /** Embedding coverage per source: how many of each source's
+    * documents actually HAVE a vector in the embeddings table — the
+    * pipeline-completeness audit run before any embedding-based
+    * curation decision (a dedup/quality pass that silently skips the
+    * 60% of a source the embedder never processed is biased exactly
+    * where it's blind; `dedup_lex_vs_sem`'s inner joins make that
+    * coverage dependence explicit). One left semi-ish join on the id
+    * (broadcast the id projection if the embedding table is the
+    * smaller side, as here) + a sources-sized rollup.
+    */
+  def embeddingCoverage(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    val withVec = documents.select(col("doc_id"), col("source"))
+      .join(embeddings.select(col("vec_id").as("doc_id"), lit(1L).as("has_vec")),
+        Seq("doc_id"), "left_outer")
+    withVec.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("has_vec"), lit(0L)).as("n_with_vec"))
+      .select(col("source"), col("n_docs"), col("n_with_vec"),
+        round(col("n_with_vec").cast("double") / col("n_docs"), 6).as("coverage"))
+      .orderBy("source")
+  }
+
   /** Per-vector label margin: similarity to the OWN label's centroid
     * minus the best similarity to any OTHER label's centroid — the
     * separability audit behind hard-negative mining and

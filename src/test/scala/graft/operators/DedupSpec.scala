@@ -405,6 +405,14 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, "one two three four")), out.mkString(","))
   }
 
+  test("shingleDfHistogram: df buckets at binary edges with shares") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "x y z w v")
+    val out = Dedup.shingleDfHistogram(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // "a b c d e" appears in 2 docs (bucket 1 = df 2–3); "x y z w v" in 1 (bucket 0)
+    assert(out.toSeq == Seq((0, 1L, 1L, 1L, 0.5), (1, 2L, 3L, 1L, 0.5)), out.toSeq.toString)
+  }
+
   test("ngramNovelty: shared shingles are not novel, short docs contribute nothing") {
     val d = Seq(
       (1L, "a b c d e f", "s1"),  // shingles: "a b c d e"(shared), "b c d e f"(unique)

@@ -598,6 +598,26 @@ class EventOpsSpec extends SparkSpec {
       ("view>click>view", 1L, 1L, 1.0)), out.toSeq.toString)
   }
 
+  test("cohortLtv: cohorts by first-seen week (any event), cumulative value per offset") {
+    val weekUs = 604800000000L
+    val raw = Seq(
+      (1L, 0L * weekUs + 1000000L, "purchase", 10.0),
+      (1L, 2L * weekUs + 1000000L, "purchase", 5.0),
+      (2L, 0L * weekUs + 2000000L, "view", 0.0),      // cohort 0 via a non-purchase
+      (2L, 1L * weekUs + 1000000L, "purchase", 2.0),
+      (3L, 1L * weekUs + 3000000L, "purchase", 7.0))
+    val events = raw.zipWithIndex.map { case ((u, us, t, v), id) => (id.toLong, us, u, t, v) }
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id", "event_type", "value")
+    val out = EventOps.cohortLtv(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1L, 10.0, 10.0),
+      (0L, 1L, 1L, 2.0, 12.0),
+      (0L, 2L, 1L, 5.0, 17.0),
+      (weekUs, 0L, 1L, 7.0, 7.0)), out.toSeq.toString)
+  }
+
   test("wowGrowth: growth vs previous OBSERVED week, null on the first week") {
     val weekUs = 604800000000L
     val rows = Seq((0L, 2), (1L, 4), (3L, 1)).flatMap { case (wk, n) =>

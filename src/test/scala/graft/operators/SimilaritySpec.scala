@@ -382,6 +382,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 0L, 1L, 1, 0.5), (2, 0L, 4L, 2, 1.0)), out.toSeq.toString)
   }
 
+  test("embeddingCoverage: per-source coverage of the embeddings table") {
+    val d = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("doc_id", "source")
+    val e = Seq((1L, Array(1.0f)), (3L, Array(1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingCoverage(d, e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("s1", 2L, 1L, 0.5), ("s2", 1L, 1L, 1.0)), out.toSeq.toString)
+  }
+
   test("effectiveDims: one-hot variance → PR 1, even split → PR 2, cumulative shares ordered") {
     val oneHot = Seq(
       (0L, Array(0.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(4.0f, 0.0f))
