@@ -285,6 +285,9 @@ object SparkEntry {
     "sim_coverage" -> ((s, d) =>
       Similarity.embeddingCoverage(Tables.documents(s, d), Tables.embeddings(s, d))),
     "dedup_shingle_df_hist" -> ((s, d) => Dedup.shingleDfHistogram(Tables.documents(s, d))),
+    "ev_activity_streaks" -> ((s, d) => EventOps.activityStreaks(Tables.events(s, d))),
+    "ev_purchase_cadence" -> ((s, d) => EventOps.purchaseCadence(Tables.events(s, d))),
+    "text_common_openings" -> ((s, d) => TextAnalysis.commonOpenings(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1858,6 +1861,41 @@ object SparkEntry {
         |       count(*) AS n_shingles,
         |       round(CAST(count(*) AS DOUBLE) / any_value(n_total), 6) AS share
         |FROM b, tot GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gaps-and-islands: island id = day − row_number, no self-join
+    "ev_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |           FROM events),
+        |g AS (SELECT user_id, day,
+        |             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d),
+        |runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks,
+        |       CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // consecutive-purchase gaps per user → one-row cadence report
+    "ev_purchase_cadence" ->
+      """WITH p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |l AS (SELECT user_id, ts_us,
+        |             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us
+        |      FROM p),
+        |gp AS (SELECT user_id, ts_us - prev_us AS gap_us FROM l WHERE prev_us IS NOT NULL)
+        |SELECT count(*) AS n_gaps,
+        |       count(DISTINCT user_id) AS n_repeat_buyers,
+        |       quantile_cont(gap_us, 0.5) AS p50_gap_us,
+        |       quantile_cont(gap_us, 0.9) AS p90_gap_us,
+        |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+        |FROM gp""".stripMargin,
+    // first-k-words prefix rollup with source spread, global top-20
+    "text_common_openings" ->
+      """WITH o AS (SELECT source,
+        |                  array_to_string(string_split(text, ' ')[1:5], ' ') AS opening,
+        |                  len(string_split(text, ' ')) AS n_words
+        |           FROM documents)
+        |SELECT opening, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+        |FROM o WHERE n_words >= 5
+        |GROUP BY 1 ORDER BY n_docs DESC, opening LIMIT 20""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

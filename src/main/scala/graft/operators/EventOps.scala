@@ -1139,6 +1139,52 @@ object EventOps {
       .orderBy("cohort_us", "week_offset")
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands computation (island id = day − row_number, so
+    * consecutive days share one id with NO self-join), the
+    * engagement-habit metric next to [[userLifecycle]]'s totals.
+    * Distinct (user, day) first — the shuffle carries one row per
+    * user-day — then one user-partitioned window and two keyed
+    * aggregates, all on the same user-hash exchange.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = withTsUs(events)
+      .select(col("user_id"), tsBucket(86400000000L).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("max_streak"), count(lit(1)).as("n_streaks"),
+        sum("len").as("n_active_days"))
+      .orderBy("user_id")
+  }
+
+  /** Purchase cadence: percentiles of the gap between a user's
+    * consecutive PURCHASES (not all events — that's
+    * [[userGapStats]]) plus repeat-buyer counts — the
+    * replenishment-cycle report behind reorder nudges and demand
+    * forecasts. One purchase-filtered user window; the rollup is a
+    * single row.
+    */
+  def purchaseCadence(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val gaps = withTsUs(events)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"), (col("ts_us") - col("prev_us")).as("gap_us"))
+    gaps.agg(
+      count(lit(1)).as("n_gaps"),
+      countDistinct("user_id").as("n_repeat_buyers"),
+      percentile(col("gap_us"), lit(0.5)).as("p50_gap_us"),
+      percentile(col("gap_us"), lit(0.9)).as("p90_gap_us"),
+      min("gap_us").as("min_gap_us"),
+      max("gap_us").as("max_gap_us"))
+  }
+
   /** Seasonality-aware traffic anomalies: hourly totals scored
     * against the median/MAD of THEIR OWN hour-of-week slot — the
     * detector that doesn't page on every Monday morning

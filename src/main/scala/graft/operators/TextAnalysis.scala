@@ -1400,6 +1400,25 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Common document openings: the most frequent first-`k`-words
+    * prefixes with the number of documents and sources sharing them —
+    * the boilerplate-header detector ("Terms of Service", navigation
+    * preambles, OCR cover pages) that feeds prefix-strip rules before
+    * dedup inflates those shared openings into giant near-dup
+    * clusters. Map-only prefix extraction (slice of the split array),
+    * one prefix-keyed aggregate, global top-k via TakeOrdered.
+    */
+  def commonOpenings(documents: DataFrame, k: Int = 5, topN: Int = 20): DataFrame =
+    documents
+      .select(col("source"),
+        concat_ws(" ", slice(split(col("text"), " ", -1), 1, k)).as("opening"),
+        size(split(col("text"), " ", -1)).as("n_words"))
+      .filter(col("n_words") >= k)
+      .groupBy("opening")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"))
+      .orderBy(desc("n_docs"), col("opening"))
+      .limit(topN)
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

@@ -598,6 +598,35 @@ class EventOpsSpec extends SparkSpec {
       ("view>click>view", 1L, 1L, 1.0)), out.toSeq.toString)
   }
 
+  test("activityStreaks: islands of consecutive days, multiple events per day collapse") {
+    val events = ev(
+      (1L, "2024-01-05 10:00:00", 1L, "view"),
+      (2L, "2024-01-05 18:00:00", 1L, "view"), // same day collapses
+      (3L, "2024-01-06 10:00:00", 1L, "view"),
+      (4L, "2024-01-07 10:00:00", 1L, "view"),
+      (5L, "2024-01-10 10:00:00", 1L, "view"), // gap → second streak
+      (6L, "2024-01-05 10:00:00", 2L, "view"))
+    val out = EventOps.activityStreaks(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 4L), (2L, 1L, 1L, 1L)), out.toSeq.toString)
+  }
+
+  test("purchaseCadence: gaps between consecutive purchases only; single buyers contribute none") {
+    val events = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "purchase"),
+      (2L, "2024-01-01 02:00:00", 1L, "purchase"),
+      (3L, "2024-01-01 06:00:00", 1L, "purchase"),
+      (4L, "2024-01-01 03:00:00", 1L, "view"),     // non-purchase ignored
+      (5L, "2024-01-01 00:00:00", 2L, "purchase"), // single purchase: no gap
+      (6L, "2024-01-01 01:00:00", 3L, "view"))
+    val r = EventOps.purchaseCadence(events).collect().head
+    val h = 3600000000L
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 1L)))
+    assert(r.getDouble(2) == 3.0 * h)          // p50 of (2h, 4h)
+    assert(r.getDouble(3) == 3.8 * h)          // p90 interpolated
+    assert((r.getLong(4), r.getLong(5)) == ((2L * h, 4L * h)))
+  }
+
   test("cohortLtv: cohorts by first-seen week (any event), cumulative value per offset") {
     val weekUs = 604800000000L
     val raw = Seq(

@@ -570,6 +570,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
   }
 
+  test("commonOpenings: shared prefixes counted with source spread, short docs skipped") {
+    val d = Seq(
+      (1L, "a b c d e f", "s1"),
+      (2L, "a b c d e x", "s2"),
+      (3L, "z z z z z", "s1"),
+      (4L, "u v", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.commonOpenings(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a b c d e", 2L, 2L), ("z z z z z", 1L, 1L)), out.toSeq.toString)
+  }
+
   test("temperatureWeights: sqrt scaling lifts the small source, weights sum to one") {
     val d = ((1 to 9).map(i => (i.toLong, "s1")) :+ (10L, "s2"))
       .toDF("doc_id", "source")
