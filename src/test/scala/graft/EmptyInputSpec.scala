@@ -175,5 +175,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.lshBandPlan(spark).count() == 35) // generated grid, input-free
     assert(Graph.kCorePeel(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
     assert(Multimodal.modalityMix(noDocs).count() == 0)
+    assert(Similarity.effectiveDims(noEmb).count() == 0)
+    assert(Similarity.embeddingCoverage(noDocs, noEmb).count() == 0)
+    assert(EventOps.wowGrowth(noEvents).count() == 0)
+    assert(EventOps.pathConversion(noEvents).count() == 0)
+    assert(EventOps.cohortLtv(noEvents).count() == 0)
+    assert(EventOps.activityStreaks(noEvents).count() == 0)
+    // one-row cadence report with zero gaps
+    assert(EventOps.purchaseCadence(noEvents).collect().head.getLong(0) == 0L)
+    assert(Dedup.ngramNovelty(noDocs).count() == 0)
+    assert(Dedup.shingleDfHistogram(noDocs).count() == 0)
+    assert(TextAnalysis.temperatureWeights(noDocs).count() == 0)
+    assert(TextAnalysis.commonOpenings(noDocs).count() == 0)
   }
 }
