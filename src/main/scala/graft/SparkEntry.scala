@@ -288,6 +288,8 @@ object SparkEntry {
     "ev_activity_streaks" -> ((s, d) => EventOps.activityStreaks(Tables.events(s, d))),
     "ev_purchase_cadence" -> ((s, d) => EventOps.purchaseCadence(Tables.events(s, d))),
     "text_common_openings" -> ((s, d) => TextAnalysis.commonOpenings(Tables.documents(s, d))),
+    "ev_user_features" -> ((s, d) => EventOps.userFeatures(Tables.events(s, d))),
+    "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(Tables.events(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1896,6 +1898,54 @@ object SparkEntry {
         |SELECT opening, count(*) AS n_docs, count(DISTINCT source) AS n_sources
         |FROM o WHERE n_words >= 5
         |GROUP BY 1 ORDER BY n_docs DESC, opening LIMIT 20""".stripMargin,
+    // one wide feature row per user: the proven lifecycle / entropy /
+    // burstiness / streak CTE chains left-joined from the lifecycle
+    // universe (sub-threshold users keep NULL cv, never drop)
+    "ev_user_features" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |life AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         count(DISTINCT ts_us // 86400000000) AS active_days,
+        |         round(CAST(count(*) AS DOUBLE) /
+        |               count(DISTINCT ts_us // 86400000000), 4) AS events_per_active_day
+        |  FROM e GROUP BY 1),
+        |tc AS (SELECT user_id, event_type, count(*) AS c FROM e GROUP BY 1, 2),
+        |ent AS (SELECT user_id, count(*) AS n_types,
+        |               round(ln(sum(c)) - sum(CAST(c AS DOUBLE) * ln(c)) / sum(c), 6)
+        |                 AS type_entropy
+        |        FROM tc GROUP BY 1),
+        |gaps AS (
+        |  SELECT user_id,
+        |         CAST(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS DOUBLE)
+        |           AS gap_us
+        |  FROM e),
+        |bs AS (SELECT user_id, count(*) AS n_gaps, avg(gap_us) AS mean_gap,
+        |              stddev_samp(gap_us) AS sd_gap
+        |       FROM gaps WHERE gap_us IS NOT NULL GROUP BY 1),
+        |burst AS (SELECT user_id, round(sd_gap / mean_gap, 6) AS burstiness_cv
+        |          FROM bs WHERE n_gaps >= 2 AND mean_gap > 0),
+        |d AS (SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM e),
+        |g AS (SELECT user_id,
+        |             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d),
+        |runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2),
+        |st AS (SELECT user_id, max(len) AS max_streak FROM runs GROUP BY 1)
+        |SELECT life.user_id, life.n_events, life.active_days, life.events_per_active_day,
+        |       ent.n_types, ent.type_entropy, burst.burstiness_cv, st.max_streak
+        |FROM life LEFT JOIN ent USING (user_id) LEFT JOIN burst USING (user_id)
+        |LEFT JOIN st USING (user_id)
+        |ORDER BY life.user_id""".stripMargin,
+    // same-hour-last-week naive baseline, one-row MAE/MAPE report
+    "ev_forecast_backtest" ->
+      """WITH h AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT a.n, b.n AS n_pred FROM h a JOIN h b ON a.hour_idx = b.hour_idx + 168)
+        |SELECT count(*) AS n_hours,
+        |       round(avg(CAST(abs(n - n_pred) AS DOUBLE)), 4) AS mae,
+        |       round(avg(CAST(abs(n - n_pred) AS DOUBLE) / n), 6) AS mape
+        |FROM j""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

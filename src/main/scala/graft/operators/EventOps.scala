@@ -1185,6 +1185,53 @@ object EventOps {
       max("gap_us").as("max_gap_us"))
   }
 
+  /** Per-user training-feature assembly: ONE wide row per user
+    * joining the proven per-user diagnostics — lifecycle totals
+    * ([[userLifecycle]]), behavioral entropy ([[userTypeEntropy]]),
+    * inter-arrival burstiness ([[userBurstiness]]), and activity
+    * streaks ([[activityStreaks]]) — the feature-engineering pass a
+    * churn/bot model trains on, run inside the engine so features
+    * ship as one table instead of four exports glued in a notebook.
+    * Every leg shuffles on user_id; with the base pre-partitioned
+    * (or bucketed) by user_id the joins are co-located, and users
+    * below the burstiness support threshold carry NULL cv rather
+    * than silently dropping (left joins from the lifecycle
+    * universe).
+    */
+  def userFeatures(events: DataFrame): DataFrame = {
+    val life = userLifecycle(events)
+      .select("user_id", "n_events", "active_days", "events_per_active_day")
+    val ent = userTypeEntropy(events).select(col("user_id"),
+      col("n_types"), col("type_entropy"))
+    val burst = userBurstiness(events).select(col("user_id"), col("burstiness_cv"))
+    val streaks = activityStreaks(events).select(col("user_id"), col("max_streak"))
+    life.join(ent, Seq("user_id"), "left_outer")
+      .join(burst, Seq("user_id"), "left_outer")
+      .join(streaks, Seq("user_id"), "left_outer")
+      .orderBy("user_id")
+  }
+
+  /** Naive seasonal forecast backtest: predict each hour's volume as
+    * the SAME HOUR LAST WEEK's volume and score it — MAE and MAPE
+    * over all hours with a 168-hours-earlier observation. The
+    * baseline every real forecasting model must beat, computed as a
+    * self-join of the hourly table shifted by one week; a model that
+    * loses to this table isn't a model. Missing prior hours drop
+    * (inner join on the shifted key); the report is ONE row.
+    */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val hourly = withTsUs(events)
+      .select(tsBucket(3600000000L).as("hour_idx"))
+      .groupBy("hour_idx").agg(count(lit(1)).as("n"))
+    val prior = hourly.select((col("hour_idx") + 168).as("hour_idx"),
+      col("n").as("n_pred"))
+    hourly.join(prior, Seq("hour_idx"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(avg(abs(col("n") - col("n_pred")).cast("double")), 4).as("mae"),
+        round(avg(abs(col("n") - col("n_pred")).cast("double") / col("n")), 6)
+          .as("mape"))
+  }
+
   /** Seasonality-aware traffic anomalies: hourly totals scored
     * against the median/MAD of THEIR OWN hour-of-week slot — the
     * detector that doesn't page on every Monday morning

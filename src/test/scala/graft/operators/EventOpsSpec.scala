@@ -598,6 +598,41 @@ class EventOpsSpec extends SparkSpec {
       ("view>click>view", 1L, 1L, 1.0)), out.toSeq.toString)
   }
 
+  test("userFeatures: one wide row per user; sub-threshold users keep NULL cv") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 11:00:00", 1L, "view"),
+      (3L, "2024-01-02 10:00:00", 1L, "click"),
+      (4L, "2024-01-01 10:00:00", 2L, "view")) // one event: no gaps, entropy 0
+    val out = EventOps.userFeatures(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert((u1.getLong(1), u1.getLong(2), u1.getDouble(3), u1.getLong(4)) ==
+      ((3L, 2L, 1.5, 2L)))
+    assert(u1.getDouble(5) == 0.636514) // ln 3 − (2 ln 2)/3
+    // gaps 1h and 23h → cv = √2·39600/43200
+    val cv = math.sqrt(2.0) * 39600 / 43200
+    assert(math.abs(u1.getDouble(6) - cv) < 1e-6, u1.getDouble(6).toString)
+    assert(u1.getLong(7) == 2L) // days 1–2 consecutive
+    val u2 = out(2L)
+    assert((u2.getLong(1), u2.getLong(4), u2.getDouble(5), u2.getLong(7)) ==
+      ((1L, 1L, 0.0, 1L)))
+    assert(u2.isNullAt(6), "single-event user must carry NULL cv")
+  }
+
+  test("forecastBacktest: same-hour-last-week baseline, unmatched hours drop") {
+    val hourUs = 3600000000L
+    val rows = Seq((0L, 5), (1L, 2), (168L, 7), (336L, 6)).flatMap { case (h, n) =>
+      (0 until n).map(i => (h * hourUs + i * 1000000L, 1L, "view")) }
+    val events = rows.zipWithIndex.map { case ((us, u, t), id) => (id.toLong, us, u, t) }
+      .toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id", "event_type")
+    val r = EventOps.forecastBacktest(events).collect().head
+    assert(r.getLong(0) == 2L)          // hours 168 and 336 have priors
+    assert(r.getDouble(1) == 1.5)       // (|7−5| + |6−7|) / 2
+    assert(r.getDouble(2) == 0.22619)   // (2/7 + 1/6) / 2
+  }
+
   test("activityStreaks: islands of consecutive days, multiple events per day collapse") {
     val events = ev(
       (1L, "2024-01-05 10:00:00", 1L, "view"),
