@@ -290,6 +290,8 @@ object SparkEntry {
     "text_common_openings" -> ((s, d) => TextAnalysis.commonOpenings(Tables.documents(s, d))),
     "ev_user_features" -> ((s, d) => EventOps.userFeatures(Tables.events(s, d))),
     "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(Tables.events(s, d))),
+    "dedup_cluster_best" -> ((s, d) => Dedup.clusterRepresentatives(Tables.documents(s, d))),
+    "ev_conversion_sweep" -> ((s, d) => EventOps.conversionWindowSweep(Tables.events(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -794,8 +796,12 @@ object SparkEntry {
     * SimHash near-dup pairs: transitive closure via a recursive CTE,
     * group id = min reachable doc (exactly the Hash-Min fixpoint).
     */
-  private def groupsMd5Oracle: String =
-    s"""WITH RECURSIVE $simhashMd5Cte,
+  /** The simhash-band → reachability chain shared by the CC oracles:
+    * ends with a `grp(doc_id, group_id)` CTE (must be opened with
+    * WITH RECURSIVE).
+    */
+  private def groupsMd5Ctes: String =
+    s"""$simhashMd5Cte,
        |bands AS (SELECT doc_id, simhash32, CAST(band_idx AS INTEGER) AS band_idx,
        |             (simhash32 >> CAST(band_idx * 8 AS INTEGER)) & 255 AS band_bits
        |      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) bi),
@@ -807,8 +813,12 @@ object SparkEntry {
        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
        |  UNION
        |  SELECT r.a, e.nb FROM reach r JOIN edges e ON r.nb = e.a
-       |)
-       |SELECT a AS doc_id, min(nb) AS group_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+       |),
+       |grp AS (SELECT a AS doc_id, min(nb) AS group_id FROM reach GROUP BY 1)""".stripMargin
+
+  private def groupsMd5Oracle: String =
+    s"""WITH RECURSIVE $groupsMd5Ctes
+       |SELECT doc_id, group_id FROM grp ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx / non-relational
@@ -1946,6 +1956,39 @@ object SparkEntry {
         |       round(avg(CAST(abs(n - n_pred) AS DOUBLE)), 4) AS mae,
         |       round(avg(CAST(abs(n - n_pred) AS DOUBLE) / n), 6) AS mape
         |FROM j""".stripMargin,
+    // the CC reachability chain + longest-member argmax per group
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE $groupsMd5Ctes,
+         |j AS (SELECT g.group_id, g.doc_id, d.n_chars,
+         |             row_number() OVER (PARTITION BY g.group_id
+         |                ORDER BY d.n_chars DESC, g.doc_id) AS rn
+         |      FROM grp g JOIN documents d USING (doc_id))
+         |SELECT group_id, count(*) AS n_members,
+         |       max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+         |       max(CASE WHEN rn = 1 THEN n_chars END) AS rep_n_chars
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one as-of pass × broadcast window grid
+    "ev_conversion_sweep" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |lastv AS (
+        |  SELECT p.event_id, p.ts_us, max(v.ts_us) AS last_view_us
+        |  FROM e p LEFT JOIN e v
+        |    ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts_us <= p.ts_us
+        |  WHERE p.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |g AS (SELECT CAST(unnest([15, 30, 60, 120, 240]) AS INTEGER) AS window_minutes)
+        |SELECT window_minutes, count(*) AS n_purchases,
+        |       CAST(sum(CASE WHEN last_view_us IS NOT NULL
+        |                      AND ts_us - last_view_us <=
+        |                          window_minutes * CAST(60000000 AS BIGINT)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |       round(CAST(sum(CASE WHEN last_view_us IS NOT NULL
+        |                            AND ts_us - last_view_us <=
+        |                                window_minutes * CAST(60000000 AS BIGINT)
+        |                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |         AS conversion
+        |FROM lastv CROSS JOIN g GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

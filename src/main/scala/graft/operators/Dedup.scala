@@ -1071,6 +1071,31 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** Near-dup cluster representatives by QUALITY, not id: each
+    * connected near-dup group's member with the most characters
+    * (ties → lowest doc_id) — the keep-best policy for near-dup
+    * clusters, where [[pipelineKeepSet]] keeps min-id and
+    * [[keepBestByFingerprint]] only handles EXACT fingerprint
+    * groups. The "keep the longest copy" rule preserves the
+    * least-truncated variant of a mirrored page. Groups come from
+    * the proven simhash-band + Hash-Min chain; the argmax is one
+    * group-partitioned window over the (docs-in-clusters)-sized
+    * group table.
+    */
+  def clusterRepresentatives(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = connectedGroups(simhashMd5NearDups(documents))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    groups.join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("rep_doc_id"),
+        max(when(col("rn") === 1, col("n_chars"))).as("rep_n_chars"))
+      .orderBy("group_id")
+  }
+
   /** LSH band-plan sweep: for every (bands b, rows-per-band r) split
     * of an `nHashes`-hash MinHash signature, the s-curve candidate
     * probability P(pair surfaces) = 1 − (1 − j^r)^b at each planted

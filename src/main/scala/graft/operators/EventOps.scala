@@ -1232,6 +1232,36 @@ object EventOps {
           .as("mape"))
   }
 
+  /** Attribution-window sensitivity sweep: view→purchase conversion
+    * at several window sizes from ONE as-of pass — the
+    * [[graft.operators.Dedup.lshBandPlan]]-style "pick the parameter
+    * from a table, not by re-running the job" audit for
+    * [[viewToPurchaseFunnel]]'s windowMinutes (if conversion jumps
+    * between 30 and 60 minutes, the attribution definition — not
+    * user behavior — is driving the metric). The as-of leg runs
+    * once; the sweep is a broadcast BNLJ against the window grid
+    * over the purchases-sized result.
+    */
+  def conversionWindowSweep(events: DataFrame,
+                            windowsMinutes: Seq[Int] = Seq(15, 30, 60, 120, 240)): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val asof = lastViewBeforePurchase(events)
+      .select(col("ts_us"), col("last_view_us"))
+    val grid = windowsMinutes.toDF("window_minutes")
+    asof.crossJoin(broadcast(grid))
+      .groupBy("window_minutes")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("last_view_us").isNotNull &&
+          col("ts_us") - col("last_view_us") <=
+            col("window_minutes").cast("long") * 60000000L, 1L).otherwise(0L))
+          .as("n_converted"))
+      .select(col("window_minutes"), col("n_purchases"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_purchases"), 6)
+          .as("conversion"))
+      .orderBy("window_minutes")
+  }
+
   /** Seasonality-aware traffic anomalies: hourly totals scored
     * against the median/MAD of THEIR OWN hour-of-week slot — the
     * detector that doesn't page on every Monday morning

@@ -405,6 +405,18 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, "one two three four")), out.mkString(","))
   }
 
+  test("clusterRepresentatives: longest member wins, ties fall to lowest doc_id") {
+    val t1 = "one two three four five six seven eight"
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, t1, 10L), (2L, t1, 50L), (3L, t1, 20L), // group 1: rep = doc 2 (longest)
+      (4L, t2, 30L), (5L, t2, 30L))                // group 4: tie → doc 4
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.clusterRepresentatives(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 50L), (4L, 2L, 4L, 30L)), out.toSeq.toString)
+  }
+
   test("shingleDfHistogram: df buckets at binary edges with shares") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "x y z w v")
     val out = Dedup.shingleDfHistogram(d).collect()

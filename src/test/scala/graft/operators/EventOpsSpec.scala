@@ -598,6 +598,20 @@ class EventOpsSpec extends SparkSpec {
       ("view>click>view", 1L, 1L, 1.0)), out.toSeq.toString)
   }
 
+  test("conversionWindowSweep: conversion grows monotonically with the attribution window") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:20:00", 1L, "purchase"),  // 20 min gap
+      (3L, "2024-01-01 12:00:00", 2L, "view"),
+      (4L, "2024-01-01 13:30:00", 2L, "purchase"),  // 90 min gap
+      (5L, "2024-01-01 09:00:00", 3L, "purchase"))  // no prior view
+    val out = EventOps.conversionWindowSweep(events).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (15, 3L, 0L), (30, 3L, 1L), (60, 3L, 1L), (120, 3L, 2L), (240, 3L, 2L)),
+      out.toSeq.toString)
+  }
+
   test("userFeatures: one wide row per user; sub-threshold users keep NULL cv") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),
