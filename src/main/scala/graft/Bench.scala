@@ -38,12 +38,29 @@ object Bench {
     // still leaves budget for ≥2 timed rounds. (r5's mistake was warming
     // the full fleet TWICE; once is the right trade.)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val qmap = SparkEntry.queries
-    qmap.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+    val qmap: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      SparkEntry.queries
+    // Warmup runs 4 queries CONCURRENTLY: sf0.001 jobs are tiny (most
+    // of their wall time is driver-side planning/janino, which
+    // parallelizes cleanly across Spark's FIFO scheduler), and warmup
+    // timings are never reported — only the codegen/JIT side effect
+    // matters. Measured: sequential warmup grew to ~149 s at 249
+    // queries and started eating the timed rounds' budget.
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = qmap.toSeq.sortBy(_._1).map { case (name, fn) =>
+        scala.concurrent.Future {
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          }
+        }
       }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
+      pool.shutdown()
     }
     System.err.println(f"[bench] full warmup done at ${(System.nanoTime() - wallStart) / 1e9}%.1f s")
     // Round structure: ONE full-set round (all 179 queries — complete
