@@ -292,6 +292,9 @@ object SparkEntry {
     "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(Tables.events(s, d))),
     "dedup_cluster_best" -> ((s, d) => Dedup.clusterRepresentatives(Tables.documents(s, d))),
     "ev_conversion_sweep" -> ((s, d) => EventOps.conversionWindowSweep(Tables.events(s, d))),
+    "ev_retention_curve" -> ((s, d) => EventOps.retentionCurve(Tables.events(s, d))),
+    "q_ship_latency" -> ((s, d) =>
+      Relational.orderToShipLatency(Tables.orders(s, d), Tables.lineitem(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -1989,6 +1992,33 @@ object SparkEntry {
         |                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
         |         AS conversion
         |FROM lastv CROSS JOIN g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // cohort matrix normalized by its own day-0 column
+    "ev_retention_curve" ->
+      """WITH e AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |m AS (SELECT cohort_day, day - cohort_day AS day_offset,
+        |             count(DISTINCT user_id) AS n_active
+        |      FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+        |b AS (SELECT cohort_day, n_active AS cohort_size FROM m WHERE day_offset = 0)
+        |SELECT m.cohort_day, m.day_offset, m.n_active, b.cohort_size,
+        |       round(CAST(m.n_active AS DOUBLE) / b.cohort_size, 6) AS retention
+        |FROM m JOIN b USING (cohort_day)
+        |ORDER BY 1, 2""".stripMargin,
+    // integer-day order→ship gaps rolled up per priority
+    "q_ship_latency" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                        CAST(l_shipdate AS DATE)) AS INTEGER) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_items,
+        |       round(avg(days), 4) AS avg_days,
+        |       quantile_cont(days, 0.5) AS p50_days,
+        |       quantile_cont(days, 0.9) AS p90_days,
+        |       max(days) AS max_days
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

@@ -1262,6 +1262,25 @@ object EventOps {
       .orderBy("window_minutes")
   }
 
+  /** Cohort retention curve: [[cohortMatrix]]'s active counts
+    * normalized by each cohort's day-0 size — the share-of-cohort-
+    * still-active view product reviews read (the raw matrix answers
+    * "how many", the curve answers "what fraction", which is what's
+    * comparable ACROSS cohorts of different sizes). The day-0 base
+    * is a cohorts-sized broadcast hash join over the matrix.
+    */
+  def retentionCurve(events: DataFrame): DataFrame = {
+    val m = cohortMatrix(events)
+    val base = m.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_active").as("cohort_size"))
+    m.join(broadcast(base), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Seasonality-aware traffic anomalies: hourly totals scored
     * against the median/MAD of THEIR OWN hour-of-week slot — the
     * detector that doesn't page on every Monday morning

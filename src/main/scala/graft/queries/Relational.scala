@@ -986,4 +986,25 @@ object Relational {
       .filter(col("status") =!= "unchanged")
       .orderBy("key")
   }
+
+  /** Order-to-ship latency profile per order priority: whole days
+    * from order date to each line's ship date (avg/p50/p90/max) —
+    * the fulfilment-SLA table that answers "do urgent orders
+    * actually ship faster". Integer day arithmetic (both engines
+    * subtract DATE-cast values exactly); one fact-fact equi join on
+    * the order key + a 5-key rollup.
+    */
+  def orderToShipLatency(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(avg("days"), 4).as("avg_days"),
+        percentile(col("days"), lit(0.5)).as("p50_days"),
+        percentile(col("days"), lit(0.9)).as("p90_days"),
+        max("days").as("max_days"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -598,6 +598,19 @@ class EventOpsSpec extends SparkSpec {
       ("view>click>view", 1L, 1L, 1.0)), out.toSeq.toString)
   }
 
+  test("retentionCurve: shares normalized by each cohort's day-0 size") {
+    val events = ev(
+      (1L, "1970-01-01 10:00:00", 1L, "view"),
+      (2L, "1970-01-01 11:00:00", 2L, "view"),
+      (3L, "1970-01-02 10:00:00", 1L, "view"),
+      (4L, "1970-01-02 12:00:00", 3L, "view"))
+    val out = EventOps.retentionCurve(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5), (1L, 0L, 1L, 1L, 1.0)),
+      out.toSeq.toString)
+  }
+
   test("conversionWindowSweep: conversion grows monotonically with the attribution window") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),

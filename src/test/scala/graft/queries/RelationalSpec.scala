@@ -361,4 +361,17 @@ class RelationalSpec extends SparkSpec {
     // %10==3 updated (+100 ≠ old), %10==7 deleted, %10==1 inserted at key+10000000
     assert(out == Map(3L -> "changed", 7L -> "deleted", 10000001L -> "added"), out.toString)
   }
+
+  test("orderToShipLatency: integer-day gaps with interpolated percentiles per priority") {
+    val orders = Seq((1L, "1-URGENT", "2024-01-01"))
+      .toDF("o_orderkey", "o_orderpriority", "d")
+      .selectExpr("o_orderkey", "o_orderpriority", "CAST(d AS TIMESTAMP) AS o_orderdate")
+    val li = Seq((1L, "2024-01-03"), (1L, "2024-01-11"))
+      .toDF("l_orderkey", "d")
+      .selectExpr("l_orderkey", "CAST(d AS TIMESTAMP) AS l_shipdate")
+    val r = Relational.orderToShipLatency(orders, li).collect().head
+    assert(r.getString(0) == "1-URGENT")
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5)) ==
+      ((2L, 6.0, 6.0, 9.2, 10)))
+  }
 }
