@@ -295,6 +295,8 @@ object SparkEntry {
     "ev_retention_curve" -> ((s, d) => EventOps.retentionCurve(Tables.events(s, d))),
     "q_ship_latency" -> ((s, d) =>
       Relational.orderToShipLatency(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "ev_mix_drift" -> ((s, d) => EventOps.weeklyMixDrift(Tables.events(s, d))),
+    "mm_size_outliers" -> ((s, d) => Multimodal.payloadSizeOutliers(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -2019,6 +2021,44 @@ object SparkEntry {
         |       quantile_cont(days, 0.9) AS p90_days,
         |       max(days) AS max_days
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // weekly type-mix JSD vs the overall mix (natural-log JSD, the
+    // text_jsd_drift conventions on the weeks × types grid)
+    "ev_mix_drift" ->
+      """WITH wt AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+        |         event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |wk AS (SELECT week, sum(c) AS n_week FROM wt GROUP BY 1),
+        |ty AS (SELECT event_type, sum(c) AS ct FROM wt GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS n_total FROM ty),
+        |grid AS (
+        |  SELECT wk.week, wk.n_week,
+        |         CAST(coalesce(wt.c, 0) AS DOUBLE) AS c,
+        |         CAST(ty.ct AS DOUBLE) AS ct, tot.n_total
+        |  FROM ty CROSS JOIN tot CROSS JOIN wk
+        |  LEFT JOIN wt ON wt.week = wk.week AND wt.event_type = ty.event_type),
+        |pq AS (SELECT week, c / n_week AS p, ct / n_total AS q FROM grid)
+        |SELECT week,
+        |       round(sum(CASE WHEN p > 0
+        |                      THEN 0.5 * p * ln(2.0 * p / (p + q)) ELSE 0.0 END +
+        |                 0.5 * q * ln(2.0 * q / (p + q))), 6) AS jsd
+        |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-modality median/MAD size outliers over the fake-media meta
+    "mm_size_outliers" ->
+      """WITH m AS (SELECT doc_id,
+        |                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |                       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |                  octet_length(encode(text)) AS n_bytes
+        |           FROM documents),
+        |med AS (SELECT media_type, quantile_cont(n_bytes, 0.5) AS med_b FROM m GROUP BY 1),
+        |mad AS (SELECT m.media_type, quantile_cont(abs(n_bytes - med_b), 0.5) AS mad_b
+        |        FROM m JOIN med USING (media_type) GROUP BY 1)
+        |SELECT m.media_type, doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+        |       round(med_b, 4) AS med_bytes,
+        |       round(abs(n_bytes - med_b) / (1.4826 * mad_b), 4) AS robust_score
+        |FROM m JOIN med USING (media_type) JOIN mad USING (media_type)
+        |WHERE mad_b > 0 AND abs(n_bytes - med_b) > 1.5 * 1.4826 * mad_b
+        |ORDER BY media_type, doc_id""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

@@ -1281,6 +1281,43 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Weekly event-mix drift: Jensen–Shannon divergence of each
+    * week's event-TYPE distribution against the overall mix — the
+    * "did the traffic composition change this week" detector
+    * ([[hourlyAnomaliesMad]] flags volume; this flags SHAPE: a new
+    * client version swapping views for clicks moves JSD before any
+    * count alarm fires). Same natural-log JSD conventions as
+    * [[graft.operators.TextAnalysis.jsdSourceDrift]]; the grid is
+    * weeks × types rows riding two broadcast scalars.
+    */
+  def weeklyMixDrift(events: DataFrame): DataFrame = {
+    val weekUs = 604800000000L
+    val wt = withTsUs(events)
+      .select(tsBucket(weekUs).as("week"), col("event_type"))
+      .groupBy("week", "event_type").agg(count(lit(1)).as("c"))
+    val weekTot = wt.groupBy("week").agg(sum("c").as("n_week"))
+    val typeTot = wt.groupBy("event_type").agg(sum("c").as("ct"))
+    val corpusTot = typeTot.agg(sum("ct").as("n_total"))
+    val grid = typeTot.crossJoin(broadcast(corpusTot))
+      .crossJoin(broadcast(weekTot))
+      .join(wt, Seq("week", "event_type"), "left_outer")
+      .select(col("week"), col("n_week"),
+        coalesce(col("c"), lit(0L)).cast("double").as("c"),
+        col("ct").cast("double").as("ct"), col("n_total"))
+    grid
+      .select(col("week"),
+        (col("c") / col("n_week")).as("p"),
+        (col("ct") / col("n_total")).as("q"))
+      .groupBy("week")
+      .agg(round(sum(
+        when(col("p") > 0,
+          lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .otherwise(lit(0.0)) +
+        lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))), 6)
+        .as("jsd"))
+      .orderBy("week")
+  }
+
   /** Seasonality-aware traffic anomalies: hourly totals scored
     * against the median/MAD of THEIR OWN hour-of-week slot — the
     * detector that doesn't page on every Monday morning

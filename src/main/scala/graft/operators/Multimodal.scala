@@ -89,6 +89,35 @@ object Multimodal {
       .orderBy("source", "media_type")
   }
 
+  /** Payload-size outliers per media type: median/MAD robust scoring
+    * of `n_bytes` within each modality (a 2 KB "video" is a
+    * thumbnail mislabel or a corrupt stub; a 500 MB "image" is a
+    * decode bomb) — the metadata-only junk screen run BEFORE any
+    * decode stage spends cycles on it. Same breakdown-safe
+    * median/MAD conventions as
+    * [[graft.operators.EventOps.hourlyAnomaliesMad]]; baselines are
+    * per-modality (3-row) broadcast joins.
+    */
+  def payloadSizeOutliers(documents: DataFrame, k: Double = 1.5): DataFrame = {
+    val m = asMedia(documents).select(
+      col("doc_id"), col("meta.media_type").as("media_type"),
+      col("meta.n_bytes").as("n_bytes"))
+    val med = m.groupBy("media_type")
+      .agg(percentile(col("n_bytes"), lit(0.5)).as("med_b"))
+    val mad = m.join(broadcast(med), Seq("media_type"))
+      .groupBy("media_type")
+      .agg(percentile(abs(col("n_bytes") - col("med_b")), lit(0.5)).as("mad_b"))
+    m.join(broadcast(med), Seq("media_type"))
+      .join(broadcast(mad), Seq("media_type"))
+      .filter(col("mad_b") > 0 &&
+        abs(col("n_bytes") - col("med_b")) > lit(k) * lit(1.4826) * col("mad_b"))
+      .select(col("media_type"), col("doc_id"), col("n_bytes"),
+        round(col("med_b"), 4).as("med_bytes"),
+        round(abs(col("n_bytes") - col("med_b")) / (lit(1.4826) * col("mad_b")), 4)
+          .as("robust_score"))
+      .orderBy("media_type", "doc_id")
+  }
+
   /** Typed record crossing the Dataset boundary into decode. */
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
 

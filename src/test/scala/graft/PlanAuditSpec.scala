@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_effective_dims",        // 64-row per-dim variance table × 1-row (tv, tv2) broadcast scalar
     "text_temperature_weights",  // sources-sized table × two 1-row broadcast scalars (total, Z)
     "dedup_shingle_df_hist",     // ≤64-row bucket table × 1-row broadcast total — share denominator
-    "ev_conversion_sweep"        // purchases-sized as-of result × broadcast 5-row window grid
+    "ev_conversion_sweep",       // purchases-sized as-of result × broadcast 5-row window grid
+    "ev_mix_drift"               // |types|-row table × 1-row total + |weeks|-row totals broadcast
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

@@ -598,6 +598,23 @@ class EventOpsSpec extends SparkSpec {
       ("view>click>view", 1L, 1L, 1.0)), out.toSeq.toString)
   }
 
+  test("weeklyMixDrift: shape change raises JSD even at constant volume shares") {
+    val weekUs = 604800000000L
+    // week 0: a,a,b,b (balanced); week 1: a,a,a,a (pure) — same totals
+    val raw = Seq((0L, "a"), (0L, "a"), (0L, "b"), (0L, "b"),
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"))
+    val events = raw.zipWithIndex.map { case ((wk, t), id) =>
+      (id.toLong, wk * weekUs + id * 1000000L, 1L, t) }
+      .toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id", "event_type")
+    val out = EventOps.weeklyMixDrift(events).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand-computed natural-log JSD vs the (0.75, 0.25) overall mix
+    assert(math.abs(out(0L) - 0.033822) < 2e-6, out(0L).toString)
+    assert(math.abs(out(1L) - 0.095603) < 2e-6, out(1L).toString)
+    assert(out(1L) > out(0L), "pure week must drift more than the balanced one")
+  }
+
   test("retentionCurve: shares normalized by each cohort's day-0 size") {
     val events = ev(
       (1L, "1970-01-01 10:00:00", 1L, "view"),

@@ -39,6 +39,18 @@ class MultimodalSpec extends SparkSpec {
       ("s2", "image", 1L, 6L, 1.0)), out.toSeq.toString)
   }
 
+  test("payloadSizeOutliers: the decode bomb is flagged against its own modality") {
+    // all ids ≡ 0 (mod 3) → one 'image' modality; byte sizes 9,10,11,10,100
+    val d = Seq(
+      (0L, "x" * 9, "s"), (3L, "x" * 10, "s"), (6L, "x" * 11, "s"),
+      (9L, "x" * 10, "s"), (12L, "x" * 100, "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.payloadSizeOutliers(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(4)))
+    val score = math.rint(90.0 / 1.4826 * 1e4) / 1e4
+    assert(out.toSeq == Seq(("image", 12L, 100, score)), out.toSeq.toString)
+  }
+
   test("decodeFeatures: deterministic stub features, one per record") {
     val out1 = Multimodal.decodeFeatures(docs).collect().sortBy(_.doc_id)
     val out2 = Multimodal.decodeFeatures(docs.repartition(3)).collect().sortBy(_.doc_id)
