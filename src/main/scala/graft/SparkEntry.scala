@@ -297,6 +297,9 @@ object SparkEntry {
       Relational.orderToShipLatency(Tables.orders(s, d), Tables.lineitem(s, d))),
     "ev_mix_drift" -> ((s, d) => EventOps.weeklyMixDrift(Tables.events(s, d))),
     "mm_size_outliers" -> ((s, d) => Multimodal.payloadSizeOutliers(Tables.documents(s, d))),
+    "sim_knn_homophily" -> ((s, d) => Similarity.knnLabelHomophily(Tables.embeddings(s, d))),
+    "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d))),
+    "dedup_rate_by_length" -> ((s, d) => Dedup.dupRateByLength(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -2059,6 +2062,59 @@ object SparkEntry {
         |FROM m JOIN med USING (media_type) JOIN mad USING (media_type)
         |WHERE mad_b > 0 AND abs(n_bytes - med_b) > 1.5 * 1.4826 * mad_b
         |ORDER BY media_type, doc_id""".stripMargin,
+    // exact top-5 neighbors (the bruteforce CTE) × label agreement
+    "sim_knn_homophily" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS q_label,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, label AS c_label,
+        |             CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, q_label, cid, c_label,
+        |             round(list_cosine_similarity(qv, cv), 6) AS cs
+        |      FROM q CROSS JOIN c WHERE qid <> cid),
+        |t AS (SELECT qid, q_label, c_label FROM (
+        |        SELECT qid, q_label, c_label,
+        |               row_number() OVER (PARTITION BY qid
+        |                 ORDER BY cs DESC, cid) AS rnk FROM s) x WHERE rnk <= 5)
+        |SELECT qid, q_label,
+        |       CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS INTEGER)
+        |         AS n_same,
+        |       round(CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / 5, 6) AS homophily
+        |FROM t GROUP BY 1, 2 ORDER BY qid""".stripMargin,
+    // frequency-ranked cumulative token mass at the k grid; ks beyond
+    // the vocabulary coalesce to full coverage
+    "text_vocab_coverage" ->
+      """WITH cnt AS (SELECT w, count(*) AS c FROM (
+        |               SELECT unnest(string_split(lower(text), ' ')) AS w
+        |               FROM documents) t
+        |             WHERE length(w) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types FROM cnt),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk,
+        |             CAST(sum(c) OVER (ORDER BY c DESC, w
+        |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM cnt),
+        |g AS (SELECT CAST(unnest([10, 100, 1000, 10000]) AS INTEGER) AS k)
+        |SELECT k, n_types, n_tokens,
+        |       coalesce(r.cum, n_tokens) AS covered_tokens,
+        |       round(CAST(coalesce(r.cum, n_tokens) AS DOUBLE) / n_tokens, 6) AS coverage
+        |FROM g CROSS JOIN tot LEFT JOIN r ON r.rnk = g.k
+        |ORDER BY k""".stripMargin,
+    // exact-digest dup flags × log2 length buckets
+    "dedup_rate_by_length" ->
+      """WITH dg AS (SELECT doc_id, n_chars, md5(text) AS digest FROM documents),
+        |cnt AS (SELECT digest, count(*) AS n_copies FROM dg GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(n_chars)) - 1 AS INTEGER) AS bucket,
+        |             cnt.n_copies > 1 AS is_dup
+        |      FROM dg JOIN cnt USING (digest) WHERE n_chars > 0)
+        |SELECT bucket,
+        |       CAST(1 AS BIGINT) << bucket AS lo_chars,
+        |       (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_chars,
+        |       count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_rate
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

@@ -1096,6 +1096,34 @@ object Dedup {
       .orderBy("group_id")
   }
 
+  /** Duplication rate by document length (log₂ buckets): exact-digest
+    * dup membership cross-tabbed against the length histogram — in
+    * web corpora duplication concentrates in the SHORT tail (error
+    * pages, navigation stubs), and this table shows whether a simple
+    * length floor would remove most duplicate mass before the dedup
+    * join runs (the length-axis companion of
+    * [[graft.operators.TextAnalysis.qualityVsDup]]). Digest-only
+    * shuffle + binary-digit bucketing.
+    */
+  def dupRateByLength(documents: DataFrame): DataFrame = {
+    val withDigest = documents
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("digest"))
+    val counts = withDigest.groupBy("digest").agg(count(lit(1)).as("n_copies"))
+    withDigest.join(counts, Seq("digest"))
+      .filter(col("n_chars") > 0)
+      .select((length(expr("bin(n_chars)")) - 1).cast("int").as("bucket"),
+        (col("n_copies") > 1).as("is_dup"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("lo_chars"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").as("hi_chars"),
+        col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_rate"))
+      .orderBy("bucket")
+  }
+
   /** LSH band-plan sweep: for every (bands b, rows-per-band r) split
     * of an `nHashes`-hash MinHash signature, the s-curve candidate
     * probability P(pair surfaces) = 1 − (1 − j^r)^b at each planted

@@ -821,6 +821,31 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Neighborhood label homophily: for each query, how many of its
+    * exact top-k cosine neighbors share its label — the "do
+    * embeddings respect the labels" smoke test (homophily ≈ 1/|labels|
+    * means the space ignores labels; [[labelMargin]] scores
+    * centroid-level separation, this scores the NEIGHBORHOOD level,
+    * which is what kNN-style retrieval actually experiences). Rides
+    * the proven broadcast-query top-k frame plus two label attaches
+    * on the (queries × k)-row result.
+    */
+  def knnLabelHomophily(embeddings: DataFrame, k: Int = 5,
+                        nQueries: Int = 10): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    bruteForceTopK(embeddings, k, nQueries)
+      .join(broadcast(labels.select(col("vec_id").as("qid"),
+        col("label").as("q_label"))), Seq("qid"))
+      .join(labels.select(col("vec_id").as("cid"), col("label").as("c_label")),
+        Seq("cid"))
+      .groupBy("qid", "q_label")
+      .agg(sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_same"))
+      .select(col("qid"), col("q_label"), col("n_same").cast("int").as("n_same"),
+        round(col("n_same").cast("double") / k, 6).as("homophily"))
+      .orderBy("qid")
+  }
+
   /** Truncated-dimension retrieval recall: overlap@k between the
     * full-dimension cosine top-k (ground truth) and the top-k
     * computed on only the first `keepDims` coordinates — the

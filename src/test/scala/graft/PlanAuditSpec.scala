@@ -59,7 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_temperature_weights",  // sources-sized table × two 1-row broadcast scalars (total, Z)
     "dedup_shingle_df_hist",     // ≤64-row bucket table × 1-row broadcast total — share denominator
     "ev_conversion_sweep",       // purchases-sized as-of result × broadcast 5-row window grid
-    "ev_mix_drift"               // |types|-row table × 1-row total + |weeks|-row totals broadcast
+    "ev_mix_drift",              // |types|-row table × 1-row total + |weeks|-row totals broadcast
+    "text_vocab_coverage",       // 4-row k grid × 1-row (n_tokens, n_types) broadcast scalar
+    "sim_knn_homophily"          // inherits sim_bruteforce_topk's broadcast(nQueries=10) frame
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate
@@ -75,7 +77,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_vocab_growth", // cumulative sums over the BUCKET table (nBuckets rows)
     "text_heaps_fit",    // regression over the same nBuckets-row growth table
     "text_zipf_slope",   // ranking window input is the limit(topN=1000) frequency head
-    "sim_effective_dims" // cumulative window over the 64-row per-dim variance aggregate
+    "sim_effective_dims", // cumulative window over the 64-row per-dim variance aggregate
+    "text_vocab_coverage" // ranking/cumulative window over the VOCABULARY (types) table
   )
 
   private def windowPartitionSpecs(

@@ -405,6 +405,17 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, "one two three four")), out.mkString(","))
   }
 
+  test("dupRateByLength: duplicate mass concentrates in its length bucket") {
+    val d = Seq(
+      (1L, "t", 1L), (2L, "t", 1L),      // dup pair in bucket 0 [1,1]
+      (3L, "u", 2L), (4L, "v", 3L))      // unique docs in bucket 1 [2,3]
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.dupRateByLength(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (0, 1L, 1L, 2L, 2L, 1.0), (1, 2L, 3L, 2L, 0L, 0.0)), out.toSeq.toString)
+  }
+
   test("clusterRepresentatives: longest member wins, ties fall to lowest doc_id") {
     val t1 = "one two three four five six seven eight"
     val t2 = "alpha beta gamma delta epsilon zeta eta theta"

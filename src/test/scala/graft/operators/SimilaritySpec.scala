@@ -382,6 +382,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 0L, 1L, 1, 0.5), (2, 0L, 4L, 2, 1.0)), out.toSeq.toString)
   }
 
+  test("knnLabelHomophily: same-label neighbor share at k") {
+    val e = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 0, Array(0.95f, 0.05f)),
+      (3L, 1, Array(0.5f, 0.5f)),
+      (4L, 1, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.knnLabelHomophily(e, k = 3, nQueries = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // top-3 of query 0: vecs 2, 1 (label 0) and 3 (label 1)
+    assert(out.toSeq == Seq((0L, 0, 2, 0.666667)), out.toSeq.toString)
+  }
+
   test("embeddingCoverage: per-source coverage of the embeddings table") {
     val d = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("doc_id", "source")
     val e = Seq((1L, Array(1.0f)), (3L, Array(1.0f))).toDF("vec_id", "embedding")

@@ -570,6 +570,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
   }
 
+  test("vocabCoverage: cumulative token mass at the k grid, over-vocab k reaches 1") {
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(d, ks = Seq(1, 2, 10)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1, 3L, 6L, 3L, 0.5), (2, 3L, 6L, 5L, 0.833333), (10, 3L, 6L, 6L, 1.0)),
+      out.toSeq.toString)
+  }
+
   test("commonOpenings: shared prefixes counted with source spread, short docs skipped") {
     val d = Seq(
       (1L, "a b c d e f", "s1"),
