@@ -300,6 +300,8 @@ object SparkEntry {
     "sim_knn_homophily" -> ((s, d) => Similarity.knnLabelHomophily(Tables.embeddings(s, d))),
     "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d))),
     "dedup_rate_by_length" -> ((s, d) => Dedup.dupRateByLength(Tables.documents(s, d))),
+    "sim_radius_search" -> ((s, d) => Similarity.radiusSearch(Tables.embeddings(s, d))),
+    "text_stopword_profile" -> ((s, d) => TextAnalysis.stopwordProfile(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
     "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
@@ -2115,6 +2117,31 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
         |             / count(*), 6) AS dup_rate
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // broadcast-query frame finished by a radius census
+    "sim_radius_search" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, cid, round(list_cosine_similarity(qv, cv), 6) AS cs
+        |      FROM q CROSS JOIN c WHERE qid <> cid)
+        |SELECT qid,
+        |       CAST(sum(CASE WHEN cs >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+        |       round(max(cs), 6) AS best_sim
+        |FROM s GROUP BY 1 ORDER BY qid""".stripMargin,
+    "text_stopword_profile" -> {
+      val stop = graft.operators.TextAnalysis.gopherStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT source,
+         |                  list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |           FROM documents),
+         |d AS (SELECT source, len(ws) AS n_words,
+         |             len(list_filter(ws, x -> list_contains([$stop], x))) AS n_stop
+         |      FROM w)
+         |SELECT source, CAST(sum(n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(n_stop) AS BIGINT) AS n_stop,
+         |       round(CAST(sum(n_stop) AS DOUBLE) / sum(n_words), 6) AS stop_rate
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "ev_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

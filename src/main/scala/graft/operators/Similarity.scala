@@ -846,6 +846,23 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Radius (range) search census: for each query, how many corpus
+    * vectors lie within cosine ≥ τ, with the best match — the
+    * range-query complement of [[bruteForceTopK]] (top-k answers
+    * "give me k no matter how far"; radius answers "how crowded is
+    * this neighborhood", which is what dedup-threshold and
+    * density-bias decisions actually need). Same broadcast-query
+    * scoring frame, finished by one small aggregate instead of a
+    * heap.
+    */
+  def radiusSearch(embeddings: DataFrame, tau: Double = 0.2,
+                   nQueries: Int = 10): DataFrame =
+    bruteForceScored(embeddings, nQueries)
+      .groupBy("qid")
+      .agg(sum(when(col("cos_sim") >= tau, 1L).otherwise(0L)).as("n_within"),
+        round(max("cos_sim"), 6).as("best_sim"))
+      .orderBy("qid")
+
   /** Truncated-dimension retrieval recall: overlap@k between the
     * full-dimension cosine top-k (ground truth) and the top-k
     * computed on only the first `keepDims` coordinates — the

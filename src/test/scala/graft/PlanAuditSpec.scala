@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "ev_conversion_sweep",       // purchases-sized as-of result × broadcast 5-row window grid
     "ev_mix_drift",              // |types|-row table × 1-row total + |weeks|-row totals broadcast
     "text_vocab_coverage",       // 4-row k grid × 1-row (n_tokens, n_types) broadcast scalar
-    "sim_knn_homophily"          // inherits sim_bruteforce_topk's broadcast(nQueries=10) frame
+    "sim_knn_homophily",         // inherits sim_bruteforce_topk's broadcast(nQueries=10) frame
+    "sim_radius_search"          // same broadcast(nQueries=10) scoring frame, aggregate finisher
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

@@ -382,6 +382,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 0L, 1L, 1, 0.5), (2, 0L, 4L, 2, 1.0)), out.toSeq.toString)
   }
 
+  test("radiusSearch: neighborhood census at a cosine threshold") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f)),   // cos 1.0
+      (2L, Array(0.0f, 1.0f)),   // cos 0.0
+      (3L, Array(1.0f, 1.0f))    // cos ≈ 0.707107
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.radiusSearch(e, tau = 0.5, nQueries = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 2L, 1.0)), out.toSeq.toString)
+  }
+
   test("knnLabelHomophily: same-label neighbor share at k") {
     val e = Seq(
       (0L, 0, Array(1.0f, 0.0f)),

@@ -570,6 +570,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10) == ((1024L, 2047L, 1L, 0.25))) // exactly 2^10 → bucket 10
   }
 
+  test("stopwordProfile: function-word share per source") {
+    val d = Seq(
+      (1L, "the cat and dog", "s1"),
+      (2L, "xyz abc", "s1"),
+      (3L, "a a a a", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.stopwordProfile(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("s1", 6L, 2L, 0.333333), ("s2", 4L, 4L, 1.0)),
+      out.toSeq.toString)
+  }
+
   test("vocabCoverage: cumulative token mass at the k grid, over-vocab k reaches 1") {
     val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
     val out = TextAnalysis.vocabCoverage(d, ks = Seq(1, 2, 10)).collect()
