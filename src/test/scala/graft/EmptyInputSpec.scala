@@ -187,5 +187,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.shingleDfHistogram(noDocs).count() == 0)
     assert(TextAnalysis.temperatureWeights(noDocs).count() == 0)
     assert(TextAnalysis.commonOpenings(noDocs).count() == 0)
+    assert(EventOps.weeklyMixDrift(noEvents).count() == 0)
+    assert(EventOps.retentionCurve(noEvents).count() == 0)
+    assert(EventOps.userFeatures(noEvents).count() == 0)
+    // one-row backtest report over zero matched hours
+    assert(EventOps.forecastBacktest(noEvents).collect().head.getLong(0) == 0L)
+    assert(EventOps.conversionWindowSweep(noEvents).count() == 0)
+    assert(Multimodal.payloadSizeOutliers(noDocs).count() == 0)
+    assert(Dedup.clusterRepresentatives(noDocs).count() == 0)
+    assert(Dedup.dupRateByLength(noDocs).count() == 0)
+    assert(Similarity.knnLabelHomophily(noEmb).count() == 0)
+    assert(Similarity.radiusSearch(noEmb).count() == 0)
+    // over-vocab ks on an empty corpus: grid rows survive, coverage null-safe
+    assert(TextAnalysis.vocabCoverage(noDocs).count() == 4)
+    assert(TextAnalysis.stopwordProfile(noDocs).count() == 0)
+    val noOrd = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val noLi = Seq.empty[(Long, java.sql.Timestamp)].toDF("l_orderkey", "l_shipdate")
+    assert(graft.queries.Relational.orderToShipLatency(noOrd, noLi).count() == 0)
   }
 }
