@@ -380,6 +380,14 @@ object SparkEntry {
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Tables.documents(s, d)).toDF().orderBy("doc_id")),
     "mm_sample_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
+    // --- round-7 second continuation ---
+    "ev_markov_2step" -> ((s, d) => EventOps.markovTwoStep(Tables.events(s, d))),
+    "ev_trigrams" -> ((s, d) => EventOps.topTrigrams(Tables.events(s, d))),
+    "text_hapax_by_source" -> ((s, d) => TextAnalysis.hapaxBySource(Tables.documents(s, d))),
+    "text_curriculum" -> ((s, d) => TextAnalysis.curriculumBuckets(Tables.documents(s, d))),
+    "text_word_len_profile" -> ((s, d) => TextAnalysis.wordLenProfile(Tables.documents(s, d))),
+    "sim_pair_hist" -> ((s, d) => Similarity.pairCosineHistogram(Tables.embeddings(s, d))),
+    "mm_shard_manifest" -> ((s, d) => Multimodal.shardManifest(Tables.documents(s, d))),
   )
 
   /** Shared CTE chain for the relational language-ID oracles —
@@ -3728,6 +3736,109 @@ object SparkEntry {
         |                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS frames
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY doc_id""".stripMargin,
+    // --- round-7 second continuation ---
+    // matrix multiply as join on the shared middle state; p1 kept
+    // unrounded (identical IEEE n/total in both engines), round(6)
+    // absorbs the 5-term sum-order ulp
+    "ev_markov_2step" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |t AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_us, event_id) AS prev_type,
+        |             event_type AS next_type
+        |      FROM e),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM t
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT prev_type, next_type,
+        |             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+        |      FROM c)
+        |SELECT ab.prev_type AS from_type, bc.next_type AS to_type,
+        |       round(sum(ab.p * bc.p), 6) AS p2
+        |FROM p ab JOIN p bc ON ab.next_type = bc.prev_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_trigrams" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |g AS (SELECT event_type AS t1,
+        |             lead(event_type, 1) OVER w AS t2,
+        |             lead(event_type, 2) OVER w AS t3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS trigram, count(*) AS n
+        |FROM g WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
+    "text_hapax_by_source" ->
+      """WITH w AS (SELECT source, x AS w FROM documents,
+        |                unnest(string_split(lower(text), ' ')) AS u(x)
+        |           WHERE length(x) > 0),
+        |c AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS hapax_rate
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_curriculum" -> {
+      val stop = graft.operators.TextAnalysis.gopherStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, source,
+         |                  list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id, source, len(ws) AS n_words,
+         |             CAST(len(list_filter(ws, x -> list_contains([$stop], x)))
+         |                  AS DOUBLE) / len(ws) AS score
+         |      FROM d WHERE len(ws) > 0),
+         |b AS (SELECT source, n_words, score,
+         |             ntile(10) OVER (PARTITION BY source
+         |                             ORDER BY score DESC, doc_id) AS bucket
+         |      FROM s)
+         |SELECT source, bucket, count(*) AS n_docs,
+         |       round(avg(score), 6) AS avg_score,
+         |       round(avg(CAST(n_words AS DOUBLE)), 4) AS avg_words
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "text_word_len_profile" ->
+      """WITH w AS (SELECT lang, CAST(least(length(x), 15) AS INTEGER) AS word_len
+        |           FROM documents, unnest(string_split(text, ' ')) AS u(x)
+        |           WHERE length(x) > 0),
+        |c AS (SELECT lang, word_len, count(*) AS n_words FROM w GROUP BY 1, 2)
+        |SELECT lang, word_len, n_words,
+        |       round(CAST(n_words AS DOUBLE)
+        |             / sum(n_words) OVER (PARTITION BY lang), 6) AS share
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    // buckets computed on the ROUNDED cosine so both engines bin
+    // identical values (see Similarity.pairCosineHistogram)
+    "sim_pair_hist" ->
+      """WITH a AS (SELECT vec_id AS ida, CAST(embedding AS DOUBLE[]) AS va
+        |           FROM embeddings WHERE vec_id % 37 = 0),
+        |b AS (SELECT vec_id AS idb, CAST(embedding AS DOUBLE[]) AS vb
+        |      FROM embeddings WHERE vec_id % 41 = 0),
+        |s AS (SELECT round(list_cosine_similarity(va, vb), 6) AS cs
+        |      FROM a CROSS JOIN b WHERE ida <> idb),
+        |h AS (SELECT CAST(least(floor(cs * 10), 9) AS INTEGER) AS bucket,
+        |             count(*) AS n_pairs
+        |      FROM s GROUP BY 1)
+        |SELECT bucket, round(CAST(bucket AS DOUBLE) / 10, 6) AS lo,
+        |       round(CAST(bucket + 1 AS DOUBLE) / 10, 6) AS hi, n_pairs,
+        |       round(CAST(n_pairs AS DOUBLE) / sum(n_pairs) OVER (), 6) AS share
+        |FROM h ORDER BY bucket""".stripMargin,
+    // content-addressed shards: same md5-hex-prefix arithmetic as
+    // text_hash_sample; text is ASCII so octet_length == payload bytes
+    "mm_shard_manifest" ->
+      """WITH m AS (SELECT CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 16
+        |                    AS shard_id,
+        |                  CASE CAST(doc_id % 3 AS INTEGER)
+        |                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |                    ELSE 'video' END AS media_type,
+        |                  octet_length(encode(text)) AS n_bytes
+        |           FROM documents)
+        |SELECT shard_id, count(*) AS n_assets,
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(CASE WHEN media_type = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_image,
+        |       CAST(sum(CASE WHEN media_type = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_audio,
+        |       CAST(sum(CASE WHEN media_type = 'video' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_video
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Evidence chain for every query key that has NO DuckDB oracle

@@ -1464,4 +1464,62 @@ object EventOps {
   private[graft] def ewmaWeights(horizon: Int, decay: Double): Seq[(Long, Double)] =
     Iterator.iterate(1.0)(_ * decay).take(horizon).zipWithIndex
       .map { case (w, o) => (o.toLong, w) }.toSeq
+
+  /** Two-step Markov transition matrix: P²(a,c) = Σ_b P(a,b)·P(b,c)
+    * from [[transitionMatrix]]'s one-step probabilities — "where is a
+    * user two clicks from here", the lookahead a recommender or
+    * prefetch layer reads. The matrix multiply is expressed as a
+    * self-JOIN on the shared middle state plus a grouped sum: each
+    * one-step row (a,b) meets each (b,c) and contributes the product.
+    *
+    * Shape at 100 TB: the expensive part is the one-step matrix (one
+    * lag window + one agg over the event log); the multiply runs on a
+    * |types|² table — KB-sized at ANY corpus scale, broadcast-joined,
+    * never touching the log again. p1 is kept UNROUNDED through the
+    * multiply (both engines do identical IEEE n/total divisions) and
+    * rounded only on output.
+    */
+  def markovTwoStep(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val p1 = withTsUs(events)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum("n").over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"), col("p"))
+    val ab = p1.select(col("prev_type").as("from_type"), col("next_type").as("mid"),
+      col("p").as("p_ab"))
+    val bc = p1.select(col("prev_type").as("mid"), col("next_type").as("to_type"),
+      col("p").as("p_bc"))
+    ab.join(broadcast(bc), "mid")
+      .groupBy("from_type", "to_type")
+      .agg(round(sum(col("p_ab") * col("p_bc")), 6).as("p2"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Top event-type trigrams over each user's timeline — the n=3
+    * extension of [[transitionMatrix]] that surfaces multi-step
+    * habits ("view>click>purchase" vs "error>error>error" retry
+    * loops) which no bigram can distinguish. Two lead windows on the
+    * SAME user partition sort (one exchange, one sort, both leads in
+    * a single Window exec), then a trigram-keyed count and a global
+    * top-k — at 100 TB the count agg is map-side combined into the
+    * |types|³-bounded trigram table and the top-k is a
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def topTrigrams(events: DataFrame, topK: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    withTsUs(events)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(byUser))
+      .withColumn("t3", lead("event_type", 2).over(byUser))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("trigram"))
+      .limit(topK)
+  }
 }

@@ -219,4 +219,33 @@ object Multimodal {
       .agg(round(-sum((col("c").cast("double") / col("n_frames")) *
         log(col("c").cast("double") / col("n_frames"))), 6).as("entropy"))
       .orderBy("doc_id")
+
+  /** Training-shard manifest: assign every asset to one of `nShards`
+    * content-addressed shards (WebDataset/TFRecord-style layout) and
+    * report each shard's asset count, byte total, and modality mix —
+    * the table a dataloader fleet reads to schedule shard downloads,
+    * and the balance check run before committing a shard count.
+    * Content-hash assignment (md5 of the payload, same digest
+    * arithmetic as [[graft.operators.TextAnalysis.hashSample]])
+    * makes placement reproducible on any cluster, independent of row
+    * order or doc ids — re-ingesting the same bytes lands in the
+    * same shard. Map-only assignment; the report agg is nShards
+    * keys; the actual shard write is
+    * `.repartition(col("shard_id")).write.partitionBy("shard_id")`
+    * with payload bytes crossing the wire exactly once.
+    */
+  def shardManifest(documents: DataFrame, nShards: Int = 16): DataFrame =
+    asMedia(documents)
+      .select(
+        pmod(conv(substring(md5(col("payload")), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).as("shard_id"),
+        col("meta.media_type").as("media_type"),
+        col("meta.n_bytes").as("n_bytes"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(when(col("media_type") === "image", 1L).otherwise(0L)).as("n_image"),
+        sum(when(col("media_type") === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when(col("media_type") === "video", 1L).otherwise(0L)).as("n_video"))
+      .orderBy("shard_id")
 }

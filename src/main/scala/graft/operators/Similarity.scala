@@ -894,4 +894,43 @@ object Similarity {
           .as("recall"))
       .orderBy("qid")
   }
+
+  /** Unbiased cosine-similarity histogram over a deterministic pair
+    * sample: vectors with vec_id ≡ 0 (mod `modA`) × vectors with
+    * vec_id ≡ 0 (mod `modB`) — the full-distribution census
+    * (including the negative lobe) that calibrates every threshold
+    * the LSH/ANN ops take as input. [[thresholdSweep]] counts only
+    * LSH-candidate pairs above a floor; this op answers "what does a
+    * RANDOM pair look like", which is what separates a meaningful
+    * 0.8 from an ambient one.
+    *
+    * Coprime moduli keep the two samples independent; sampled pair
+    * count is n²/(modA·modB) — choose moduli so the smaller sample
+    * broadcasts (it is the build side). Bucketing runs on the
+    * ROUNDED cosine so both engines bucket identical values — an
+    * unrounded value a double-ulp below a bucket edge would
+    * otherwise flip buckets between engines. Map-only scoring after
+    * the broadcast; the histogram agg is ≤ 2·nBins keys.
+    */
+  def pairCosineHistogram(embeddings: DataFrame, modA: Int = 37, modB: Int = 41,
+                          nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = embeddings.filter(pmod(col("vec_id"), lit(modA)) === 0)
+      .select(col("vec_id").as("ida"), asDouble(col("embedding")).as("va"))
+    val b = embeddings.filter(pmod(col("vec_id"), lit(modB)) === 0)
+      .select(col("vec_id").as("idb"), asDouble(col("embedding")).as("vb"))
+    val scored = broadcast(a).join(b, col("ida") =!= col("idb"))
+      .select(round(cosine(col("va"), col("vb")), 6).as("cs"))
+    val binned = scored
+      .select(least(floor(col("cs") * nBins), lit(nBins - 1)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    binned
+      .select(col("bucket"),
+        round(col("bucket").cast("double") / nBins, 6).as("lo"),
+        round((col("bucket") + 1).cast("double") / nBins, 6).as("hi"),
+        col("n_pairs"),
+        round(col("n_pairs") / sum("n_pairs").over(Window.partitionBy()), 6)
+          .as("share"))
+      .orderBy("bucket")
+  }
 }

@@ -1474,6 +1474,84 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-source hapax legomena rate: share of each source's word
+    * TYPES that occur exactly once in that source — the
+    * lexical-novelty fingerprint that separates generative/templated
+    * sources (low hapax — the same phrases recycle) from genuinely
+    * diverse prose (high hapax), and the standard smoothing-mass
+    * estimate (Good–Turing's n₁) a tokenizer/LM pipeline reads per
+    * domain. One (source, word) count — vocabulary-sized after the
+    * map-side combine — then a sources-sized rollup; the corpus text
+    * itself crosses the shuffle only as word tokens with partial
+    * counts, never as documents.
+    */
+  def hapaxBySource(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(split(lower(col("text")), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_rate"))
+      .orderBy("source")
+
+  /** Curriculum buckets: decile each source's documents by a
+    * fluency score (stopword share of the doc's tokens — the same
+    * signal [[stopwordProfile]] aggregates per source, here applied
+    * per document) and report each (source, decile) cell — the table
+    * a curriculum-learning schedule reads ("start on decile 9, mix in
+    * lower deciles by epoch"). ntile ties are broken by doc_id so the
+    * assignment is total-order deterministic in both engines.
+    *
+    * Shape at 100 TB: scoring is map-only column math; the only
+    * shuffle is the per-source ntile window, and its partition count
+    * equals the source count — for a skewed mega-source, swap ntile
+    * for percent_rank over a pre-aggregated score histogram (same
+    * output contract). The report agg then runs on |sources|×10 rows.
+    */
+  def curriculumBuckets(documents: DataFrame, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents
+      .select(col("doc_id"), col("source"),
+        filter(split(col("text"), " ", -1), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"), size(col("ws")).as("n_words"),
+        (size(filter(col("ws"), w => w.isInCollection(gopherStopwords)))
+          .cast("double") / size(col("ws"))).as("score"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("score"), 6).as("avg_score"),
+        round(avg(col("n_words").cast("double")), 4).as("avg_words"))
+      .orderBy("source", "bucket")
+  }
+
+  /** Word-length profile per language: histogram of token lengths
+    * (capped at `maxLen` — longer tokens land in the cap bucket) with
+    * within-language shares — a model-free language fingerprint
+    * (Chinese transliterations, German compounds, and URL-ish tokens
+    * separate cleanly) and the input a subword-tokenizer budget reads.
+    * Map-only length math; the agg output is bounded by
+    * |langs| × maxLen rows regardless of corpus size.
+    */
+  def wordLenProfile(documents: DataFrame, maxLen: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(col("lang"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("lang"), least(length(col("w")), lit(maxLen)).as("word_len"))
+      .groupBy("lang", "word_len").agg(count(lit(1)).as("n_words"))
+    counts
+      .withColumn("share",
+        round(col("n_words") / sum("n_words").over(Window.partitionBy("lang")), 6))
+      .orderBy("lang", "word_len")
+  }
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

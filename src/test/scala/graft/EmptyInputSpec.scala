@@ -206,4 +206,14 @@ class EmptyInputSpec extends SparkSpec {
     val noLi = Seq.empty[(Long, java.sql.Timestamp)].toDF("l_orderkey", "l_shipdate")
     assert(graft.queries.Relational.orderToShipLatency(noOrd, noLi).count() == 0)
   }
+
+  test("round-7 second continuation operators: empty inputs → empty results") {
+    assert(EventOps.markovTwoStep(noEvents).count() == 0)
+    assert(EventOps.topTrigrams(noEvents).count() == 0)
+    assert(TextAnalysis.hapaxBySource(noDocs).count() == 0)
+    assert(TextAnalysis.curriculumBuckets(noDocs).count() == 0)
+    assert(TextAnalysis.wordLenProfile(noDocs).count() == 0)
+    assert(Similarity.pairCosineHistogram(noEmb).count() == 0)
+    assert(Multimodal.shardManifest(noDocs).count() == 0)
+  }
 }

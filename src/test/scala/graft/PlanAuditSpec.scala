@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "ev_mix_drift",              // |types|-row table × 1-row total + |weeks|-row totals broadcast
     "text_vocab_coverage",       // 4-row k grid × 1-row (n_tokens, n_types) broadcast scalar
     "sim_knn_homophily",         // inherits sim_bruteforce_topk's broadcast(nQueries=10) frame
-    "sim_radius_search"          // same broadcast(nQueries=10) scoring frame, aggregate finisher
+    "sim_radius_search",         // same broadcast(nQueries=10) scoring frame, aggregate finisher
+    "sim_pair_hist"              // broadcast n/37 mod-sample × n/41 mod-sample — pair count n²/1517 by construction
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate
@@ -79,7 +80,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_heaps_fit",    // regression over the same nBuckets-row growth table
     "text_zipf_slope",   // ranking window input is the limit(topN=1000) frequency head
     "sim_effective_dims", // cumulative window over the 64-row per-dim variance aggregate
-    "text_vocab_coverage" // ranking/cumulative window over the VOCABULARY (types) table
+    "text_vocab_coverage", // ranking/cumulative window over the VOCABULARY (types) table
+    "sim_pair_hist"       // share denominator over the ≤20-row histogram aggregate
   )
 
   private def windowPartitionSpecs(

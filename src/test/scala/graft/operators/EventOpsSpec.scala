@@ -793,4 +793,53 @@ class EventOpsSpec extends SparkSpec {
     assert(out(12L) == ((4L, 1.977143)))
     assert(out.size == 3) // gap day 11 emits no row (no observed events)
   }
+
+  test("markovTwoStep: P² of a deterministic A↔B alternator is the identity") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "A"),
+      (2L, "2024-01-01 10:01:00", 1L, "B"),
+      (3L, "2024-01-01 10:02:00", 1L, "A"),
+      (4L, "2024-01-01 10:03:00", 1L, "B"))
+    val out = EventOps.markovTwoStep(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // P(A→B)=1, P(B→A)=1 ⇒ P²(A→A)=1, P²(B→B)=1, nothing else
+    assert(out == Map(("A", "A") -> 1.0, ("B", "B") -> 1.0))
+  }
+
+  test("markovTwoStep: split transition sums products over the middle state") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "A"),
+      (2L, "2024-01-01 10:01:00", 1L, "B"),
+      (3L, "2024-01-01 10:02:00", 1L, "C"),
+      (4L, "2024-01-01 11:00:00", 2L, "A"),
+      (5L, "2024-01-01 11:01:00", 2L, "C"),
+      (6L, "2024-01-01 12:00:00", 3L, "C"),
+      (7L, "2024-01-01 12:01:00", 3L, "A"))
+    // P1: A→B=.5, A→C=.5, B→C=1, C→A=1
+    val out = EventOps.markovTwoStep(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // P²(A→C) = P(A→B)·P(B→C) = .5 ; P²(A→A) = P(A→C)·P(C→A) = .5
+    assert(out(("A", "C")) == 0.5 && out(("A", "A")) == 0.5)
+    // P²(C→B) = P(C→A)·P(A→B) = .5 ; P²(C→C) = P(C→A)·P(A→C) = .5
+    assert(out(("C", "B")) == 0.5 && out(("C", "C")) == 0.5)
+    // P²(B→A) = P(B→C)·P(C→A) = 1
+    assert(out(("B", "A")) == 1.0 && out.size == 5)
+  }
+
+  test("topTrigrams: user-local windows, no cross-user trigrams, count ordering") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase"),
+      (4L, "2024-01-01 10:03:00", 1L, "view"),
+      (5L, "2024-01-01 11:00:00", 2L, "view"),
+      (6L, "2024-01-01 11:01:00", 2L, "click"),
+      (7L, "2024-01-01 11:02:00", 2L, "purchase"),
+      (8L, "2024-01-01 12:00:00", 3L, "error")) // 1 event → no trigram
+    val out = EventOps.topTrigrams(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.head == ("view>click>purchase" -> 2L))
+    assert(out.toMap == Map(
+      "view>click>purchase" -> 2L, "click>purchase>view" -> 1L))
+  }
 }

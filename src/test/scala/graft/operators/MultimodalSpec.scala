@@ -123,4 +123,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(
       Multimodal.MediaRecord(7L, "hello world".getBytes("UTF-8"), "image")).n_frames == 1)
   }
+
+  test("shardManifest: content-addressed placement conserves assets and bytes") {
+    val out = Multimodal.shardManifest(docs, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.forall { case (sid, _, _, _, _, _) => sid >= 0 && sid < 4 })
+    assert(out.map(_._2).sum == 3L)                          // every asset placed once
+    assert(out.map(_._3).sum == ("hello world".length + "abc".length +
+      "some video-ish payload bytes here".length).toLong)    // bytes conserved
+    // modality split follows doc_id % 3: one image (0), one audio (1), one video (2)
+    assert((out.map(_._4).sum, out.map(_._5).sum, out.map(_._6).sum) == ((1L, 1L, 1L)))
+    // expected shard of doc 0: first 8 md5-hex chars of the payload, mod 4
+    val expShard = java.lang.Long.parseLong(md5Hex("hello world").substring(0, 8), 16) % 4
+    assert(out.exists { case (sid, _, _, ni, _, _) => sid == expShard && ni == 1L })
+    // deterministic: recomputing yields the identical manifest
+    val again = Multimodal.shardManifest(docs, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == again.toSeq)
+  }
 }

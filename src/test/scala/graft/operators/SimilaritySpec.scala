@@ -486,4 +486,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     assert(full.toSeq == Seq((0L, 2, 1.0)), full.toSeq.toString)
   }
+
+  test("pairCosineHistogram: mod-sampled pairs binned on rounded cosine") {
+    val e = emb(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f)))
+    // modA=modB=1: all ordered pairs a≠b → 6 pairs
+    // cos(0,1)=0 → bucket 0 ×2; cos(0,2)=cos(1,2)=0.707107 → bucket 7 ×4
+    val out = Similarity.pairCosineHistogram(e, modA = 1, modB = 1).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0, 0.0, 0.1, 2L, 0.333333), (7, 0.7, 0.8, 4L, 0.666667)), out.toSeq.toString)
+  }
+
+  test("pairCosineHistogram: negative cosines land in negative buckets") {
+    val e = emb(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(-1.0f, 0.0f)))
+    val out = Similarity.pairCosineHistogram(e, modA = 1, modB = 1).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // cos = -1.0 → floor(-10) = -10 → bucket -10, [-1.0, -0.9)
+    assert(out.toSeq == Seq((-10, -1.0, -0.9, 2L)), out.toSeq.toString)
+  }
 }

@@ -591,6 +591,45 @@ class TextAnalysisSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("hapaxBySource: once-per-source types counted within each source") {
+    val d = Seq(
+      (1L, "a a b", "s1"),
+      (2L, "x y", "s2"),
+      (3L, "x z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.hapaxBySource(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // s1: types {a,b}, hapax {b}; s2: types {x,y,z}, x appears twice
+    assert(out.toSeq == Seq(
+      ("s1", 2L, 3L, 1L, 0.5), ("s2", 3L, 4L, 2L, 0.666667)), out.toSeq.toString)
+  }
+
+  test("curriculumBuckets: stopword-share deciles, ties broken by doc_id") {
+    val d = Seq(
+      (1L, "the the", "s"),   // score 1.0
+      (2L, "the cat", "s"),   // score 0.5
+      (3L, "cat dog", "s"),   // score 0.0
+      (4L, "a cat", "s"))     // score 0.5 — ties with doc 2, doc_id breaks
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.curriculumBuckets(d, nBuckets = 2).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // desc order: doc1(1.0), doc2(.5), doc4(.5), doc3(0) → bucket1={1,2}, bucket2={4,3}
+    assert(out(1L) == ((2L, 0.75)) && out(2L) == ((2L, 0.25)), out.toString)
+  }
+
+  test("wordLenProfile: per-lang length histogram with cap bucket") {
+    val d = Seq(
+      (1L, "ab abc a", "en"),
+      (2L, "xxxx", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.wordLenProfile(d, maxLen = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("en", 1, 1L, 0.333333), ("en", 2, 2L, 0.666667), ("fr", 2, 1L, 1.0)),
+      out.toSeq.toString)
+  }
+
   test("commonOpenings: shared prefixes counted with source spread, short docs skipped") {
     val d = Seq(
       (1L, "a b c d e f", "s1"),
