@@ -388,6 +388,9 @@ object SparkEntry {
     "text_word_len_profile" -> ((s, d) => TextAnalysis.wordLenProfile(Tables.documents(s, d))),
     "sim_pair_hist" -> ((s, d) => Similarity.pairCosineHistogram(Tables.embeddings(s, d))),
     "mm_shard_manifest" -> ((s, d) => Multimodal.shardManifest(Tables.documents(s, d))),
+    "q_drawdown" -> ((s, d) => Relational.revenueDrawdown(Tables.orders(s, d))),
+    "ev_rolling_p95" -> ((s, d) => EventOps.rollingDailyP95(Tables.events(s, d))),
+    "ev_autocorr" -> ((s, d) => EventOps.dailyAutocorr(Tables.events(s, d))),
   )
 
   /** Shared CTE chain for the relational language-ID oracles —
@@ -3839,6 +3842,40 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN media_type = 'video' THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_video
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_drawdown" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1),
+        |p AS (SELECT month, revenue,
+        |             max(revenue) OVER (ORDER BY month
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM m)
+        |SELECT month, revenue, peak,
+        |       round((peak - revenue) / peak, 6) AS drawdown
+        |FROM p ORDER BY month""".stripMargin,
+    // daily totals rounded BEFORE the windowed quantile so both
+    // engines interpolate over identical doubles
+    "ev_rolling_p95" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |                  event_type, value FROM events),
+        |d AS (SELECT day, event_type, round(sum(value), 2) AS daily_value
+        |      FROM e GROUP BY 1, 2)
+        |SELECT day, event_type, daily_value,
+        |       round(quantile_cont(daily_value, 0.95) OVER (
+        |         PARTITION BY event_type ORDER BY day
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS p95_7d
+        |FROM d ORDER BY day, event_type""".stripMargin,
+    "ev_autocorr" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |                  event_type FROM events),
+        |d AS (SELECT day, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.n AS n_t, b.n AS n_t1
+        |      FROM d a JOIN d b
+        |        ON a.event_type = b.event_type AND b.day = a.day + 1)
+        |SELECT event_type, count(*) AS n_pairs,
+        |       round(corr(CAST(n_t AS DOUBLE), CAST(n_t1 AS DOUBLE)), 6)
+        |         AS autocorr_lag1
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Evidence chain for every query key that has NO DuckDB oracle

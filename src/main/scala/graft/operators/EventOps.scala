@@ -1465,6 +1465,60 @@ object EventOps {
     Iterator.iterate(1.0)(_ * decay).take(horizon).zipWithIndex
       .map { case (w, o) => (o.toLong, w) }.toSeq
 
+  /** Trailing 7-day p95 of daily event value per type: the rolling
+    * tail-quantile series an SLO/billing dashboard draws next to the
+    * mean (spikes that move the p95 but not the mean are exactly the
+    * ones EWMA smoothing hides). Daily totals are rounded BEFORE the
+    * quantile so both engines interpolate over identical doubles;
+    * the window is a RANGE frame on the integer day bucket, so
+    * calendar gaps shrink the sample rather than silently widening
+    * the window.
+    *
+    * Shape at 100 TB: the fact-scale work is the daily aggregate
+    * (map-side combined to |days|×|types| rows); the rolling
+    * quantile runs on that bounded table, partitioned by type. An
+    * exact windowed percentile over raw events would buffer each
+    * frame — aggregate first, window second, always.
+    */
+  def rollingDailyP95(events: DataFrame, days: Int = 7): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = withTsUs(events)
+      .select(tsBucket(dayUs).as("day"), col("event_type"), col("value"))
+      .groupBy("day", "event_type")
+      .agg(round(sum("value"), 2).as("daily_value"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rangeBetween(-(days - 1).toLong, 0L)
+    daily
+      .withColumn("p95_7d", round(percentile(col("daily_value"), lit(0.95)).over(w), 4))
+      .orderBy("day", "event_type")
+  }
+
+  /** Lag-1 autocorrelation of the daily count series per event type
+    * — the "is today's volume predictable from yesterday's"
+    * statistic that separates trending/seasonal series (ρ₁ ≫ 0)
+    * from white-noise firehoses (ρ₁ ≈ 0), and the one-number
+    * justification for the seasonal-forecast baseline
+    * ([[forecastBacktest]]). Consecutive OBSERVED days pair via a
+    * self-join on day+1 over the |days|×|types| daily table (gap
+    * days break pairs — documented); Pearson r is the engine
+    * built-in on both sides, rounded to 6.
+    */
+  def dailyAutocorr(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = withTsUs(events)
+      .select(tsBucket(dayUs).as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val cur = daily.select(col("event_type"), col("day"), col("n").as("n_t"))
+    val nxt = daily.select(col("event_type"), (col("day") - 1).as("day"),
+      col("n").as("n_t1"))
+    cur.join(nxt, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("n_t").cast("double"), col("n_t1").cast("double")), 6)
+          .as("autocorr_lag1"))
+      .orderBy("event_type")
+  }
+
   /** Two-step Markov transition matrix: P²(a,c) = Σ_b P(a,b)·P(b,c)
     * from [[transitionMatrix]]'s one-step probabilities — "where is a
     * user two clicks from here", the lookahead a recommender or

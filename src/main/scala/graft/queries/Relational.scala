@@ -1007,4 +1007,30 @@ object Relational {
         max("days").as("max_days"))
       .orderBy("o_orderpriority")
   }
+
+  /** Monthly revenue drawdown: each month's order revenue against
+    * the running peak so far, with the relative drawdown — the
+    * "how far below the best month ever are we" series (the finance
+    * max-drawdown curve applied to order volume). Revenue is rounded
+    * BEFORE the window so both engines run the peak/drawdown math on
+    * identical doubles.
+    *
+    * Shape at 100 TB: the fact scan reduces to a |months|-sized
+    * monthly aggregate (map-side combined); the running-max window
+    * is unpartitioned but its input is that bounded month table
+    * (≤ decades × 12 rows) — allowlisted in the plan audit with this
+    * proof, same pattern as `text_vocab_growth`.
+    */
+  def revenueDrawdown(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    monthly
+      .withColumn("peak", max("revenue").over(w))
+      .select(col("month"), col("revenue"), col("peak"),
+        round((col("peak") - col("revenue")) / col("peak"), 6).as("drawdown"))
+      .orderBy("month")
+  }
 }

@@ -360,6 +360,42 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  case class SeqEvent(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  case class TransitionEdge(prev_type: String, next_type: String)
+
+  /** Streaming bigram transition edges — the stateful face of
+    * [[graft.operators.EventOps.transitionMatrix]]: per user, emit a
+    * (prev_type → next_type) edge for every consecutive event pair,
+    * carrying exactly ONE event of state per key (the last seen), so
+    * state is O(users) regardless of stream length and a user's
+    * cross-batch pair is stitched correctly when a batch boundary
+    * splits it. Rows within a batch sort by (ts_us, event_id) — the
+    * same tiebreak as the batch window — and the replay contract is
+    * time-ordered chunks, as with [[streamingAttribution]]. The
+    * downstream count-by-edge is a plain streaming aggregation; the
+    * spec pins edge counts against the oracle-green `ev_transitions`
+    * batch counts.
+    */
+  def transitionEdges(events: Dataset[SeqEvent]): Dataset[TransitionEdge] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqEvent, TransitionEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[SeqEvent], state: GroupState[SeqEvent]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransitionEdge]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransitionEdge(p.event_type, e.event_type))
+            prev = Some(e)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen, with state bounded by the watermark (an id older than the
     * watermark can be evicted because any duplicate of it would be

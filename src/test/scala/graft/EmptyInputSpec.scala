@@ -215,5 +215,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.wordLenProfile(noDocs).count() == 0)
     assert(Similarity.pairCosineHistogram(noEmb).count() == 0)
     assert(Multimodal.shardManifest(noDocs).count() == 0)
+    assert(EventOps.rollingDailyP95(noEvents).count() == 0)
+    assert(EventOps.dailyAutocorr(noEvents).count() == 0)
+    val noOrders = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(graft.queries.Relational.revenueDrawdown(noOrders).count() == 0)
   }
 }

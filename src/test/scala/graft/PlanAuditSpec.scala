@@ -81,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_zipf_slope",   // ranking window input is the limit(topN=1000) frequency head
     "sim_effective_dims", // cumulative window over the 64-row per-dim variance aggregate
     "text_vocab_coverage", // ranking/cumulative window over the VOCABULARY (types) table
-    "sim_pair_hist"       // share denominator over the ≤20-row histogram aggregate
+    "sim_pair_hist",      // share denominator over the ≤20-row histogram aggregate
+    "q_drawdown"          // running peak over the per-MONTH aggregate (≤ decades × 12 rows)
   )
 
   private def windowPartitionSpecs(

@@ -794,6 +794,36 @@ class EventOpsSpec extends SparkSpec {
     assert(out.size == 3) // gap day 11 emits no row (no observed events)
   }
 
+  test("rollingDailyP95: range frame interpolates over observed days only") {
+    val events = ev(
+      (1L, "1970-01-01 01:00:00", 1L, "view"),
+      (2L, "1970-01-02 01:00:00", 1L, "view"),
+      (3L, "1970-01-02 02:00:00", 2L, "view"))
+      .selectExpr("*", "CAST(event_id AS DOUBLE) * 10 AS value")
+    val out = EventOps.rollingDailyP95(events).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    // day 0: [10] → p95 = 10; day 1: daily = 20+30 = 50, frame [10, 50]
+    // → 10 + 0.95·40 = 48
+    assert(out(0L) == ((10.0, 10.0)) && out(1L) == ((50.0, 48.0)), out.toString)
+  }
+
+  test("dailyAutocorr: linear series gives rho=1; gap days break pairs") {
+    val events = ev(
+      (1L, "1970-01-01 01:00:00", 1L, "A"),
+      (2L, "1970-01-02 01:00:00", 1L, "A"),
+      (3L, "1970-01-02 02:00:00", 2L, "A"),
+      (4L, "1970-01-03 01:00:00", 1L, "A"),
+      (5L, "1970-01-03 02:00:00", 2L, "A"),
+      (6L, "1970-01-03 03:00:00", 3L, "A"),
+      (7L, "1970-01-01 01:00:00", 1L, "B"),
+      (8L, "1970-01-03 01:00:00", 1L, "B")) // gap on day 1 → no B pairs
+    val out = EventOps.dailyAutocorr(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // A: counts 1,2,3 → pairs (1,2),(2,3) → perfectly linear → ρ = 1
+    assert(out("A") == ((2L, 1.0)), out.toString)
+    assert(!out.contains("B")) // no consecutive observed days
+  }
+
   test("markovTwoStep: P² of a deterministic A↔B alternator is the identity") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "A"),

@@ -374,4 +374,20 @@ class RelationalSpec extends SparkSpec {
     assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5)) ==
       ((2L, 6.0, 6.0, 9.2, 10)))
   }
+
+  test("revenueDrawdown: running peak carries through the dip") {
+    val orders = Seq(
+      (1L, "2024-01-05", 100.0),
+      (2L, "2024-01-20", 100.0),
+      (3L, "2024-02-10", 50.0),   // dip: 75% below the Jan peak
+      (4L, "2024-03-01", 300.0))  // new peak → drawdown back to 0
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .selectExpr("o_orderkey", "CAST(d AS TIMESTAMP) AS o_orderdate", "o_totalprice")
+    val out = Relational.revenueDrawdown(orders).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01", 200.0, 200.0, 0.0),
+      ("2024-02", 50.0, 200.0, 0.75),
+      ("2024-03", 300.0, 300.0, 0.0)), out.toSeq.toString)
+  }
 }

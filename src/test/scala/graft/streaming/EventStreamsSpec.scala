@@ -625,4 +625,34 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("replayed sf0.001 events through transitionEdges equals ev_transitions counts") {
+    // Edge counts from the streamed bigram emitter must equal the
+    // oracle-green batch transitionMatrix counts — including pairs
+    // SPLIT ACROSS replay chunks (the one-event state stitches them).
+    implicit val sq = spark.sqlContext
+    val batchDf = graft.Tables.events(spark, sf0001)
+    val rows = EventOps.withTsUs(batchDf)
+      .select("user_id", "ts_us", "event_id", "event_type")
+      .as[EventStreams.SeqEvent]
+      .collect().sortBy(e => (e.ts_us, e.event_id))
+    val mem = MemoryStream[EventStreams.SeqEvent]
+    val q = EventStreams.transitionEdges(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("trans_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("trans_test").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+      val batch = EventOps.transitionMatrix(batchDf).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream=${streamed.toSeq.sorted.take(5)} batch=${batch.toSeq.sorted.take(5)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
