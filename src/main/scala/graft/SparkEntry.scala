@@ -391,6 +391,9 @@ object SparkEntry {
     "q_drawdown" -> ((s, d) => Relational.revenueDrawdown(Tables.orders(s, d))),
     "ev_rolling_p95" -> ((s, d) => EventOps.rollingDailyP95(Tables.events(s, d))),
     "ev_autocorr" -> ((s, d) => EventOps.dailyAutocorr(Tables.events(s, d))),
+    "sim_cell_cohesion" -> ((s, d) => Similarity.ivfCellCohesion(Tables.embeddings(s, d))),
+    "text_source_keywords" -> ((s, d) => TextAnalysis.sourceKeywords(Tables.documents(s, d))),
+    "ev_value_percentiles" -> ((s, d) => EventOps.valuePercentiles(Tables.events(s, d))),
   )
 
   /** Shared CTE chain for the relational language-ID oracles —
@@ -3876,6 +3879,48 @@ object SparkEntry {
         |       round(corr(CAST(n_t AS DOUBLE), CAST(n_t1 AS DOUBLE)), 6)
         |         AS autocorr_lag1
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same seed-centroid assignment chain as sim_cell_balance, with
+    // the per-vector similarity carried into the cell rollup
+    "sim_cell_cohesion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS centroid
+        |          FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, cell_id, sim FROM (
+        |    SELECT e.vec_id, c.cell_id,
+        |           list_cosine_similarity(e.v, c.centroid) AS sim,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+        |                      c.cell_id) AS rn
+        |    FROM e CROSS JOIN cents c) t WHERE rn = 1)
+        |SELECT cell_id, count(*) AS n_vectors,
+        |       round(avg(sim), 6) AS mean_sim, round(min(sim), 6) AS min_sim
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ranking runs on the ROUNDED score so both engines break the
+    // same ties by term
+    "text_source_keywords" ->
+      """WITH t AS (SELECT source, x AS term FROM documents,
+        |                unnest(string_split(lower(text), ' ')) AS u(x)
+        |           WHERE length(x) > 0),
+        |tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+        |s AS (SELECT tf.source, tf.term, tf.tf, df.df,
+        |             round(tf.tf * ln(CAST(n_sources AS DOUBLE) / df.df), 6)
+        |               AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN ns),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                  ORDER BY score DESC, term) AS rnk FROM s)
+        |SELECT source, rnk, term, tf, df, score
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+    "ev_value_percentiles" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(avg(value), 4) AS mean_value,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99,
+        |       round(max(value), 4) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Evidence chain for every query key that has NO DuckDB oracle

@@ -1465,6 +1465,25 @@ object EventOps {
     Iterator.iterate(1.0)(_ * decay).take(horizon).zipWithIndex
       .map { case (w, o) => (o.toLong, w) }.toSeq
 
+  /** Value distribution per event type: mean plus interpolated
+    * p50/p90/p99 of the `value` column — the tail table a billing or
+    * latency pipeline reads per signal (means hide exactly the tail
+    * that pages). One grouped aggregate over the event stream with
+    * map-side combine; exact percentiles are fine at |types| groups,
+    * and the approx_percentile twin is the drop-in at
+    * billions-per-type if sketches are preferred.
+    */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg("value"), 4).as("mean_value"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 4).as("p99"),
+        round(max("value"), 4).as("max_value"))
+      .orderBy("event_type")
+
   /** Trailing 7-day p95 of daily event value per type: the rolling
     * tail-quantile series an SLO/billing dashboard draws next to the
     * mean (spikes that move the p95 but not the mean are exactly the

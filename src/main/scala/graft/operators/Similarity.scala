@@ -738,6 +738,31 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** Per-cell cohesion of the seed-centroid IVF index: vector count
+    * plus mean and minimum cosine to the OWN cell centroid — the
+    * quality axis [[ivfCellBalance]]'s size axis doesn't see (a cell
+    * can be perfectly sized and still be a junk-drawer of unrelated
+    * vectors; low mean_sim cells are where [[ivfProbeSweep]] recall
+    * dies first). Same broadcast-centroid map-only assignment as
+    * every IVF op; the report agg is nCells keys.
+    */
+  def ivfCellCohesion(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val scored = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(seedCentroids(embeddings, nCells)))
+      .select(col("vec_id"), col("cell_id"),
+        VectorFunctions.cosineSim(col("v"), col("centroid")).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg("sim"), 6).as("mean_sim"),
+        round(min("sim"), 6).as("min_sim"))
+      .orderBy("cell_id")
+  }
+
   /** Effective dimensionality: per-coordinate variance with its share
     * of total variance, the cumulative share in descending-variance
     * order ("how many dims hold 90%"), and the participation ratio

@@ -1474,6 +1474,38 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Distinctive keywords per source: top-`k` terms by source-level
+    * TF-IDF, where TF is the term's token count within the source
+    * and IDF is ln(|sources| / #sources-containing) — the domain
+    * fingerprint table ("what is src7 about") read when deciding mix
+    * weights or spotting a mislabeled crawl (a "news" source whose
+    * keywords are SKU codes). Differs from [[tfidfTopTerms]] in the
+    * document unit: there each doc is scored, here each SOURCE is
+    * the document, so the whole computation lives on the
+    * (source × term) table — vocabulary-sized, orders below the
+    * corpus at any scale; |sources| rides a 1-row broadcast.
+    */
+  def sourceKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("source"), explode(split(lower(col("text")), " ", -1)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nSources = documents.select("source").distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nSources))
+      .withColumn("score",
+        round(col("tf") * log(col("n_sources").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("source", "rnk")
+  }
+
   /** Per-source hapax legomena rate: share of each source's word
     * TYPES that occur exactly once in that source — the
     * lexical-novelty fingerprint that separates generative/templated

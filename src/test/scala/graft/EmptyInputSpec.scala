@@ -220,5 +220,8 @@ class EmptyInputSpec extends SparkSpec {
     val noOrders = Seq.empty[(Long, java.sql.Timestamp, Double)]
       .toDF("o_orderkey", "o_orderdate", "o_totalprice")
     assert(graft.queries.Relational.revenueDrawdown(noOrders).count() == 0)
+    assert(Similarity.ivfCellCohesion(noEmb).count() == 0)
+    assert(TextAnalysis.sourceKeywords(noDocs).count() == 0)
+    assert(EventOps.valuePercentiles(noEvents).count() == 0)
   }
 }

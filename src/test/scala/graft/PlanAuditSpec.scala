@@ -63,7 +63,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_vocab_coverage",       // 4-row k grid × 1-row (n_tokens, n_types) broadcast scalar
     "sim_knn_homophily",         // inherits sim_bruteforce_topk's broadcast(nQueries=10) frame
     "sim_radius_search",         // same broadcast(nQueries=10) scoring frame, aggregate finisher
-    "sim_pair_hist"              // broadcast n/37 mod-sample × n/41 mod-sample — pair count n²/1517 by construction
+    "sim_pair_hist",             // broadcast n/37 mod-sample × n/41 mod-sample — pair count n²/1517 by construction
+    "sim_cell_cohesion",         // corpus × broadcast 16 seed centroids — same bound as sim_cell_balance
+    "text_source_keywords"       // (source × term) table × 1-row broadcast |sources| scalar
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

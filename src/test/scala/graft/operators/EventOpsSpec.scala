@@ -794,6 +794,21 @@ class EventOpsSpec extends SparkSpec {
     assert(out.size == 3) // gap day 11 emits no row (no observed events)
   }
 
+  test("valuePercentiles: interpolated tail stats per type") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "A"),
+      (2L, "2024-01-01 11:00:00", 1L, "A"),
+      (3L, "2024-01-01 12:00:00", 1L, "A"),
+      (4L, "2024-01-01 13:00:00", 1L, "B"))
+      .selectExpr("*", "CAST(event_id AS DOUBLE) * 10 AS value")
+    val out = EventOps.valuePercentiles(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(6)))).toMap
+    // A: values 10,20,30 → mean 20, p50 = 20, p90 = 10+0.9·2·10 = 28, max 30
+    assert(out("A") == ((3L, 20.0, 20.0, 28.0, 30.0)), out.toString)
+    assert(out("B") == ((1L, 40.0, 40.0, 40.0, 40.0)))
+  }
+
   test("rollingDailyP95: range frame interpolates over observed days only") {
     val events = ev(
       (1L, "1970-01-01 01:00:00", 1L, "view"),

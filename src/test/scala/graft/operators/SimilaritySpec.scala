@@ -487,6 +487,21 @@ class SimilaritySpec extends SparkSpec {
     assert(full.toSeq == Seq((0L, 2, 1.0)), full.toSeq.toString)
   }
 
+  test("ivfCellCohesion: per-cell mean/min similarity to own centroid") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // centroid cell 0
+      (1L, Seq(0.0f, 1.0f)),   // centroid cell 1
+      (2L, Seq(1.0f, 0.0f)),   // → cell 0, sim 1.0
+      (3L, Seq(1.0f, 1.0f)))   // → cell 0 (tie 0.707 both cells, lower id wins)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfCellCohesion(e, nCells = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // cell 0: sims {1.0 (self), 1.0, 0.707107} → mean 0.902369, min 0.707107
+    assert(out(0) == ((3L, 0.902369, 0.707107)), out.toString)
+    // cell 1: only its own centroid
+    assert(out(1) == ((1L, 1.0, 1.0)))
+  }
+
   test("pairCosineHistogram: mod-sampled pairs binned on rounded cosine") {
     val e = emb(
       (0L, Seq(1.0f, 0.0f)),

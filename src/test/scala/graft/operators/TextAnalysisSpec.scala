@@ -591,6 +591,22 @@ class TextAnalysisSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("sourceKeywords: source-level TF-IDF ranks the distinctive term first") {
+    val d = Seq(
+      (1L, "alpha alpha shared", "s1"),
+      (2L, "beta shared shared", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceKeywords(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // "shared" is in both sources → idf = ln(1) = 0; uniques score tf·ln(2)
+    assert(out.toSeq == Seq(
+      ("s1", 1L, "alpha", 2L, 1L, 1.386294),
+      ("s1", 2L, "shared", 1L, 2L, 0.0),
+      ("s2", 1L, "beta", 1L, 1L, 0.693147),
+      ("s2", 2L, "shared", 2L, 2L, 0.0)), out.toSeq.toString)
+  }
+
   test("hapaxBySource: once-per-source types counted within each source") {
     val d = Seq(
       (1L, "a a b", "s1"),
