@@ -394,6 +394,9 @@ object SparkEntry {
     "sim_cell_cohesion" -> ((s, d) => Similarity.ivfCellCohesion(Tables.embeddings(s, d))),
     "text_source_keywords" -> ((s, d) => TextAnalysis.sourceKeywords(Tables.documents(s, d))),
     "ev_value_percentiles" -> ((s, d) => EventOps.valuePercentiles(Tables.events(s, d))),
+    "dedup_est_jaccard_hist" -> ((s, d) => Dedup.estJaccardHistogram(Tables.documents(s, d))),
+    "text_simhash_topk" -> ((s, d) => Dedup.simhashHammingTopK(Tables.documents(s, d))),
+    "ev_session_gap_hist" -> ((s, d) => EventOps.sessionGapHistogram(Tables.events(s, d))),
   )
 
   /** Shared CTE chain for the relational language-ID oracles —
@@ -3921,6 +3924,53 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.99), 4) AS p99,
         |       round(max(value), 4) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the shared banded-pair chain at threshold 0 → ≤17-level rollup
+    "dedup_est_jaccard_hist" ->
+      s"""WITH ${minhashPairCtes("documents")}
+         |SELECT est_jaccard, count(*) AS n_pairs FROM (
+         |  SELECT round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 6)
+         |           AS est_jaccard
+         |  FROM pairs) q
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_simhash_topk" ->
+      s"""WITH $simhashMd5Cte,
+         |q AS (SELECT doc_id AS qid, simhash32 AS qfp FROM fp WHERE doc_id < 10),
+         |s AS (SELECT qid, f.doc_id AS cid,
+         |             CAST(bit_count(xor(qfp, f.simhash32)) AS BIGINT) AS hamming
+         |      FROM q CROSS JOIN fp f WHERE f.doc_id <> qid),
+         |r AS (SELECT qid, cid, hamming,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY hamming, cid) AS rnk FROM s)
+         |SELECT qid, rnk, cid, hamming FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+    "ev_session_gap_hist" ->
+      """WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events),
+        |marked AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |starts AS (SELECT user_id, session_id, min(ts_us) AS start_us
+        |           FROM sess GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT start_us - lag(start_us) OVER (PARTITION BY user_id
+        |           ORDER BY start_us) AS gap_us
+        |  FROM starts),
+        |-- filter BEFORE least: least(NULL, cap) = cap in DuckDB, which
+        |-- would admit each user's first session as a phantom cap-bucket gap
+        |gaps AS (SELECT least(gap_us // 3600000000, 168) AS gap_hours
+        |         FROM lagged WHERE gap_us IS NOT NULL),
+        |c AS (SELECT gap_hours, count(*) AS n_gaps FROM gaps GROUP BY 1)
+        |SELECT gap_hours, n_gaps,
+        |       round(CAST(n_gaps AS DOUBLE) / sum(n_gaps) OVER (), 6) AS share
+        |FROM c ORDER BY 1""".stripMargin,
   )
 
   /** Evidence chain for every query key that has NO DuckDB oracle

@@ -1157,4 +1157,51 @@ object Dedup {
           .as("p_candidate"))
       .orderBy("b", "jaccard")
   }
+
+  /** Estimated-Jaccard histogram over ALL banded candidate pairs
+    * (threshold 0): pair count per signature-agreement level — the
+    * empirical companion of [[lshBandPlan]]'s theoretical S-curve
+    * ("where does THIS corpus's candidate mass sit before the
+    * threshold cuts"), read when picking the near-dup threshold the
+    * same way [[graft.operators.Similarity.pairCosineHistogram]]
+    * calibrates cosine thresholds. est_jaccard takes only
+    * numHashes+1 distinct values, so the rollup is a ≤17-key agg
+    * over the LSH-bounded pair set — no new shuffle shape.
+    */
+  def estJaccardHistogram(documents: DataFrame): DataFrame =
+    minhashNearDupsMd5(documents, threshold = 0.0)
+      .groupBy("est_jaccard").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("est_jaccard")
+
+  /** Hamming top-k retrieval over the 32-bit md5 SimHash
+    * fingerprints: for each query doc (doc_id < nQueries), the k
+    * nearest corpus docs by fingerprint Hamming distance — the
+    * bridge from dedup fingerprints to cheap retrieval (a 4-byte
+    * code per doc answers "roughly similar" without touching text
+    * or embeddings; Manku et al. 2007's lookup face). Fingerprints
+    * are computed ONCE, the query side broadcasts, scoring is
+    * map-only `bit_count(xor)` (codegen'd), and the per-query top-k
+    * is the bounded-heap partial aggregate
+    * ([[graft.functions.Aggregators.TopKPairs]] on similarity =
+    * 32 − hamming, ties to the lower doc_id) — candidates reduce
+    * map-side, nothing fact-scale crosses the shuffle.
+    */
+  def simhashHammingTopK(documents: DataFrame, k: Int = 5,
+                         nQueries: Int = 10): DataFrame = {
+    val fp = simhashMd5(documents)
+    val q = fp.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("simhash32").as("qfp"))
+    val scored = fp.select(col("doc_id").as("cid"), col("simhash32").as("cfp"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (lit(32.0) - expr("bit_count(qfp ^ cfp)").cast("double")).as("sim"))
+    val topk = udaf(new graft.functions.Aggregators.TopKPairs(k))
+    scored.groupBy("qid")
+      .agg(topk(col("sim"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "pair")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("pair._2").as("cid"),
+        (lit(32L) - col("pair._1").cast("long")).as("hamming"))
+      .orderBy("qid", "rnk")
+  }
 }

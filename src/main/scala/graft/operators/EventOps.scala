@@ -1465,6 +1465,31 @@ object EventOps {
     Iterator.iterate(1.0)(_ * decay).take(horizon).zipWithIndex
       .map { case (w, o) => (o.toLong, w) }.toSeq
 
+  /** Return-time histogram: hours between consecutive SESSION STARTS
+    * per user, capped at `capHours`, with population shares — the
+    * re-engagement curve ("users come back in ~4h / daily /
+    * weekly") that sets push-notification timing and the session
+    * TTL in the streaming twins. Runs entirely on the session-start
+    * table ([[withSessionIds]]' aggregate — |sessions| rows, not
+    * events); one per-user lag, one ≤capHours-key rollup.
+    */
+  def sessionGapHistogram(events: DataFrame, gapMinutes: Int = 30,
+                          capHours: Int = 168): DataFrame = {
+    val starts = withSessionIds(events, gapMinutes)
+      .groupBy("user_id", "session_id").agg(min("ts_us").as("start_us"))
+    val w = Window.partitionBy("user_id").orderBy("start_us")
+    val gaps = starts
+      .withColumn("prev_us", lag("start_us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(least(expr("(start_us - prev_us) div 3600000000"),
+        lit(capHours.toLong)).as("gap_hours"))
+    val counts = gaps.groupBy("gap_hours").agg(count(lit(1)).as("n_gaps"))
+    counts
+      .withColumn("share",
+        round(col("n_gaps") / sum("n_gaps").over(Window.partitionBy()), 6))
+      .orderBy("gap_hours")
+  }
+
   /** Value distribution per event type: mean plus interpolated
     * p50/p90/p99 of the `value` column — the tail table a billing or
     * latency pipeline reads per signal (means hide exactly the tail

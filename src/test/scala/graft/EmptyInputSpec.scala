@@ -223,5 +223,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfCellCohesion(noEmb).count() == 0)
     assert(TextAnalysis.sourceKeywords(noDocs).count() == 0)
     assert(EventOps.valuePercentiles(noEvents).count() == 0)
+    assert(Dedup.estJaccardHistogram(noDocs).count() == 0)
+    assert(Dedup.simhashHammingTopK(noDocs).count() == 0)
+    assert(EventOps.sessionGapHistogram(noEvents).count() == 0)
   }
 }

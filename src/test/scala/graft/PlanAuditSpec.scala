@@ -65,7 +65,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_radius_search",         // same broadcast(nQueries=10) scoring frame, aggregate finisher
     "sim_pair_hist",             // broadcast n/37 mod-sample × n/41 mod-sample — pair count n²/1517 by construction
     "sim_cell_cohesion",         // corpus × broadcast 16 seed centroids — same bound as sim_cell_balance
-    "text_source_keywords"       // (source × term) table × 1-row broadcast |sources| scalar
+    "text_source_keywords",      // (source × term) table × 1-row broadcast |sources| scalar
+    "text_simhash_topk"          // 4-byte fingerprints × broadcast(nQueries=10 fingerprints) — same bound as sim_bruteforce_topk
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate
@@ -84,7 +85,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_effective_dims", // cumulative window over the 64-row per-dim variance aggregate
     "text_vocab_coverage", // ranking/cumulative window over the VOCABULARY (types) table
     "sim_pair_hist",      // share denominator over the ≤20-row histogram aggregate
-    "q_drawdown"          // running peak over the per-MONTH aggregate (≤ decades × 12 rows)
+    "q_drawdown",         // running peak over the per-MONTH aggregate (≤ decades × 12 rows)
+    "ev_session_gap_hist" // share denominator over the ≤169-row gap-hour histogram
   )
 
   private def windowPartitionSpecs(

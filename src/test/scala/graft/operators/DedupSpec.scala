@@ -480,4 +480,31 @@ class DedupSpec extends SparkSpec {
     // steeper banding (smaller r) raises the low-similarity tail
     assert(out((64, 0.5))._3 > out((1, 0.5))._3)
   }
+
+  test("estJaccardHistogram: candidate mass binned at signature-agreement levels") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> base,                                 // identical pair → est 1.0
+      2L -> base,
+      3L -> ((1 to 12).map(i => s"z$i").mkString(" "))) // unrelated, own bucket only
+    val out = Dedup.estJaccardHistogram(d).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(out(1.0) == 1L, out.toString)          // the identical pair
+    assert(out.values.sum == 1L)                  // no cross-candidate with doc 3
+  }
+
+  test("simhashHammingTopK: self excluded, identical fingerprint ranks first") {
+    val d = docs(
+      0L -> "alpha beta gamma delta",
+      1L -> "alpha beta gamma delta",   // fp identical to doc 0 → hamming 0
+      2L -> "completely different words here",
+      3L -> "alpha beta gamma epsilon")
+    val out = Dedup.simhashHammingTopK(d, k = 3, nQueries = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 3)
+    assert(out.head._3 == 1L && out.head._4 == 0L, out.toSeq.toString) // twin first
+    assert(out.forall(_._3 != 0L))                                     // never self
+    // ranks strictly increase with (hamming, cid)
+    assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted)
+  }
 }

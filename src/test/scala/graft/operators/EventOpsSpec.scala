@@ -794,6 +794,18 @@ class EventOpsSpec extends SparkSpec {
     assert(out.size == 3) // gap day 11 emits no row (no observed events)
   }
 
+  test("sessionGapHistogram: inter-session hours, first session excluded, cap bucket") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),  // session 1
+      (2L, "2024-01-01 10:10:00", 1L, "view"),  //   same session (10 min gap)
+      (3L, "2024-01-01 13:00:00", 1L, "view"),  // session 2: start gap 3h → bucket 3
+      (4L, "2024-02-01 13:00:00", 1L, "view"),  // session 3: gap ≫ cap → bucket 5
+      (5L, "2024-01-01 09:00:00", 2L, "view"))  // single session → no gap row
+    val out = EventOps.sessionGapHistogram(events, capHours = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((3L, 1L, 0.5), (5L, 1L, 0.5)), out.toSeq.toString)
+  }
+
   test("valuePercentiles: interpolated tail stats per type") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "A"),
