@@ -397,6 +397,8 @@ object SparkEntry {
     "dedup_est_jaccard_hist" -> ((s, d) => Dedup.estJaccardHistogram(Tables.documents(s, d))),
     "text_simhash_topk" -> ((s, d) => Dedup.simhashHammingTopK(Tables.documents(s, d))),
     "ev_session_gap_hist" -> ((s, d) => EventOps.sessionGapHistogram(Tables.events(s, d))),
+    "dedup_prefix_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
+    "ev_changepoint" -> ((s, d) => EventOps.changepointCusum(Tables.events(s, d))),
   )
 
   /** Shared CTE chain for the relational language-ID oracles —
@@ -3971,6 +3973,51 @@ object SparkEntry {
         |SELECT gap_hours, n_gaps,
         |       round(CAST(n_gaps AS DOUBLE) / sum(n_gaps) OVER (), 6) AS share
         |FROM c ORDER BY 1""".stripMargin,
+    // prefix filtering (Bayardo 2007): rarity order is the identical
+    // zero-padded (df, token) string key in both engines
+    "dedup_prefix_pairs" ->
+      """WITH t AS (SELECT DISTINCT doc_id, x AS tok
+        |           FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) d,
+        |                unnest(string_split(lower(text), ' ')) AS u(x)
+        |           WHERE length(x) > 0),
+        |df AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+        |k AS (SELECT doc_id, lpad(CAST(df AS VARCHAR), 10, '0') || ':' || tok AS key
+        |      FROM t JOIN df USING (tok)),
+        |pd AS (SELECT doc_id, list_sort(list(key)) AS keys FROM k GROUP BY 1),
+        |pl AS (SELECT doc_id, keys, len(keys) AS len,
+        |              CAST(len(keys) AS INTEGER)
+        |                - CAST(ceil(len(keys) * 0.6) AS INTEGER) + 1 AS p
+        |       FROM pd),
+        |pref AS (SELECT doc_id, unnest(keys[1:p]) AS ktok FROM pl),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM pref a JOIN pref b USING (ktok) WHERE a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |             len(list_intersect(pa.keys, pb.keys)) AS inter,
+        |             len(pa.keys) AS la, len(pb.keys) AS lb
+        |      FROM cand JOIN pd pa ON cand.doc_a = pa.doc_id
+        |                JOIN pd pb ON cand.doc_b = pb.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+        |FROM j WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // prefix sums run in the identical ordered frame in both engines,
+    // so the unrounded argmax agrees bit-for-bit
+    "ev_changepoint" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |                  event_type FROM events),
+        |d AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, day, n,
+        |             avg(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) AS mean_n
+        |      FROM d),
+        |s AS (SELECT event_type, day, mean_n,
+        |             sum(n - mean_n) OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS UNBOUNDED PRECEDING) AS s
+        |      FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |               ORDER BY abs(s) DESC, day) AS rn FROM s)
+        |SELECT event_type, day AS change_day, round(s, 4) AS cusum_peak,
+        |       round(mean_n, 4) AS mean_daily
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
   )
 
   /** Evidence chain for every query key that has NO DuckDB oracle

@@ -1186,6 +1186,75 @@ object Dedup {
     * 32 − hamming, ties to the lower doc_id) — candidates reduce
     * map-side, nothing fact-scale crosses the shuffle.
     */
+  /** Prefix-filtered exact-Jaccard similarity join (the
+    * AllPairs/PPJoin family, Bayardo et al. 2007; Xiao et al. 2008):
+    * candidate pairs come from sharing a token in each document's
+    * PREFIX — its (len − ⌈t·len⌉ + 1) globally-RAREST distinct
+    * tokens — which is exhaustive for Jaccard ≥ t (two sets above
+    * the threshold must overlap inside those prefixes), then exact
+    * distinct-token Jaccard verifies. The deterministic alternative
+    * to minhash LSH: zero false negatives, no signatures, candidate
+    * cost bounded by Σ df² over PREFIX tokens only — and prefix
+    * tokens are the rarest by construction, which is the entire
+    * trick. Rarity order is a lexicographic (zero-padded df, token)
+    * string key so both engines sort identically; a deterministic
+    * `maxBucket` cap guards df-flood tokens like every LSH path.
+    *
+    * Runs on the `doc_id % sampleMod == 0` slice — the deterministic
+    * quadratic-audit sample (as [[graft.operators.Similarity.knnGraph]])
+    * that bounds pair volume on a heavily-duplicated corpus; set
+    * sampleMod = 1 for the full join. Shape at 100 TB: one
+    * (doc, token) distinct shuffle, one vocabulary-sized df join,
+    * one prefix-token equi-join; candidates dedupe on the bare ID
+    * pair and the token arrays join back once per surviving pair.
+    */
+  def prefixFilterPairs(documents: DataFrame, threshold: Double = 0.6,
+                        sampleMod: Int = 5, maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents.filter(pmod(col("doc_id"), lit(sampleMod.toLong)) === 0)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val keyed = toks.join(df, "tok")
+      .select(col("doc_id"),
+        concat(lpad(col("df").cast("string"), 10, "0"), lit(":"), col("tok"))
+          .as("key"))
+    val perDoc = keyed.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("key"))).as("keys"))
+      .select(col("doc_id"), col("keys"), size(col("keys")).as("len"))
+      .withColumn("p",
+        col("len") - ceil(col("len") * threshold).cast("int") + 1)
+    val prefix = perDoc
+      .select(col("doc_id"), col("p"),
+        posexplode(col("keys")).as(Seq("pos", "ktok")))
+      .filter(col("pos") < col("p"))
+      .select(col("doc_id"), col("ktok"))
+    val w = Window.partitionBy("ktok").orderBy("doc_id")
+    val capped = prefix
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
+    // candidates dedupe on the ID PAIR alone; the token arrays join
+    // back once per surviving pair (never ride through the distinct)
+    val cand = capped.select(col("ktok"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("ktok"), col("doc_id").as("doc_b")), Seq("ktok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val ka = perDoc.select(col("doc_id").as("doc_a"), col("keys").as("ka"))
+    val kb = perDoc.select(col("doc_id").as("doc_b"), col("keys").as("kb"))
+    cand.join(ka, "doc_a").join(kb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("ka"), col("kb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("ka")) + size(col("kb")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def simhashHammingTopK(documents: DataFrame, k: Int = 5,
                          nQueries: Int = 10): DataFrame = {
     val fp = simhashMd5(documents)

@@ -1465,6 +1465,41 @@ object EventOps {
     Iterator.iterate(1.0)(_ * decay).take(horizon).zipWithIndex
       .map { case (w, o) => (o.toLong, w) }.toSeq
 
+  /** CUSUM changepoint screen per event type: the day where the
+    * cumulative sum of (daily count − overall mean) peaks in
+    * magnitude — the classic single-changepoint locator (Page 1954)
+    * that finds WHERE a level shift happened, where
+    * [[hourlyAnomalies]] only flags THAT something spiked. Positive
+    * peak direction = counts ran above the long-run mean until that
+    * day (a step DOWN follows), negative = below. All arithmetic is
+    * integer counts minus a per-type mean (one IEEE division), so
+    * the engines agree exactly; output rounded at 4.
+    *
+    * Shape at 100 TB: one map-side-combined daily aggregate, then
+    * mean/cumsum/argmax windows run per type over the |days|-sized
+    * daily table.
+    */
+  def changepointCusum(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = withTsUs(events)
+      .select(tsBucket(dayUs).as("day"), col("event_type"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    val cum = byType.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val scored = daily
+      .withColumn("mean_n", avg(col("n").cast("double")).over(byType))
+      .withColumn("s", sum(col("n") - col("mean_n")).over(cum))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("s")).desc, col("day"))
+    scored
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        round(col("s"), 4).as("cusum_peak"),
+        round(col("mean_n"), 4).as("mean_daily"))
+      .orderBy("event_type")
+  }
+
   /** Return-time histogram: hours between consecutive SESSION STARTS
     * per user, capped at `capHours`, with population shares — the
     * re-engagement curve ("users come back in ~4h / daily /

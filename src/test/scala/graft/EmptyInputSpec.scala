@@ -226,5 +226,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.estJaccardHistogram(noDocs).count() == 0)
     assert(Dedup.simhashHammingTopK(noDocs).count() == 0)
     assert(EventOps.sessionGapHistogram(noEvents).count() == 0)
+    assert(Dedup.prefixFilterPairs(noDocs).count() == 0)
+    assert(EventOps.changepointCusum(noEvents).count() == 0)
   }
 }

@@ -493,6 +493,33 @@ class DedupSpec extends SparkSpec {
     assert(out.values.sum == 1L)                  // no cross-candidate with doc 3
   }
 
+  test("prefixFilterPairs: threshold pairs found via rare-token prefixes, low-sim excluded") {
+    val d = docs(
+      0L -> "apple banana cherry date elder",      // j(0,5) = 4/6 ≈ 0.667 ≥ 0.6
+      5L -> "apple banana cherry date fig",
+      10L -> "apple zebra yak xylo walrus venus")  // j with 0: 1/10 = 0.1
+    val out = Dedup.prefixFilterPairs(d, threshold = 0.6, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 5L, 0.666667)), out.toSeq.toString)
+  }
+
+  test("prefixFilterPairs: exhaustive at the threshold — brute-force differential") {
+    // every pair with exact distinct-token Jaccard ≥ t must surface
+    val d = docs((0L to 19L).map { i =>
+      i -> ((0 to 5).map(j => s"w${(i + j) % 12}").mkString(" "))
+    }: _*)
+    val found = Dedup.prefixFilterPairs(d, threshold = 0.5, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val toks = d.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val truth = (for {
+      a <- toks.keys; b <- toks.keys if a < b
+      inter = (toks(a) & toks(b)).size
+      j = inter.toDouble / (toks(a).size + toks(b).size - inter) if j >= 0.5
+    } yield (a, b)).toSet
+    assert(found == truth, s"missing=${truth -- found} extra=${found -- truth}")
+    assert(truth.nonEmpty)
+  }
+
   test("simhashHammingTopK: self excluded, identical fingerprint ranks first") {
     val d = docs(
       0L -> "alpha beta gamma delta",

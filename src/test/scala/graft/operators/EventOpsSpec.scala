@@ -794,6 +794,18 @@ class EventOpsSpec extends SparkSpec {
     assert(out.size == 3) // gap day 11 emits no row (no observed events)
   }
 
+  test("changepointCusum: CUSUM peaks at the planted level shift") {
+    // type A: 1/day on days 0-3, then 3/day on days 4-7 → |S| peaks on day 3
+    val rows = (0 to 3).map(d => (d.toLong * 10 + 1, f"1970-01-0${d + 1} 01:00:00", 1L, "A")) ++
+      (4 to 7).flatMap(d => (1 to 3).map(k =>
+        (d.toLong * 10 + k, f"1970-01-0${d + 1} 0$k:00:00", 1L, "A")))
+    val events = ev(rows: _*)
+    val out = EventOps.changepointCusum(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // mean = 16/8 = 2; S runs -1,-2,-3,-4 then +1 steps back to 0 → peak day 3, S=-4
+    assert(out("A") == ((3L, -4.0, 2.0)), out.toString)
+  }
+
   test("sessionGapHistogram: inter-session hours, first session excluded, cap bucket") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view"),  // session 1
