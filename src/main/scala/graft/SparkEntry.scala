@@ -399,6 +399,8 @@ object SparkEntry {
     "ev_session_gap_hist" -> ((s, d) => EventOps.sessionGapHistogram(Tables.events(s, d))),
     "dedup_prefix_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
     "ev_changepoint" -> ((s, d) => EventOps.changepointCusum(Tables.events(s, d))),
+    "dedup_cluster_size_hist" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(Dedup.simhashMd5NearDups(Tables.documents(s, d)))),
   )
 
   /** Shared CTE chain for the relational language-ID oracles —
@@ -4002,6 +4004,11 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     // prefix sums run in the identical ordered frame in both engines,
     // so the unrounded argmax agrees bit-for-bit
+    "dedup_cluster_size_hist" ->
+      s"""WITH RECURSIVE $groupsMd5Ctes,
+         |sizes AS (SELECT group_id, count(*) AS group_size FROM grp GROUP BY 1)
+         |SELECT group_size, count(*) AS n_groups
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_changepoint" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
         |                  event_type FROM events),

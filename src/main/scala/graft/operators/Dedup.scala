@@ -1186,6 +1186,22 @@ object Dedup {
     * 32 − hamming, ties to the lower doc_id) — candidates reduce
     * map-side, nothing fact-scale crosses the shuffle.
     */
+  /** Component-size histogram over a near-dup pair list: number of
+    * connected clusters at each size — the distribution view of the
+    * per-cluster [[clusterRepresentatives]] table ("mostly pairs, or
+    * a few thousand-doc template farms?"), which is what decides
+    * whether keep-one dedup or cluster-cap sampling is the right
+    * removal policy. One Hash-Min CC ([[connectedGroups]]) then two
+    * bounded aggregates (|groups| rows, then |distinct sizes| rows).
+    * Docs with no near-dup edge are singletons and out of scope, as
+    * in every CC consumer here.
+    */
+  def clusterSizeHistogram(pairs: DataFrame): DataFrame =
+    connectedGroups(pairs)
+      .groupBy("group_id").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      .orderBy("group_size")
+
   /** Prefix-filtered exact-Jaccard similarity join (the
     * AllPairs/PPJoin family, Bayardo et al. 2007; Xiao et al. 2008):
     * candidate pairs come from sharing a token in each document's

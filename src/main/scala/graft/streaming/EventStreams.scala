@@ -360,6 +360,46 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  case class SessEvent(user_id: Long, ts_us: Long)
+  case class SessionGap(user_id: Long, gap_hours: Long)
+
+  /** Streaming inter-session return-time emitter — the stateful face
+    * of [[graft.operators.EventOps.sessionGapHistogram]]: per user,
+    * when an event opens a NEW session (gap > `gapMinutes` since the
+    * last event), emit the capped hours since the previous session's
+    * START. State per key is two longs (last event ts, current
+    * session start) — O(users), stream-length-independent; a
+    * production deployment adds EventTimeTimeout to retire dormant
+    * keys. Time-ordered replay contract as [[transitionEdges]]; the
+    * spec pins the streamed gap histogram to the oracle-green batch
+    * twin.
+    */
+  def sessionGaps(events: Dataset[SessEvent], gapMinutes: Int = 30,
+                  capHours: Int = 168): Dataset[SessionGap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SessionGap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[(Long, Long)]) =>
+          var (lastTs, lastStart) = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionGap]
+          it.toSeq.sortBy(_.ts_us).foreach { e =>
+            if (lastTs == Long.MinValue) lastStart = e.ts_us
+            else if (e.ts_us - lastTs > gapUs) {
+              out += SessionGap(uid,
+                math.min((e.ts_us - lastStart) / 3600000000L, capHours.toLong))
+              lastStart = e.ts_us
+            }
+            lastTs = e.ts_us
+          }
+          state.update((lastTs, lastStart))
+          out.iterator
+      }
+  }
+
   case class SeqEvent(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
   case class TransitionEdge(prev_type: String, next_type: String)
 

@@ -228,5 +228,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.sessionGapHistogram(noEvents).count() == 0)
     assert(Dedup.prefixFilterPairs(noDocs).count() == 0)
     assert(EventOps.changepointCusum(noEvents).count() == 0)
+    assert(Dedup.clusterSizeHistogram(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }
 }

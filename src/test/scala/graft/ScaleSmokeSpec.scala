@@ -188,4 +188,17 @@ class ScaleSmokeSpec extends SparkSpec {
     val r3 = operators.Graph.kCorePeel(thrice).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(r1 == r3)
   }
+
+  test("shard placement is content-addressed: manifest scales linearly under 5x growth") {
+    // placement keys on payload md5, never on doc_id or corpus size —
+    // 5 replicas of every payload land in the same shards, so every
+    // shard's asset and byte counts scale exactly 5x
+    val m1 = operators.Multimodal.shardManifest(docs1, nShards = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val m5 = operators.Multimodal.shardManifest(docs5, nShards = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m1.keySet == m5.keySet)
+    m1.foreach { case (shard, (n, bytes)) =>
+      assert(m5(shard) == ((5 * n, 5 * bytes)), s"shard $shard") }
+  }
 }

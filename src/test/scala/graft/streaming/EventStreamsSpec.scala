@@ -626,6 +626,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayed sf0.001 events through sessionGaps equals the batch return-time histogram") {
+    implicit val sq = spark.sqlContext
+    val batchDf = graft.Tables.events(spark, sf0001)
+    val rows = EventOps.withTsUs(batchDf)
+      .select("user_id", "ts_us")
+      .as[EventStreams.SessEvent]
+      .collect().sortBy(_.ts_us)
+    val mem = MemoryStream[EventStreams.SessEvent]
+    val q = EventStreams.sessionGaps(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("sgap_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("sgap_test").collect()
+        .map(_.getLong(1))
+        .groupBy(identity).map { case (g, vs) => g -> vs.length.toLong }
+      val batch = EventOps.sessionGapHistogram(batchDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"stream=${streamed.toSeq.sorted} batch=${batch.toSeq.sorted}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("replayed sf0.001 events through transitionEdges equals ev_transitions counts") {
     // Edge counts from the streamed bigram emitter must equal the
     // oracle-green batch transitionMatrix counts — including pairs
