@@ -401,6 +401,9 @@ object SparkEntry {
     "ev_changepoint" -> ((s, d) => EventOps.changepointCusum(Tables.events(s, d))),
     "dedup_cluster_size_hist" -> ((s, d) =>
       Dedup.clusterSizeHistogram(Dedup.simhashMd5NearDups(Tables.documents(s, d)))),
+    "text_bigram_entropy" -> ((s, d) => TextAnalysis.bigramEntropyRate(Tables.documents(s, d))),
+    "ev_retention_fit" -> ((s, d) => EventOps.retentionFit(Tables.events(s, d))),
+    "ev_strict_funnel" -> ((s, d) => EventOps.strictFunnel(Tables.events(s, d))),
   )
 
   /** Shared CTE chain for the relational language-ID oracles —
@@ -4009,6 +4012,58 @@ object SparkEntry {
          |sizes AS (SELECT group_id, count(*) AS group_size FROM grp GROUP BY 1)
          |SELECT group_size, count(*) AS n_groups
          |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_bigram_entropy" ->
+      """WITH d AS (SELECT source,
+        |                  list_filter(string_split(lower(text), ' '),
+        |                              x -> length(x) > 0) AS ws
+        |           FROM documents),
+        |p AS (SELECT source, ws[CAST(i AS INTEGER)] AS a,
+        |             ws[CAST(i + 1 AS INTEGER)] AS b
+        |      FROM d, unnest(range(1, len(ws))) AS u(i)
+        |      WHERE len(ws) >= 2),
+        |cab AS (SELECT source, a, b, count(*) AS c_ab FROM p GROUP BY 1, 2, 3),
+        |ca AS (SELECT source, a, sum(c_ab) AS c_a FROM cab GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+        |       round(-sum(c_ab * ln(CAST(c_ab AS DOUBLE) / c_a)) / sum(c_ab), 6)
+        |         AS entropy_rate
+        |FROM cab JOIN ca USING (source, a) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_retention_fit" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |            FROM events),
+        |f AS (SELECT user_id, min(day) AS day0 FROM ud GROUP BY 1),
+        |b AS (SELECT count(*) AS n_users FROM f),
+        |cv AS (SELECT CAST(k AS DOUBLE) AS x,
+        |              ln(CAST(n_active AS DOUBLE) / n_users) AS y
+        |       FROM (SELECT ud.day - f.day0 AS k, count(*) AS n_active
+        |             FROM ud JOIN f USING (user_id)
+        |             WHERE ud.day - f.day0 >= 1 GROUP BY 1) t, b),
+        |s AS (SELECT count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM cv)
+        |SELECT n_points,
+        |       round((sxy - sx * sy / n_points)
+        |             / (sxx - sx * sx / n_points), 6) AS decay_per_day,
+        |       round(sy / n_points - ((sxy - sx * sy / n_points)
+        |             / (sxx - sx * sx / n_points)) * sx / n_points, 6) AS intercept,
+        |       round(ln(2) / -((sxy - sx * sy / n_points)
+        |             / (sxx - sx * sx / n_points)), 4) AS half_life_days
+        |FROM s""".stripMargin,
+    "ev_strict_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS c_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > v_us
+        |        AND ts_us - v_us <= 3600000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_us) AS p_us FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > c_us
+        |        AND ts_us - c_us <= 3600000000 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click_deadline,
+        |       (SELECT count(*) FROM p) AS n_purchase_deadline,
+        |       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |             / (SELECT count(*) FROM v), 6) AS strict_conversion""".stripMargin,
     "ev_changepoint" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
         |                  event_type FROM events),

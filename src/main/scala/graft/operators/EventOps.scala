@@ -1465,6 +1465,76 @@ object EventOps {
     Iterator.iterate(1.0)(_ * decay).take(horizon).zipWithIndex
       .map { case (w, o) => (o.toLong, w) }.toSeq
 
+  /** Exponential decay fit of the aggregate retention curve:
+    * ln(r_k) regressed on day offset k (closed-form OLS, the
+    * [[graft.operators.TextAnalysis]] Heaps-fit pattern applied to
+    * churn) where r_k = share of users active k days after their
+    * first day. One row: points fitted, decay slope per day,
+    * intercept, and the half-life ln2/−β — the single number a
+    * growth model wants from the whole retention matrix. The curve
+    * aggregates over ALL cohorts (user-day distinct rows), so the
+    * regression input is ≤ |days| points; sums are over that
+    * bounded table.
+    */
+  def retentionFit(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val userDays = withTsUs(events)
+      .select(col("user_id"), tsBucket(dayUs).as("day"))
+      .distinct()
+    val firstDay = userDays.groupBy("user_id").agg(min("day").as("day0"))
+    val base = firstDay.agg(count(lit(1)).as("n_users"))
+    val curve = userDays.join(firstDay, "user_id")
+      .select(col("user_id"), (col("day") - col("day0")).as("k"))
+      .filter(col("k") >= 1)
+      .groupBy("k").agg(count(lit(1)).as("n_active"))
+      .crossJoin(broadcast(base))
+      .select(col("k").cast("double").as("x"),
+        log(col("n_active").cast("double") / col("n_users")).as("y"))
+    curve.agg(
+        count(lit(1)).as("n_points"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_points"),
+        ((col("sxy") - col("sx") * col("sy") / col("n_points")) /
+          (col("sxx") - col("sx") * col("sx") / col("n_points"))).as("beta"),
+        col("sy"), col("sx"))
+      .select(col("n_points"),
+        round(col("beta"), 6).as("decay_per_day"),
+        round(col("sy") / col("n_points") -
+          col("beta") * col("sx") / col("n_points"), 6).as("intercept"),
+        round(lit(math.log(2.0)) / -col("beta"), 4).as("half_life_days"))
+  }
+
+  /** Strict deadline funnel: users whose FIRST view is followed by a
+    * click within `stepUs`, then a purchase within `stepUs` of that
+    * click — the ordered-with-deadline funnel ("did the flow work in
+    * one sitting") that the unconstrained [[funnel]] over-counts.
+    * Each stage is a min-aggregate after an inequality join against
+    * the previous stage's per-user anchor — three user-keyed
+    * aggregates, no window over raw events; at 100 TB each join is
+    * user-partitioned with the anchor side orders smaller than the
+    * log.
+    */
+  def strictFunnel(events: DataFrame, stepUs: Long = 3600000000L): DataFrame = {
+    val e = withTsUs(events).select(col("user_id"), col("event_type"), col("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("v_us"))
+    val c = e.filter(col("event_type") === "click").as("c")
+      .join(v, "user_id")
+      .filter(col("ts_us") > col("v_us") && col("ts_us") - col("v_us") <= stepUs)
+      .groupBy("user_id").agg(min("ts_us").as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts_us") > col("c_us") && col("ts_us") - col("c_us") <= stepUs)
+      .groupBy("user_id").agg(min("ts_us").as("p_us"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click_deadline")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_deadline")))
+      .select(col("n_view"), col("n_click_deadline"), col("n_purchase_deadline"),
+        round(col("n_purchase_deadline").cast("double") / col("n_view"), 6)
+          .as("strict_conversion"))
+  }
+
   /** CUSUM changepoint screen per event type: the day where the
     * cumulative sum of (daily count − overall mean) peaks in
     * magnitude — the classic single-changepoint locator (Page 1954)

@@ -1506,6 +1506,41 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  /** Bigram conditional-entropy rate per source: H(next|prev) =
+    * −Σ c(a,b)·ln(c(a,b)/c(a,·)) / N over each source's adjacent
+    * word pairs — the sequence-predictability number that separates
+    * templated/boilerplate sources (low H: the next word is nearly
+    * determined) from diverse prose, on the same scale
+    * ln-perplexity-per-token lives on. Complements
+    * [[charEntropy]] (character level, per doc) and the
+    * [[bigramLogProb]] fluency scorer (per doc vs a corpus model):
+    * this is the corpus-level rate per source. All counts are
+    * integers; the entropy sum runs over the vocabulary-sized bigram
+    * table with map-side combine.
+    */
+  def bigramEntropyRate(documents: DataFrame): DataFrame = {
+    // adjacency is the array zipped with its own tail - map-only, no
+    // window, no per-doc key in the shuffle
+    val pairs = documents
+      .select(col("source"),
+        filter(split(lower(col("text")), " ", -1), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"),
+        explode(zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .select(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy("source", "a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("source", "a").agg(sum("c_ab").as("c_a"))
+    cab.join(ca, Seq("source", "a"))
+      .groupBy("source")
+      .agg(sum("c_ab").as("n_bigrams"),
+        round(-sum(col("c_ab") *
+          log(col("c_ab").cast("double") / col("c_a"))) / sum("c_ab"), 6)
+          .as("entropy_rate"))
+      .orderBy("source")
+  }
+
   /** Per-source hapax legomena rate: share of each source's word
     * TYPES that occur exactly once in that source — the
     * lexical-novelty fingerprint that separates generative/templated

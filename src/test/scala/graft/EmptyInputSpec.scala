@@ -230,5 +230,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.changepointCusum(noEvents).count() == 0)
     assert(Dedup.clusterSizeHistogram(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    assert(TextAnalysis.bigramEntropyRate(noDocs).count() == 0)
+    // 1-row fit/funnel reports over zero inputs
+    assert(EventOps.retentionFit(noEvents).collect().head.getLong(0) == 0L)
+    assert(EventOps.strictFunnel(noEvents).collect().head.getLong(0) == 0L)
   }
 }

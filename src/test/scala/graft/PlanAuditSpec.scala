@@ -66,7 +66,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_pair_hist",             // broadcast n/37 mod-sample × n/41 mod-sample — pair count n²/1517 by construction
     "sim_cell_cohesion",         // corpus × broadcast 16 seed centroids — same bound as sim_cell_balance
     "text_source_keywords",      // (source × term) table × 1-row broadcast |sources| scalar
-    "text_simhash_topk"          // 4-byte fingerprints × broadcast(nQueries=10 fingerprints) — same bound as sim_bruteforce_topk
+    "text_simhash_topk",         // 4-byte fingerprints × broadcast(nQueries=10 fingerprints) — same bound as sim_bruteforce_topk
+    "ev_retention_fit",          // |days|-row curve × 1-row broadcast user-base scalar; 1-row OLS report
+    "ev_strict_funnel"           // three 1-row stage counts meeting in scalar cross joins
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

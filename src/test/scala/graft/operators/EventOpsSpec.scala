@@ -794,6 +794,35 @@ class EventOpsSpec extends SparkSpec {
     assert(out.size == 3) // gap day 11 emits no row (no observed events)
   }
 
+  test("retentionFit: clean halving fits decay -ln2 with half-life 1 day") {
+    val events = ev(
+      (1L, "1970-01-01 01:00:00", 1L, "view"),
+      (2L, "1970-01-01 01:00:00", 2L, "view"),
+      (3L, "1970-01-01 01:00:00", 3L, "view"),
+      (4L, "1970-01-01 01:00:00", 4L, "view"),
+      (5L, "1970-01-02 01:00:00", 1L, "view"),
+      (6L, "1970-01-02 01:00:00", 2L, "view"),
+      (7L, "1970-01-03 01:00:00", 1L, "view"))
+    val r = EventOps.retentionFit(events).collect().head
+    // r1 = 2/4, r2 = 1/4 → ln r is exactly linear: slope −ln2, intercept 0
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((2L, -0.693147, 0.0, 1.0)), r.toString)
+  }
+
+  test("strictFunnel: deadlines enforced per stage") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:30:00", 1L, "click"),     // within 1h of view
+      (3L, "2024-01-01 11:00:00", 1L, "purchase"),  // within 1h of click
+      (4L, "2024-01-01 10:00:00", 2L, "view"),
+      (5L, "2024-01-01 12:00:00", 2L, "click"),     // 2h after view → misses
+      (6L, "2024-01-01 12:10:00", 2L, "purchase"),
+      (7L, "2024-01-01 09:00:00", 3L, "view"))
+    val r = EventOps.strictFunnel(events).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((3L, 1L, 1L, 0.333333)), r.toString)
+  }
+
   test("changepointCusum: CUSUM peaks at the planted level shift") {
     // type A: 1/day on days 0-3, then 3/day on days 4-7 → |S| peaks on day 3
     val rows = (0 to 3).map(d => (d.toLong * 10 + 1, f"1970-01-0${d + 1} 01:00:00", 1L, "A")) ++

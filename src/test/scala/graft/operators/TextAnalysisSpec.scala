@@ -591,6 +591,17 @@ class TextAnalysisSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("bigramEntropyRate: deterministic chains score zero, branching scores ln2-mass") {
+    val d = Seq(
+      (1L, "a b a b", "s1"),    // every context has one continuation → H = 0
+      (2L, "x y x z", "s2"))    // x branches 50/50 → 2·ln2 over 3 bigrams
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.bigramEntropyRate(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("s1", 3L, 0.0), ("s2", 3L, 0.462098)),
+      out.toSeq.toString)
+  }
+
   test("sourceKeywords: source-level TF-IDF ranks the distinctive term first") {
     val d = Seq(
       (1L, "alpha alpha shared", "s1"),
