@@ -404,6 +404,8 @@ object SparkEntry {
     "text_bigram_entropy" -> ((s, d) => TextAnalysis.bigramEntropyRate(Tables.documents(s, d))),
     "ev_retention_fit" -> ((s, d) => EventOps.retentionFit(Tables.events(s, d))),
     "ev_strict_funnel" -> ((s, d) => EventOps.strictFunnel(Tables.events(s, d))),
+    "text_skipgram_pmi" -> ((s, d) => TextAnalysis.skipgramPmi(Tables.documents(s, d))),
+    "ev_behavior_sim" -> ((s, d) => EventOps.behaviorSimilarity(Tables.events(s, d))),
   )
 
   /** Shared CTE chain for the relational language-ID oracles —
@@ -4048,6 +4050,42 @@ object SparkEntry {
         |       round(ln(2) / -((sxy - sx * sy / n_points)
         |             / (sxx - sx * sx / n_points)), 4) AS half_life_days
         |FROM s""".stripMargin,
+    // marginals come from the PAIR table; ranking on the rounded pmi
+    "text_skipgram_pmi" ->
+      """WITH d AS (SELECT list_filter(string_split(lower(text), ' '),
+        |                              x -> length(x) > 0) AS ws
+        |           FROM documents),
+        |p1 AS (SELECT ws[CAST(i AS INTEGER)] AS a, ws[CAST(i + 1 AS INTEGER)] AS b
+        |       FROM d, unnest(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+        |p2 AS (SELECT ws[CAST(i AS INTEGER)] AS a, ws[CAST(i + 2 AS INTEGER)] AS b
+        |       FROM d, unnest(range(1, len(ws) - 1)) AS u(i) WHERE len(ws) >= 3),
+        |p AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2),
+        |ca AS (SELECT a, sum(c_ab) AS c_a FROM cab GROUP BY 1),
+        |cb AS (SELECT b, sum(c_ab) AS c_b FROM cab GROUP BY 1),
+        |n AS (SELECT sum(c_ab) AS n_pairs FROM cab),
+        |s AS (SELECT cab.a, cab.b, c_ab,
+        |             round(ln(CAST(n_pairs AS DOUBLE) * c_ab / (c_a * c_b)), 6)
+        |               AS pmi
+        |      FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN n
+        |      WHERE c_ab >= 5)
+        |SELECT a, b, c_ab, pmi FROM s ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+    "ev_behavior_sim" ->
+      """WITH v AS (SELECT user_id,
+        |  [CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE),
+        |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE),
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE),
+        |   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE),
+        |   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)] AS v
+        |           FROM events GROUP BY 1),
+        |q AS (SELECT user_id AS qid, v AS qv FROM v WHERE user_id < 10),
+        |s AS (SELECT qid, c.user_id AS cid,
+        |             round(list_cosine_similarity(qv, c.v), 6) AS cos_sim
+        |      FROM q CROSS JOIN v c WHERE c.user_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |               ORDER BY cos_sim DESC, cid) AS rnk FROM s)
+        |SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "ev_strict_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

@@ -1465,6 +1465,42 @@ object EventOps {
     Iterator.iterate(1.0)(_ * decay).take(horizon).zipWithIndex
       .map { case (w, o) => (o.toLong, w) }.toSeq
 
+  /** Behavioral nearest neighbors: each query user's top-k most
+    * similar users by cosine over their event-type count vector —
+    * the "users like this one" lookup built from NOTHING but the
+    * event log (the behavioral-embedding bridge between the event
+    * ops and the similarity stack; swap the count vector for a
+    * learned embedding and the query shape is unchanged). Vectors
+    * are |types|-dimensional conditional-count aggregates (one
+    * user-keyed groupBy); queries (user_id < nQueries) broadcast;
+    * scoring is map-only; ranking on the rounded cosine with a
+    * user-id tiebreak.
+    */
+  def behaviorSimilarity(events: DataFrame,
+                         types: Seq[String] = Seq("click", "error", "purchase",
+                           "signup", "view"),
+                         k: Int = 5, nQueries: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecCols = types.map(t =>
+      sum(when(col("event_type") === t, 1.0).otherwise(0.0)).as(s"n_$t"))
+    val vecs = events.groupBy("user_id")
+      .agg(vecCols.head, vecCols.tail: _*)
+      .select(col("user_id"),
+        array(types.map(t => col(s"n_$t")): _*).as("v"))
+    val q = vecs.filter(col("user_id") < nQueries)
+      .select(col("user_id").as("qid"), col("v").as("qv"))
+    val scored = vecs.select(col("user_id").as("cid"), col("v").as("cv"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(graft.operators.Similarity.cosine(col("qv"), col("cv")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "cos_sim")
+      .orderBy("qid", "rnk")
+  }
+
   /** Exponential decay fit of the aggregate retention curve:
     * ln(r_k) regressed on day offset k (closed-form OLS, the
     * [[graft.operators.TextAnalysis]] Heaps-fit pattern applied to

@@ -1506,6 +1506,48 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  /** Skip-gram PMI pairs: the top co-occurring (left, right) word
+    * pairs within a ±`window` token window, ranked by pointwise
+    * mutual information — exactly the pair-generation pass a
+    * word2vec/GloVe-style embedding trainer consumes, and the
+    * collocation table ("new york", "machine learning") that feeds
+    * phrase-merging before tokenizer training. Marginals are taken
+    * from the PAIR table (not raw unigrams) so PMI is
+    * self-consistent; a `minCount` floor kills the noisy tail
+    * before ranking; ranking runs on the ROUNDED pmi with a (a, b)
+    * tiebreak so both engines agree.
+    *
+    * Pair extraction is the token array zipped against its own
+    * 1..window shifts — map-only, no self-join, no positional
+    * explode; the aggregate is the vocabulary²-bounded pair table
+    * with map-side combine.
+    */
+  def skipgramPmi(documents: DataFrame, window: Int = 2, minCount: Int = 5,
+                  topN: Int = 20): DataFrame = {
+    val ws = documents
+      .select(filter(split(lower(col("text")), " ", -1), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val shifted = (1 to window).map { d =>
+      ws.select(explode(zip_with(col("ws"),
+          slice(col("ws"), lit(d + 1), greatest(size(col("ws")) - d, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .filter(col("p.b").isNotNull)
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+    }.reduce(_ union _)
+    val cab = shifted.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val caL = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val cbR = cab.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val tot = cab.agg(sum("c_ab").as("n_pairs"))
+    cab.filter(col("c_ab") >= minCount)
+      .join(caL, "a").join(cbR, "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(col("n_pairs").cast("double") * col("c_ab") /
+          (col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Bigram conditional-entropy rate per source: H(next|prev) =
     * −Σ c(a,b)·ln(c(a,b)/c(a,·)) / N over each source's adjacent
     * word pairs — the sequence-predictability number that separates

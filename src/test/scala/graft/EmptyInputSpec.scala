@@ -234,5 +234,7 @@ class EmptyInputSpec extends SparkSpec {
     // 1-row fit/funnel reports over zero inputs
     assert(EventOps.retentionFit(noEvents).collect().head.getLong(0) == 0L)
     assert(EventOps.strictFunnel(noEvents).collect().head.getLong(0) == 0L)
+    assert(TextAnalysis.skipgramPmi(noDocs).count() == 0)
+    assert(EventOps.behaviorSimilarity(noEvents).count() == 0)
   }
 }

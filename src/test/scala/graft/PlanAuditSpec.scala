@@ -68,7 +68,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_source_keywords",      // (source × term) table × 1-row broadcast |sources| scalar
     "text_simhash_topk",         // 4-byte fingerprints × broadcast(nQueries=10 fingerprints) — same bound as sim_bruteforce_topk
     "ev_retention_fit",          // |days|-row curve × 1-row broadcast user-base scalar; 1-row OLS report
-    "ev_strict_funnel"           // three 1-row stage counts meeting in scalar cross joins
+    "ev_strict_funnel",          // three 1-row stage counts meeting in scalar cross joins
+    "text_skipgram_pmi",         // pair table × 1-row broadcast total-pairs scalar
+    "ev_behavior_sim"            // |users| count-vectors × broadcast(nQueries=10 vectors)
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate

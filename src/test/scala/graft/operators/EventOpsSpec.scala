@@ -794,6 +794,18 @@ class EventOpsSpec extends SparkSpec {
     assert(out.size == 3) // gap day 11 emits no row (no observed events)
   }
 
+  test("behaviorSimilarity: parallel count vectors rank before orthogonal ones") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 2L, "click"),   // parallel to user 1 → cos 1
+      (4L, "2024-01-01 10:03:00", 3L, "view"))    // orthogonal → cos 0
+    val out = EventOps.behaviorSimilarity(events, k = 2, nQueries = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 1L, 2L, 1.0), (1L, 2L, 3L, 0.0)),
+      out.toSeq.toString)
+  }
+
   test("retentionFit: clean halving fits decay -ln2 with half-life 1 day") {
     val events = ev(
       (1L, "1970-01-01 01:00:00", 1L, "view"),

@@ -591,6 +591,17 @@ class TextAnalysisSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("skipgramPmi: window-2 pairs with pair-table marginals") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.skipgramPmi(d, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // pairs: (a,b),(b,c) at d=1; (a,c) at d=2; N=3
+    // pmi(a,b) = ln(3/(2·1)), pmi(b,c) = ln(3/(1·2)), pmi(a,c) = ln(3/4)
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 0.405465), ("b", "c", 1L, 0.405465),
+      ("a", "c", 1L, -0.287682)), out.toSeq.toString)
+  }
+
   test("bigramEntropyRate: deterministic chains score zero, branching scores ln2-mass") {
     val d = Seq(
       (1L, "a b a b", "s1"),    // every context has one continuation → H = 0
