@@ -406,6 +406,11 @@ object SparkEntry {
     "ev_strict_funnel" -> ((s, d) => EventOps.strictFunnel(Tables.events(s, d))),
     "text_skipgram_pmi" -> ((s, d) => TextAnalysis.skipgramPmi(Tables.documents(s, d))),
     "ev_behavior_sim" -> ((s, d) => EventOps.behaviorSimilarity(Tables.events(s, d))),
+    "q_benford" -> ((s, d) => Relational.benfordFirstDigit(Tables.orders(s, d))),
+    "q_gini" -> ((s, d) => Relational.giniCustomerSpend(Tables.orders(s, d))),
+    "q_weighted_median" -> ((s, d) => Relational.weightedMedianPrice(Tables.lineitem(s, d))),
+    "ev_kaplan_meier" -> ((s, d) => EventOps.kaplanMeier(Tables.events(s, d))),
+    "text_readability" -> ((s, d) => TextAnalysis.readabilityBySource(Tables.documents(s, d))),
   )
 
   /** Shared CTE chain for the relational language-ID oracles —
@@ -4086,6 +4091,87 @@ object SparkEntry {
         |               ORDER BY cos_sim DESC, cid) AS rnk FROM s)
         |SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    // exact-cents first digit via integer-to-string (no float formatting)
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |           FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        |               AS first_digit,
+        |             count(*) AS n_orders FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM d)
+        |SELECT first_digit, n_orders,
+        |       round(CAST(n_orders AS DOUBLE) / n_total, 6) AS share,
+        |       round(ln(1.0 + 1.0 / first_digit) / ln(10), 6) AS benford_expected,
+        |       round(round(CAST(n_orders AS DOUBLE) / n_total, 6)
+        |             - round(ln(1.0 + 1.0 / first_digit) / ln(10), 6), 6) AS excess
+        |FROM d, t ORDER BY first_digit""".stripMargin,
+    // exact integer rank formula; Σ i·xᵢ in BIGINT cents
+    "q_gini" ->
+      """WITH s AS (SELECT o_custkey,
+        |             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |               AS BIGINT) AS spend_cents
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT spend_cents,
+        |             row_number() OVER (ORDER BY spend_cents, o_custkey) AS rnk
+        |      FROM s),
+        |a AS (SELECT count(*) AS n, CAST(sum(spend_cents) AS BIGINT) AS t,
+        |             CAST(sum(rnk * spend_cents) AS BIGINT) AS rx FROM r)
+        |SELECT n AS n_customers, round(t / 100.0, 2) AS total_spend,
+        |       round(2.0 * rx / (CAST(n AS DOUBLE) * t) - (n + 1.0) / n, 6) AS gini
+        |FROM a""".stripMargin,
+    // first price group where 2·cumweight ≥ total (integer crossing test)
+    "q_weighted_median" ->
+      """WITH wp AS (SELECT l_extendedprice AS price,
+        |              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |            FROM lineitem GROUP BY 1),
+        |c AS (SELECT price, w,
+        |             CAST(sum(w) OVER (ORDER BY price ROWS BETWEEN UNBOUNDED
+        |               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(w) OVER () AS BIGINT) AS t FROM wp)
+        |SELECT min(t) AS total_weight, min(price) AS weighted_median_price
+        |FROM c WHERE 2 * cum >= t""".stripMargin,
+    // survival product as exp(Σ ln) in one ordered frame; censor horizon 24h
+    "ev_kaplan_meier" ->
+      """WITH e AS (SELECT user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+        |           FROM events),
+        |s AS (SELECT user_id, min(hr) AS hr0, max(hr) AS hr1 FROM e GROUP BY 1),
+        |h AS (SELECT max(hr1) AS max_hr FROM s),
+        |l AS (SELECT hr1 - hr0 AS t,
+        |             CASE WHEN hr1 < max_hr - 24 THEN 1 ELSE 0 END AS event
+        |      FROM s, h),
+        |g AS (SELECT t, count(*) AS n_at_t, CAST(sum(event) AS BIGINT) AS d
+        |      FROM l GROUP BY 1),
+        |k AS (SELECT t, d,
+        |             CAST(sum(n_at_t) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |               PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |      FROM g),
+        |v AS (SELECT t, n_risk, d,
+        |             round(exp(sum(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk,
+        |                               1e-300)))
+        |               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |                 CURRENT ROW)), 6) AS survival
+        |      FROM k)
+        |SELECT t AS t_hours, n_risk, d AS n_events, survival FROM v
+        |WHERE d > 0 ORDER BY t_hours""".stripMargin,
+    // per-doc score rounded BEFORE the per-source mean
+    "text_readability" ->
+      """WITH d AS (SELECT source,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |                       x -> length(x) > 0)) AS DOUBLE) AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE)
+        |    AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |    AS n_syllables
+        |  FROM documents),
+        |f AS (SELECT source, n_words, n_sentences, n_syllables,
+        |             round(206.835 - 1.015 * (n_words / n_sentences)
+        |                   - 84.6 * (n_syllables / n_words), 6) AS flesch
+        |      FROM d WHERE n_words > 0)
+        |SELECT source, count(*) AS n_docs, round(avg(flesch), 4) AS avg_flesch,
+        |       round(avg(n_words / n_sentences), 4) AS avg_words_per_sentence,
+        |       round(avg(n_syllables / n_words), 4) AS avg_syllables_per_word
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_strict_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

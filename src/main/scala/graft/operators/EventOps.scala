@@ -1761,4 +1761,50 @@ object EventOps {
       .orderBy(desc("n"), col("trigram"))
       .limit(topK)
   }
+
+  /** Kaplan–Meier survival curve of user lifetime (whole hours between
+    * a user's first and last event), with right-censoring: users whose
+    * last event falls within `censorHours` of the corpus's final hour
+    * may still be alive, so they leave the risk set without counting
+    * as a churn event — the estimator every retention dashboard
+    * approximates, done properly (Kaplan & Meier 1958). One output
+    * row per churn time t: the at-risk count n(t), churn events d(t),
+    * and S(t) = Π_{t'≤t} (1 − d/n) computed as exp(Σ ln(·)) so the
+    * product runs in one ordered frame in both engines. The ln
+    * argument is clamped at 1e-300 because the final time point can
+    * have d = n (survival exactly 0) and DuckDB raises on ln(0) —
+    * exp of the clamped sum still rounds to 0.0 in both engines.
+    *
+    * Shape at 100 TB: the fact scan collapses to a per-user (first,
+    * last) aggregate, then to a lifetime histogram bounded by the
+    * corpus hour span (|hours| rows ≤ tens of thousands); the
+    * reverse-cumulative risk window and the survival product both run
+    * on that bounded table (allowlisted), and the censoring watermark
+    * is a 1-row broadcast scalar.
+    */
+  def kaplanMeier(events: DataFrame, censorHours: Int = 24): DataFrame = {
+    val hourUs = 3600000000L
+    val spans = withTsUs(events)
+      .select(col("user_id"), tsBucket(hourUs).as("hr"))
+      .groupBy("user_id")
+      .agg(min("hr").as("hr0"), max("hr").as("hr1"))
+    val horizon = spans.agg(max("hr1").as("max_hr"))
+    val lifetimes = spans.crossJoin(broadcast(horizon))
+      .select((col("hr1") - col("hr0")).as("t"),
+        (col("hr1") < col("max_hr") - censorHours).cast("long").as("event"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_at_t"), sum("event").as("d"))
+    val riskW = Window.orderBy(desc("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val survW = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    lifetimes
+      .withColumn("n_risk", sum("n_at_t").over(riskW))
+      .withColumn("survival",
+        round(exp(sum(log(greatest(lit(1.0) - col("d") / col("n_risk"),
+          lit(1e-300)))).over(survW)), 6))
+      .filter(col("d") > 0)
+      .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_events"),
+        col("survival"))
+      .orderBy("t_hours")
+  }
 }

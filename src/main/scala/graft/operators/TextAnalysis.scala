@@ -1661,6 +1661,43 @@ object TextAnalysis {
       .orderBy("lang", "word_len")
   }
 
+  /** Flesch reading-ease profile per source: per-doc score
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) with
+    * the standard corpus heuristics — sentences counted as runs of
+    * terminal punctuation `[.!?]+` (min 1 so headline-only docs don't
+    * divide by zero) and syllables as vowel-group runs `[aeiouy]+`
+    * (Flesch 1948; the vowel-run proxy is the usual model-free
+    * stand-in for dictionary syllabification). Readability is a
+    * standard pretraining-quality axis: sources whose mean score
+    * collapses are boilerplate/code/gibberish, extreme highs are
+    * template spam. Both regex counts use identical Java/RE2
+    * character-class semantics, and the per-doc score is rounded
+    * before the per-source mean so engines average identical doubles.
+    *
+    * Shape at 100 TB: pure map-side regex math per doc, then a
+    * |sources|-group partial aggregate — text never shuffles.
+    */
+  def readabilityBySource(documents: DataFrame): DataFrame = {
+    val perDoc = documents
+      .select(col("source"),
+        size(filter(split(lower(col("text")), " ", -1), w => length(w) > 0))
+          .cast("double").as("n_words"),
+        greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+          .cast("double").as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("double").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("source"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") / col("n_words")), 6).as("flesch"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("flesch"), 4).as("avg_flesch"),
+        round(avg(col("n_words") / col("n_sentences")), 4).as("avg_words_per_sentence"),
+        round(avg(col("n_syllables") / col("n_words")), 4).as("avg_syllables_per_word"))
+      .orderBy("source")
+  }
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

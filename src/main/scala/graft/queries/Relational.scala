@@ -1033,4 +1033,131 @@ object Relational {
         round((col("peak") - col("revenue")) / col("peak"), 6).as("drawdown"))
       .orderBy("month")
   }
+
+  /** Exact integer cents of a 2-decimal price stored as double —
+    * `round(x·100)` collapses the ~1e-9 binary representation error,
+    * and HALF_UP equals round-half-away-from-zero for the positive
+    * prices both engines see, so Spark and DuckDB produce the same
+    * BIGINT and every downstream sum/rank/product is exact integer
+    * arithmetic (no float-summation-order hazard).
+    */
+  private def cents(price: org.apache.spark.sql.Column) =
+    round(price * 100).cast("long")
+
+  /** Benford first-digit audit of order totals: the observed share of
+    * each leading digit 1–9 against the Benford expectation
+    * log10(1+1/d) — the classic fabricated-data / unit-mixing screen
+    * (a synthetic feed that draws prices uniformly lights up here
+    * before any distribution test). The digit comes from the exact
+    * cents BIGINT rendered as a string (both engines print integers
+    * identically), never from float formatting.
+    *
+    * Shape at 100 TB: map-side digit extraction, 9-group partial
+    * aggregate; the single-row total joins back as a broadcast scalar
+    * (bounded nested loop over 9 rows).
+    */
+  def benfordFirstDigit(orders: DataFrame): DataFrame = {
+    val digits = orders
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("first_digit"))
+      .groupBy("first_digit").agg(count(lit(1)).as("n_orders"))
+    val total = digits.agg(sum("n_orders").as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("first_digit"), col("n_orders"),
+        round(col("n_orders") / col("n_total"), 6).as("share"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("first_digit")), 6)
+          .as("benford_expected"))
+      .withColumn("excess", round(col("share") - col("benford_expected"), 6))
+      .orderBy("first_digit")
+  }
+
+  /** Gini coefficient of per-customer spend — the standard inequality
+    * index ("how concentrated is revenue") via the exact rank formula
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spends sorted ascending.
+    * Spend is exact cents (BIGINT), so Σ i·xᵢ is exact integer math
+    * and the one division at the end is bit-identical cross-engine.
+    *
+    * Shape at 100 TB — exact GLOBAL ranking without a global window:
+    * a single-partition row_number over the per-customer table would
+    * funnel billions of rows through one task, so the rank is
+    * two-level: (1) percentile thresholds (one agg, broadcast array)
+    * bin customers into nBuckets value ranges; (2) row_number runs
+    * PARTITIONED by bucket (parallel, each ~n/nBuckets rows); (3) the
+    * global rank adds the cumulative count of lower buckets — a
+    * window over the nBuckets-row bucket table (bounded, allowlisted).
+    * Equal spends share a bucket (strict `<` binning), and the
+    * (spend, custkey) tiebreak makes the global order total, so the
+    * composed rank is exactly the single-sort rank.
+    */
+  def giniCustomerSpend(orders: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val spend = orders.groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+    val thr = spend.agg(percentile(col("spend_cents"),
+      array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)).as("thr"))
+    val binned = spend.crossJoin(broadcast(thr))
+      .select(col("o_custkey"), col("spend_cents"),
+        size(filter(col("thr"), t => t < col("spend_cents"))).as("bucket"))
+    val offsets = binned.groupBy("bucket").agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("offset",
+        coalesce(sum("n_in_bucket").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val ranked = binned
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rnk", col("offset") + row_number().over(
+        Window.partitionBy("bucket").orderBy("spend_cents", "o_custkey")))
+    ranked.agg(
+      count(lit(1)).as("n_customers"),
+      sum("spend_cents").as("t_cents"),
+      sum(col("rnk") * col("spend_cents")).as("rx"))
+      .select(col("n_customers"),
+        round(col("t_cents") / 100.0, 2).as("total_spend"),
+        round(lit(2.0) * col("rx") / (col("n_customers").cast("double") * col("t_cents"))
+          - (col("n_customers") + lit(1.0)) / col("n_customers"), 6).as("gini"))
+  }
+
+  /** Exact quantity-weighted median of the line price — "the price at
+    * which half the shipped units are cheaper" (robust pricing pivot
+    * the unweighted median misses when bulk lines cluster low). The
+    * crossing test is pure integer math: first price group where
+    * 2·cumweight ≥ total.
+    *
+    * Shape at 100 TB — no global cumulative window: the running sum
+    * the textbook query needs is replaced by (1) a per-price-group
+    * aggregate, (2) percentile-threshold binning into nBuckets ranges
+    * (broadcast array), (3) per-bucket weight totals + cumulative
+    * offsets over the nBuckets-row table (bounded, allowlisted), (4) a
+    * broadcast equi-join that keeps ONLY the crossing bucket's price
+    * groups (~1/nBuckets of distinct prices), where the partitioned
+    * in-bucket running sum finishes. Equal prices share a group, so
+    * the in-bucket order is total and the crossing price is exact.
+    */
+  def weightedMedianPrice(lineitem: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val wp = lineitem.groupBy(col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val thr = lineitem.agg(percentile(col("l_extendedprice"),
+      array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)).as("thr"))
+    val binned = wp.crossJoin(broadcast(thr))
+      .select(col("price"), col("w"),
+        size(filter(col("thr"), t => t < col("price"))).as("bucket"))
+    val perBucket = binned.groupBy("bucket").agg(sum("w").as("bw"))
+      .withColumn("offset",
+        coalesce(sum("bw").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("t", sum("bw").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val crossing = perBucket
+      .filter(lit(2) * col("offset") < col("t") &&
+        lit(2) * (col("offset") + col("bw")) >= col("t"))
+      .select(col("bucket"), col("offset"), col("t"))
+    val inBucket = binned.join(broadcast(crossing), Seq("bucket"))
+      .withColumn("cum", col("offset") + sum("w").over(
+        Window.partitionBy("bucket").orderBy("price")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    inBucket.filter(lit(2) * col("cum") >= col("t"))
+      .agg(min("t").as("total_weight"),
+        min("price").as("weighted_median_price"))
+  }
 }

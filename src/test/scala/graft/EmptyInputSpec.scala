@@ -237,4 +237,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.skipgramPmi(noDocs).count() == 0)
     assert(EventOps.behaviorSimilarity(noEvents).count() == 0)
   }
+
+  test("round-7 third continuation operators: empty inputs → empty results") {
+    val noOrders = Seq.empty[(Long, Double)].toDF("o_custkey", "o_totalprice")
+    assert(graft.queries.Relational.benfordFirstDigit(noOrders).count() == 0)
+    // 1-row reports over zero inputs: zero counts, null derived stats
+    assert(graft.queries.Relational.giniCustomerSpend(noOrders)
+      .collect().head.getLong(0) == 0L)
+    val noLi = Seq.empty[(Double, Double)].toDF("l_extendedprice", "l_quantity")
+    assert(graft.queries.Relational.weightedMedianPrice(noLi)
+      .collect().head.isNullAt(0))
+    assert(EventOps.kaplanMeier(noEvents).count() == 0)
+    assert(TextAnalysis.readabilityBySource(noDocs).count() == 0)
+  }
 }

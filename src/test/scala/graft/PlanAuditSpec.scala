@@ -70,7 +70,11 @@ class PlanAuditSpec extends SparkSpec {
     "ev_retention_fit",          // |days|-row curve × 1-row broadcast user-base scalar; 1-row OLS report
     "ev_strict_funnel",          // three 1-row stage counts meeting in scalar cross joins
     "text_skipgram_pmi",         // pair table × 1-row broadcast total-pairs scalar
-    "ev_behavior_sim"            // |users| count-vectors × broadcast(nQueries=10 vectors)
+    "ev_behavior_sim",           // |users| count-vectors × broadcast(nQueries=10 vectors)
+    "q_benford",                 // 9-row digit table × 1-row broadcast total scalar
+    "q_gini",                    // per-customer spends × 1-row broadcast threshold array — map-side binning
+    "q_weighted_median",         // price-group table × 1-row broadcast threshold array — map-side binning
+    "ev_kaplan_meier"            // per-user span table × 1-row broadcast censor-horizon scalar
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate
@@ -90,7 +94,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_vocab_coverage", // ranking/cumulative window over the VOCABULARY (types) table
     "sim_pair_hist",      // share denominator over the ≤20-row histogram aggregate
     "q_drawdown",         // running peak over the per-MONTH aggregate (≤ decades × 12 rows)
-    "ev_session_gap_hist" // share denominator over the ≤169-row gap-hour histogram
+    "ev_session_gap_hist", // share denominator over the ≤169-row gap-hour histogram
+    "q_gini",             // bucket-offset cumulative over the nBuckets=32-row table
+    "q_weighted_median",  // bucket-offset/total cumulative over the nBuckets=32-row table
+    "ev_kaplan_meier"     // risk/survival windows over the |days|-bounded lifetime histogram
   )
 
   private def windowPartitionSpecs(

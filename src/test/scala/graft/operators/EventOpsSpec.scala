@@ -952,4 +952,21 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toMap == Map(
       "view>click>purchase" -> 2L, "click>purchase>view" -> 1L))
   }
+
+  test("kaplanMeier: risk sets, censoring, and the exact survival product") {
+    // hour lifetimes: u1 t=10 (churned), u2 t=20 (churned),
+    // u3 t=10 but last event at the corpus max hour → censored
+    val events = ev(
+      (1L, "2024-01-01 00:30:00", 1L, "view"),
+      (2L, "2024-01-01 10:30:00", 1L, "view"),   // u1: hr 0 → 10
+      (3L, "2024-01-01 00:30:00", 2L, "view"),
+      (4L, "2024-01-01 20:30:00", 2L, "view"),   // u2: hr 0 → 20
+      (5L, "2024-01-04 18:30:00", 3L, "view"),
+      (6L, "2024-01-05 04:30:00", 3L, "view"))   // u3: hr 90 → 100 (max)
+    val out = EventOps.kaplanMeier(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // t=10: risk {u1,u2,u3}, d=1 → S = 2/3; t=20: risk {u2}, d=1 → S = 0
+    assert(out.toSeq == Seq((10L, 3L, 1L, 0.666667), (20L, 1L, 1L, 0.0)),
+      out.toSeq.toString)
+  }
 }

@@ -762,4 +762,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((3, Some(3.0), Some(1.0), 0, false)))
     assert(out(5L) == ((0, None, None, 0, false)))
   }
+
+  test("readabilityBySource: vowel-run syllables, sentence floor, zero-word docs dropped") {
+    val d = Seq(
+      ("a", "The cat sat. The cat ran!"), // 6 words, 2 sentences, 6 vowel runs
+      ("a", ""),                          // 0 words → dropped
+      ("b", "Incomprehensibilities?"))    // 1 word, 1 sentence, 8 vowel runs
+    .toDF("source", "text")
+    val out = TextAnalysis.readabilityBySource(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // a: 206.835 − 1.015·(6/2) − 84.6·(6/6) = 119.19
+    assert(out("a") == ((1L, 119.19, 3.0, 1.0)), out("a").toString)
+    // b: i-n-c-o-m-p-r-e-h-e-n-s-i-b-i-l-i-t-i-e-s → runs i,o,e,e,i,i,i,ie = 8
+    // 206.835 − 1.015·1 − 84.6·8 = −470.98
+    assert(out("b") == ((1L, -470.98, 1.0, 8.0)), out("b").toString)
+  }
 }

@@ -390,4 +390,54 @@ class RelationalSpec extends SparkSpec {
       ("2024-02", 50.0, 200.0, 0.75),
       ("2024-03", 300.0, 300.0, 0.0)), out.toSeq.toString)
   }
+
+  test("benfordFirstDigit: digits come from exact cents, shares sum to 1") {
+    val orders = Seq(1.00, 19.99, 150.00, 2.50, 29.99, 3.00, 9.99)
+      .toDF("o_totalprice")
+    val out = Relational.benfordFirstDigit(orders).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1, 2, 3, 9))
+    assert(out(1)._1 == 3L && out(2)._1 == 2L && out(3)._1 == 1L && out(9)._1 == 1L)
+    assert(math.abs(out(1)._2 - 3.0 / 7) < 1e-6)
+    // Benford expectation column is log10(1+1/d): digit 1 → ~0.30103
+    val exp1 = Relational.benfordFirstDigit(orders).collect()
+      .find(_.getInt(0) == 1).get.getDouble(3)
+    assert(math.abs(exp1 - 0.30103) < 1e-5)
+  }
+
+  test("giniCustomerSpend: 0 for equal spends; hand value for a skewed split; " +
+    "two-level rank equals the single-sort rank at any bucket count") {
+    val equal = Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0))
+      .toDF("o_custkey", "o_totalprice")
+    val g0 = Relational.giniCustomerSpend(equal).collect().head
+    assert(g0.getLong(0) == 4L && g0.getDouble(2) == 0.0)
+    // spends [1,1,1,97] cents: Σ i·x = 1+2+3+388 = 394,
+    // G = 2·394/(4·100) − 5/4 = 0.72
+    val skew = Seq((1L, 0.01), (2L, 0.01), (3L, 0.01), (4L, 0.97))
+      .toDF("o_custkey", "o_totalprice")
+    assert(Relational.giniCustomerSpend(skew).collect().head.getDouble(2) == 0.72)
+    // bucketed two-level ranking is exact: nBuckets=2 forces customers
+    // across buckets, result must match the formula / any other bucketing
+    val many = (1L to 9L).map(i => (i, i * 0.01)).toDF("o_custkey", "o_totalprice")
+    val g2 = Relational.giniCustomerSpend(many, nBuckets = 2).collect().head.getDouble(2)
+    val g32 = Relational.giniCustomerSpend(many, nBuckets = 32).collect().head.getDouble(2)
+    // x=[1..9]: Σ i·xᵢ = Σ i² = 285, T = 45, n = 9 →
+    // G = 2·285/(9·45) − 10/9 = 0.296296
+    assert(g2 == g32 && math.abs(g2 - 0.296296) < 1e-6, s"$g2 vs $g32")
+  }
+
+  test("weightedMedianPrice: first price where 2·cumweight ≥ total, exact ties") {
+    val li = Seq((10.0, 1.0), (20.0, 2.0), (30.0, 1.0))
+      .toDF("l_extendedprice", "l_quantity")
+    val out = Relational.weightedMedianPrice(li).collect().head
+    assert(out.getLong(0) == 4L && out.getDouble(1) == 20.0)
+    // heavy low mass pulls the weighted median below the unweighted one
+    val bulk = Seq((10.0, 5.0), (100.0, 1.0)).toDF("l_extendedprice", "l_quantity")
+    assert(Relational.weightedMedianPrice(bulk).collect().head.getDouble(1) == 10.0)
+    // bucketed crossing equals the direct cumulative at any bucket count
+    val many = (1 to 20).map(i => (i * 1.0, 1.0)).toDF("l_extendedprice", "l_quantity")
+    val m2 = Relational.weightedMedianPrice(many, nBuckets = 2).collect().head.getDouble(1)
+    val m32 = Relational.weightedMedianPrice(many, nBuckets = 32).collect().head.getDouble(1)
+    assert(m2 == 10.0 && m32 == 10.0)
+  }
 }
