@@ -407,6 +407,10 @@ object SparkEntry {
     "text_skipgram_pmi" -> ((s, d) => TextAnalysis.skipgramPmi(Tables.documents(s, d))),
     "ev_behavior_sim" -> ((s, d) => EventOps.behaviorSimilarity(Tables.events(s, d))),
     "q_benford" -> ((s, d) => Relational.benfordFirstDigit(Tables.orders(s, d))),
+    "dedup_assortativity" -> ((s, d) =>
+      operators.Graph.assortativity(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
+    "sim_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(Tables.embeddings(s, d))),
+    "ev_ab_test" -> ((s, d) => EventOps.abTest(Tables.events(s, d))),
     "q_gini" -> ((s, d) => Relational.giniCustomerSpend(Tables.orders(s, d))),
     "q_weighted_median" -> ((s, d) => Relational.weightedMedianPrice(Tables.lineitem(s, d))),
     "ev_kaplan_meier" -> ((s, d) => EventOps.kaplanMeier(Tables.events(s, d))),
@@ -645,6 +649,67 @@ object SparkEntry {
        |pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
        |$steps
        |SELECT node, round(pr, 6) AS pagerank FROM it$iters ORDER BY node""".stripMargin
+  }
+
+  /** Oracle for [[graft.operators.Graph.assortativity]]: endpoint
+    * degrees over the directed jaccard-pair edges, Pearson r from the
+    * five exact-BIGINT sums — identical expression tree to Spark's.
+    */
+  private def assortativityOracle: String =
+    s"""WITH $jaccardPairsCte,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+       |      UNION SELECT doc_b, doc_a FROM pp),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |d2 AS (SELECT da.deg AS x, db.deg AS y
+       |       FROM e JOIN deg da ON e.src = da.src
+       |              JOIN deg db ON e.dst = db.src),
+       |s AS (SELECT count(*) AS m, CAST(sum(x) AS BIGINT) AS sx,
+       |             CAST(sum(y) AS BIGINT) AS sy,
+       |             CAST(sum(x * y) AS BIGINT) AS sxy,
+       |             CAST(sum(x * x) AS BIGINT) AS sx2,
+       |             CAST(sum(y * y) AS BIGINT) AS sy2 FROM d2),
+       |nn AS (SELECT count(*) AS n_nodes FROM deg)
+       |SELECT CAST(m // 2 AS BIGINT) AS n_edges, n_nodes,
+       |       CASE WHEN m * sx2 - sx * sx > 0 AND m * sy2 - sy * sy > 0
+       |            THEN round((m * sxy - sx * sy) /
+       |                   sqrt(CAST(m * sx2 - sx * sx AS DOUBLE) *
+       |                        CAST(m * sy2 - sy * sy AS DOUBLE)), 6)
+       |       END AS assortativity
+       |FROM s, nn""".stripMargin
+
+  /** Oracle for [[graft.operators.Similarity.mmrRerank]]: k unrolled
+    * greedy steps (the repo's fixed-iteration convention — pagerank,
+    * k-core); every score is rounded to 6 before each argmax, λ=0.7
+    * and μ=0.3 are independent literals exactly as in the Spark op.
+    */
+  private def mmrOracle(k: Int = 5): String = {
+    def step(i: Int) =
+      s"""s$i AS (SELECT aid AS cid, arel AS rel, $i AS step,
+         |        round(0.7 * arel - 0.3 * max_sim, 6) AS mmr_score
+         |  FROM (SELECT aid, arel, max(sim) AS max_sim FROM p
+         |        WHERE bid IN (SELECT cid FROM u${i - 1})
+         |          AND aid NOT IN (SELECT cid FROM u${i - 1})
+         |        GROUP BY 1, 2) t
+         |  ORDER BY mmr_score DESC, cid LIMIT 1),
+         |u$i AS (SELECT cid FROM u${i - 1} UNION ALL SELECT cid FROM s$i)""".stripMargin
+    val steps = (2 to k).map(step).mkString(",\n")
+    val unions = (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+       |                round(list_cosine_similarity(
+       |                  CAST(embedding AS DOUBLE[]), qv), 6) AS rel
+       |         FROM embeddings, q WHERE vec_id <> 0
+       |         ORDER BY rel DESC, cid LIMIT 20),
+       |p AS (SELECT a.cid AS aid, a.rel AS arel, b.cid AS bid,
+       |             round(list_cosine_similarity(a.cv, b.cv), 6) AS sim
+       |      FROM cand a JOIN cand b ON a.cid <> b.cid),
+       |s1 AS (SELECT cid, rel, 1 AS step, rel AS mmr_score FROM cand
+       |       ORDER BY rel DESC, cid LIMIT 1),
+       |u1 AS (SELECT cid FROM s1),
+       |$steps
+       |SELECT step, cid AS vec_id, rel, mmr_score FROM ($unions) z
+       |ORDER BY step""".stripMargin
   }
 
   /** Shared oracle for BOTH merge paths (q_merge_upsert writes the
@@ -4091,6 +4156,34 @@ object SparkEntry {
         |               ORDER BY cos_sim DESC, cid) AS rnk FROM s)
         |SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "dedup_assortativity" -> assortativityOracle,
+    "sim_mmr_rerank" -> mmrOracle(),
+    // per-user metric rounded before arm sums; Welch t from raw-sum identity
+    "ev_ab_test" ->
+      """WITH m AS (SELECT user_id,
+        |             round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |                       ELSE 0.0 END), 6) AS m
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT m,
+        |             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |               AS BIGINT) % 2 AS grp FROM m),
+        |w AS (SELECT
+        |  count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+        |  count(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+        |  sum(CASE WHEN grp = 0 THEN m ELSE 0.0 END) AS sx_a,
+        |  sum(CASE WHEN grp = 1 THEN m ELSE 0.0 END) AS sx_b,
+        |  sum(CASE WHEN grp = 0 THEN m * m ELSE 0.0 END) AS sx2_a,
+        |  sum(CASE WHEN grp = 1 THEN m * m ELSE 0.0 END) AS sx2_b FROM g)
+        |SELECT n_a, n_b,
+        |       round(sx_a / n_a, 6) AS mean_a, round(sx_b / n_b, 6) AS mean_b,
+        |       CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |         round((sx_a / n_a - sx_b / n_b) /
+        |           sqrt(((sx2_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+        |              + ((sx2_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4)
+        |       END AS welch_t,
+        |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+        |         AS srm_chi2
+        |FROM w""".stripMargin,
     // exact-cents first digit via integer-to-string (no float formatting)
     "q_benford" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents

@@ -1807,4 +1807,47 @@ object EventOps {
         col("survival"))
       .orderBy("t_hours")
   }
+
+  /** A/B experiment readout over a deterministic 50/50 hash split of
+    * users (md5 arithmetic, the [[TextAnalysis.hashSample]]
+    * primitive — reproducible on any cluster, no RNG): per-arm n,
+    * mean and Welch's t on the per-user purchase-value metric, plus
+    * the sample-ratio-mismatch χ² ((n_a−n_b)²/(n_a+n_b) for the
+    * 50/50 design) that must be checked BEFORE reading the t-stat —
+    * a skewed split means broken bucketing, not a treatment effect.
+    * Variances come from the raw-sums identity (Σx², Σx) over the
+    * per-user metric rounded to 6, so both engines divide identical
+    * numbers; arms with n ≤ 1 report null t.
+    *
+    * Shape at 100 TB: one per-user partial aggregate (map-side
+    * combined), then a 2-row arm rollup folded to one row by
+    * conditional aggregation — no window, no join.
+    */
+  def abTest(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(round(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0)), 6).as("m"))
+      .select(col("m"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(2L)).as("grp"))
+    val wide = perUser.agg(
+      count(when(col("grp") === 0, lit(1))).as("n_a"),
+      count(when(col("grp") === 1, lit(1))).as("n_b"),
+      sum(when(col("grp") === 0, col("m")).otherwise(0.0)).as("sx_a"),
+      sum(when(col("grp") === 1, col("m")).otherwise(0.0)).as("sx_b"),
+      sum(when(col("grp") === 0, col("m") * col("m")).otherwise(0.0)).as("sx2_a"),
+      sum(when(col("grp") === 1, col("m") * col("m")).otherwise(0.0)).as("sx2_b"))
+    val varA = (col("sx2_a") - col("sx_a") * col("sx_a") / col("n_a")) / (col("n_a") - 1)
+    val varB = (col("sx2_b") - col("sx_b") * col("sx_b") / col("n_b")) / (col("n_b") - 1)
+    wide.select(
+      col("n_a"), col("n_b"),
+      round(col("sx_a") / col("n_a"), 6).as("mean_a"),
+      round(col("sx_b") / col("n_b"), 6).as("mean_b"),
+      when(col("n_a") > 1 && col("n_b") > 1,
+        round((col("sx_a") / col("n_a") - col("sx_b") / col("n_b")) /
+          sqrt(varA / col("n_a") + varB / col("n_b")), 4)).as("welch_t"),
+      when(col("n_a") + col("n_b") > 0,
+        round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")), 6)).as("srm_chi2"))
+  }
 }

@@ -958,4 +958,60 @@ object Similarity {
           .as("share"))
       .orderBy("bucket")
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998): from the query's top-`nCand` cosine candidates, greedily
+    * pick `k` results maximizing λ·rel(c) − μ·max_{s∈S} sim(c, s) —
+    * the diversified retrieval head that keeps a near-dup-heavy
+    * corpus from returning k copies of one document. Every score is
+    * rounded to 6 before any argmax (ties broken by id), so the
+    * greedy trajectory is identical cross-engine; λ and μ are
+    * independent literals (never 1−λ, whose binary representation
+    * would differ from a 0.3 literal).
+    *
+    * Shape at 100 TB: one broadcast-query scoring pass over the
+    * corpus ends in a TakeOrdered top-nCand; everything after —
+    * the nCand² pair-sim table and k greedy steps — runs on ≤ 20-row
+    * frames (localCheckpointed per step to keep the iterative plan
+    * flat). The selection loop is k driver-side plan builds, not
+    * data movement.
+    */
+  def mmrRerank(embeddings: DataFrame, k: Int = 5, nCand: Int = 20,
+                lambdaRel: Double = 0.7, muDiv: Double = 0.3,
+                queryId: Long = 0L): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv"))
+    val cands = embeddings.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+      .crossJoin(broadcast(q))
+      .select(col("cid"), col("cv"),
+        round(cosine(col("cv"), col("qv")), 6).as("rel"))
+      .orderBy(desc("rel"), col("cid")).limit(nCand)
+      .localCheckpoint(true)
+    val pairs = cands.select(col("cid").as("aid"), col("cv").as("av"),
+        col("rel").as("arel"))
+      .crossJoin(broadcast(cands.select(col("cid").as("bid"), col("cv").as("bv"))))
+      .filter(col("aid") =!= col("bid"))
+      .select(col("aid"), col("arel"), col("bid"),
+        round(cosine(col("av"), col("bv")), 6).as("sim"))
+      .localCheckpoint(true)
+    var selected = cands.orderBy(desc("rel"), col("cid")).limit(1)
+      .select(col("cid"), col("rel"), lit(1).as("step"), col("rel").as("mmr_score"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val scored = pairs
+        .join(broadcast(selected.select(col("cid").as("bid"))), Seq("bid"))
+        .groupBy("aid", "arel").agg(max("sim").as("max_sim"))
+        .join(selected.select(col("cid").as("aid")), Seq("aid"), "left_anti")
+        .select(col("aid"), col("arel"),
+          round(lit(lambdaRel) * col("arel") - lit(muDiv) * col("max_sim"), 6)
+            .as("mmr"))
+      val pick = scored.orderBy(desc("mmr"), col("aid")).limit(1)
+        .select(col("aid").as("cid"), col("arel").as("rel"),
+          lit(step).as("step"), col("mmr").as("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.select(col("step"), col("cid").as("vec_id"), col("rel"),
+      col("mmr_score")).orderBy("step")
+  }
 }

@@ -249,5 +249,9 @@ class EmptyInputSpec extends SparkSpec {
       .collect().head.isNullAt(0))
     assert(EventOps.kaplanMeier(noEvents).count() == 0)
     assert(TextAnalysis.readabilityBySource(noDocs).count() == 0)
+    assert(graft.operators.Graph.assortativity(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect().head.getLong(0) == 0L)
+    assert(Similarity.mmrRerank(noEmb).count() == 0)
+    assert(EventOps.abTest(noEvents).collect().head.getLong(0) == 0L)
   }
 }

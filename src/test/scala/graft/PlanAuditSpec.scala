@@ -72,6 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_skipgram_pmi",         // pair table × 1-row broadcast total-pairs scalar
     "ev_behavior_sim",           // |users| count-vectors × broadcast(nQueries=10 vectors)
     "q_benford",                 // 9-row digit table × 1-row broadcast total scalar
+    "dedup_assortativity",       // 1-row sum table × 1-row node-count scalar
+    "sim_mmr_rerank",            // corpus × 1-row broadcast query vector; nCand=20 frames thereafter
     "q_gini",                    // per-customer spends × 1-row broadcast threshold array — map-side binning
     "q_weighted_median",         // price-group table × 1-row broadcast threshold array — map-side binning
     "ev_kaplan_meier"            // per-user span table × 1-row broadcast censor-horizon scalar

@@ -969,4 +969,36 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 3L, 1L, 0.666667), (20L, 1L, 1L, 0.0)),
       out.toSeq.toString)
   }
+
+  test("abTest: arms reproduce the md5 split, Welch t and SRM match a scalar recompute") {
+    import spark.implicits._
+    // per-user purchase metric: even users 10, odd users 20; plus noise views
+    val events = (1L to 40L).flatMap(u => Seq(
+      (u, "2024-01-01 10:00:00", "purchase", if (u % 2 == 0) 10.0 else 20.0),
+      (u, "2024-01-01 11:00:00", "view", 5.0)))
+      .toDF("user_id", "ts_str", "event_type", "value")
+      .selectExpr("CAST(ts_str AS TIMESTAMP) AS ts", "user_id", "event_type", "value")
+    val out = EventOps.abTest(events).collect().head
+    // scalar reference with the same md5-arithmetic split
+    def grp(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val byArm = (1L to 40L).map(u => grp(u) -> (if (u % 2 == 0) 10.0 else 20.0))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+    val (a, b) = (byArm(0L), byArm(1L))
+    def mean(xs: Iterable[Double]) = xs.sum / xs.size
+    def vr(xs: Iterable[Double]) = {
+      val n = xs.size; (xs.map(x => x * x).sum - xs.sum * xs.sum / n) / (n - 1)
+    }
+    val t = (mean(a) - mean(b)) / math.sqrt(vr(a) / a.size + vr(b) / b.size)
+    assert(out.getLong(0) == a.size && out.getLong(1) == b.size)
+    assert(out.getLong(0) + out.getLong(1) == 40L)
+    assert(math.abs(out.getDouble(2) - mean(a)) < 1e-6)
+    assert(math.abs(out.getDouble(3) - mean(b)) < 1e-6)
+    assert(math.abs(out.getDouble(4) - t) < 1e-3, s"${out.getDouble(4)} vs $t")
+    val srm = math.pow(a.size - b.size, 2) / 40.0
+    assert(math.abs(out.getDouble(5) - srm) < 1e-6)
+  }
 }

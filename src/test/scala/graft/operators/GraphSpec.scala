@@ -80,4 +80,18 @@ class GraphSpec extends SparkSpec {
     // the triangle is the 2-core and survives all rounds
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 2, 5L -> 1), out.toString)
   }
+
+  test("assortativity: path is perfectly disassortative, regular graph is null") {
+    // P3 (1–2–3): directed endpoint degrees x=[1,2,2,1], y=[2,1,1,2] → r = −1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val p = Graph.assortativity(path).collect().head
+    assert(p.getLong(0) == 2L && p.getLong(1) == 3L && p.getDouble(2) == -1.0)
+    // C3 triangle: every degree 2 → zero variance → null, not NaN
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val t = Graph.assortativity(tri).collect().head
+    assert(t.getLong(0) == 3L && t.isNullAt(2), t.toString)
+    // star K1,3: hubs-to-leaves only → also −1 (Newman 2002's canonical case)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
+    assert(Graph.assortativity(star).collect().head.getDouble(2) == -1.0)
+  }
 }

@@ -524,4 +524,54 @@ class SimilaritySpec extends SparkSpec {
     // cos = -1.0 → floor(-10) = -10 → bucket -10, [-1.0, -0.9)
     assert(out.toSeq == Seq((-10, -1.0, -0.9, 2L)), out.toSeq.toString)
   }
+
+  test("mmrRerank: greedy trajectory matches a scalar reference MMR; " +
+    "diversification demotes the near-dup of the first pick") {
+    // query 0; candidates 1 ≈ 2 (near-dups, both very relevant); 3 is
+    // equally relevant but on the mirror side of the query (low sim to
+    // 1 — only possible in ≥3 dims); 4 is diverse and weakly relevant
+    val e = emb(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.43f, 0.0f)),
+      (2L, Seq(0.9f, 0.44f, 0.01f)),
+      (3L, Seq(0.9f, -0.43f, 0.0f)),
+      (4L, Seq(0.1f, 0.0f, 0.9f)))
+    val out = Similarity.mmrRerank(e, k = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // scalar reference: same rounding discipline as the operator
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = Map(1L -> Seq(0.9f, 0.43f, 0.0f), 2L -> Seq(0.9f, 0.44f, 0.01f),
+      3L -> Seq(0.9f, -0.43f, 0.0f), 4L -> Seq(0.1f, 0.0f, 0.9f))
+    val q = Seq(1.0f, 0.0f, 0.0f)
+    var sel = List.empty[Long]
+    val expected = (1 to 4).map { step =>
+      val scored = vecs.keys.filterNot(sel.contains).map { c =>
+        val rel = cos(vecs(c), q)
+        val score = if (sel.isEmpty) rel
+          else BigDecimal(0.7 * rel - 0.3 * sel.map(s => cos(vecs(c), vecs(s))).max)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (c, score)
+      }.toSeq
+      val (picked, sc) = scored.minBy { case (c, s) => (-s, c) }
+      sel = sel :+ picked
+      (step, picked, sc)
+    }
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq == expected, out.toSeq.toString)
+    // the near-dup pair (1, 2) must NOT occupy steps 1+2 — diversity kicks in
+    assert(out.take(2).map(_._2).toSet != Set(1L, 2L), out.toSeq.toString)
+  }
+
+  test("mmrRerank: fewer candidates than k returns all candidates once") {
+    val e = emb(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.2f, 0.8f)))
+    val out = Similarity.mmrRerank(e, k = 5).collect()
+    assert(out.length == 2 && out.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
 }
