@@ -675,4 +675,50 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+  case class FunnelState(vUs: Long, cUs: Long, pUs: Long)
+  case class FunnelHit(user_id: Long, stage: Int, ts_us: Long)
+
+  /** Streaming strict-deadline funnel — the stateful face of
+    * [[graft.operators.EventOps.strictFunnel]]: per user, anchor on
+    * the FIRST view, admit the first click within `stepUs` of it,
+    * then the first purchase within `stepUs` of that click, emitting
+    * a (user, stage, ts) hit row as each stage is first reached.
+    * Processing events in time order makes "first qualifying" equal
+    * the batch min-aggregate, so counting users at stage ≥ s
+    * reproduces the batch funnel exactly. State is three longs per
+    * user — O(users), stream-length-independent (EventTimeTimeout
+    * retires keys in production once the deadline horizon passes).
+    * Time-ordered replay contract as [[transitionEdges]]; the spec
+    * pins stage counts to the oracle-green `ev_strict_funnel` row.
+    */
+  def strictFunnelHits(events: Dataset[FunnelEvent],
+                       stepUs: Long = 3600000000L): Dataset[FunnelHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          it.toSeq.sortBy(_.ts_us).foreach { e =>
+            e.event_type match {
+              case "view" if st.vUs < 0 =>
+                st = st.copy(vUs = e.ts_us); out += FunnelHit(uid, 1, e.ts_us)
+              case "click" if st.vUs >= 0 && st.cUs < 0 &&
+                  e.ts_us > st.vUs && e.ts_us - st.vUs <= stepUs =>
+                st = st.copy(cUs = e.ts_us); out += FunnelHit(uid, 2, e.ts_us)
+              case "purchase" if st.cUs >= 0 && st.pUs < 0 &&
+                  e.ts_us > st.cUs && e.ts_us - st.cUs <= stepUs =>
+                st = st.copy(pUs = e.ts_us); out += FunnelHit(uid, 3, e.ts_us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -682,4 +682,38 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("replayed sf0.001 events through strictFunnelHits equals ev_strict_funnel counts") {
+    // Users counted at stage ≥ s in the streamed hit log must equal
+    // the oracle-green batch strict funnel's per-stage counts — the
+    // in-time-order "first qualifying event" equals the batch min
+    // aggregate, including stages that complete across chunk
+    // boundaries (three-long state stitches them).
+    implicit val sq = spark.sqlContext
+    val batchDf = graft.Tables.events(spark, sf0001)
+    val rows = EventOps.withTsUs(batchDf)
+      .select("user_id", "ts_us", "event_type")
+      .as[EventStreams.FunnelEvent]
+      .collect().sortBy(_.ts_us)
+    val mem = MemoryStream[EventStreams.FunnelEvent]
+    val q = EventStreams.strictFunnelHits(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("sfunnel_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val hits = spark.table("sfunnel_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      // one hit per (user, stage) at most
+      assert(hits.distinct.length == hits.length)
+      val stageCount = (s: Int) => hits.count(_._2 == s).toLong
+      val batch = EventOps.strictFunnel(batchDf).collect().head
+      assert(stageCount(1) == batch.getLong(0), s"stage1 ${stageCount(1)} vs $batch")
+      assert(stageCount(2) == batch.getLong(1), s"stage2 ${stageCount(2)} vs $batch")
+      assert(stageCount(3) == batch.getLong(2), s"stage3 ${stageCount(3)} vs $batch")
+      assert(stageCount(1) > 0)
+    } finally q.stop()
+  }
 }
