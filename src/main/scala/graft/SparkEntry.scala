@@ -411,6 +411,9 @@ object SparkEntry {
       operators.Graph.assortativity(Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
     "sim_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(Tables.embeddings(s, d))),
     "ev_ab_test" -> ((s, d) => EventOps.abTest(Tables.events(s, d))),
+    "ev_ab_ks" -> ((s, d) => EventOps.abKsStatistic(Tables.events(s, d))),
+    "dedup_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(Tables.documents(s, d))),
+    "text_mattr" -> ((s, d) => TextAnalysis.mattrBySource(Tables.documents(s, d))),
     "q_gini" -> ((s, d) => Relational.giniCustomerSpend(Tables.orders(s, d))),
     "q_weighted_median" -> ((s, d) => Relational.weightedMedianPrice(Tables.lineitem(s, d))),
     "ev_kaplan_meier" -> ((s, d) => EventOps.kaplanMeier(Tables.events(s, d))),
@@ -4184,6 +4187,70 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // pooled-percentile-grid KS; same md5 split / per-user metric as ev_ab_test
+    "ev_ab_ks" ->
+      """WITH m AS (SELECT user_id,
+        |             round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |                       ELSE 0.0 END), 6) AS m
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT m,
+        |             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |               AS BIGINT) % 2 AS grp FROM m),
+        |grid AS (SELECT DISTINCT t FROM (
+        |  SELECT unnest(quantile_cont(m,
+        |           list_transform(range(1, 20), i -> i / 20.0))) AS t FROM g) z),
+        |c AS (SELECT t,
+        |        count(CASE WHEN grp = 0 AND m <= t THEN 1 END) AS ca,
+        |        count(CASE WHEN grp = 1 AND m <= t THEN 1 END) AS cb
+        |      FROM g CROSS JOIN grid GROUP BY 1),
+        |tot AS (SELECT count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+        |               count(CASE WHEN grp = 1 THEN 1 END) AS n_b FROM g)
+        |SELECT n_a, n_b,
+        |       round(abs(CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b), 6)
+        |         AS ks_d,
+        |       t AS at_m
+        |FROM c, tot ORDER BY ks_d DESC, at_m LIMIT 1""".stripMargin,
+    // ln(N/df) weights rounded to 6 before any sum; df-capped vocabulary
+    "dedup_weighted_jaccard" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, w FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    x -> length(x) > 0)) AS w
+        |  FROM documents) z),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |idf AS (SELECT w, round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS wt FROM (
+        |  SELECT w, count(*) AS df FROM tok GROUP BY 1) d, nd
+        |  WHERE df * 10 <= n_docs AND df <= 1000),
+        |wt AS (SELECT t.doc_id, t.w, i.wt FROM tok t JOIN idf i USING (w)),
+        |dw AS (SELECT doc_id, sum(wt) AS w_total FROM wt GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt) AS w_inter
+        |      FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |s AS (SELECT doc_a, doc_b,
+        |             round(w_inter / (wa.w_total + wb.w_total - w_inter), 6)
+        |               AS w_jaccard
+        |      FROM p JOIN dw wa ON p.doc_a = wa.doc_id
+        |             JOIN dw wb ON p.doc_b = wb.doc_id)
+        |SELECT doc_a, doc_b, w_jaccard FROM s WHERE w_jaccard >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Σ window-distinct counts / (k·window), short docs fall back to TTR
+    "text_mattr" ->
+      """WITH w AS (SELECT source,
+        |             list_filter(string_split(lower(text), ' '),
+        |                         x -> length(x) > 0) AS ws
+        |           FROM documents),
+        |t AS (SELECT source, CAST(len(ws) AS INTEGER) AS n, ws FROM w
+        |      WHERE len(ws) > 0),
+        |m AS (SELECT source,
+        |  CASE WHEN n >= 25 THEN
+        |    round(CAST(list_sum(list_transform(range(0, n - 25 + 1, 10),
+        |            i -> len(list_distinct(
+        |              ws[CAST(i + 1 AS INTEGER):CAST(i + 25 AS INTEGER)]))))
+        |          AS DOUBLE)
+        |      / (len(range(0, n - 25 + 1, 10)) * 25), 6)
+        |  ELSE round(CAST(len(list_distinct(ws)) AS DOUBLE) / n, 6) END AS mattr
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs, round(avg(mattr), 4) AS avg_mattr
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact-cents first digit via integer-to-string (no float formatting)
     "q_benford" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents

@@ -1289,4 +1289,54 @@ object Dedup {
         (lit(32L) - col("pair._1").cast("long")).as("hamming"))
       .orderBy("qid", "rnk")
   }
+
+  /** IDF-weighted Jaccard near-dup pairs over the informative
+    * vocabulary: tokens with df ≤ `maxDf` carry weight ln(N/df)
+    * (rounded to 6 so both engines sum identical doubles), and pair
+    * similarity is Σ_{A∩B} w / Σ_{A∪B} w — the weighted set measure
+    * (Chum et al. 2008) that plain [[ngramJaccardPairs]] miscounts
+    * when near-dups differ only in boilerplate: shared rare tokens
+    * dominate, shared stopwords barely move the score. The df cap
+    * serves double duty — the standard Σ min(df,maxDf)² pair-count
+    * bound AND the weighted measure's vocabulary (high-df tokens
+    * contribute ≈0 weight anyway, so capping them out changes little
+    * while bounding the join).
+    *
+    * The vocabulary cap is dual: fractional (df·`dfDenom` ≤ N — a
+    * token in more than 1/dfDenom of the corpus is boilerplate at ANY
+    * corpus size, which keeps the measure discriminative whether N is
+    * 500 or 5 billion) and absolute (df ≤ `maxDf` — the Σ df² join
+    * bound that the fractional cap alone would not give at scale).
+    *
+    * Shape at 100 TB: distinct (doc, token) digests shuffle, text
+    * does not; N rides a 1-row broadcast; per-doc weight totals are
+    * one partial agg; the pair join is the df-capped self-join.
+    */
+  def weightedJaccardPairs(documents: DataFrame, threshold: Double = 0.3,
+                           maxDf: Int = 1000, dfDenom: Int = 10): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val idf = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * dfDenom <= col("n_docs") && col("df") <= maxDf)
+      .select(col("w"), round(log(col("n_docs").cast("double") / col("df")), 6)
+        .as("wt"))
+    val weighted = tok.join(idf, "w")
+    val docW = weighted.groupBy("doc_id").agg(sum("wt").as("w_total"))
+    val a = weighted.select(col("w"), col("doc_id").as("doc_a"), col("wt"))
+    val b = weighted.select(col("w"), col("doc_id").as("doc_b"))
+    a.join(b, "w")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum("wt").as("w_inter"))
+      .join(docW.select(col("doc_id").as("doc_a"), col("w_total").as("wa")), "doc_a")
+      .join(docW.select(col("doc_id").as("doc_b"), col("w_total").as("wb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("w_inter") / (col("wa") + col("wb") - col("w_inter")), 6)
+          .as("w_jaccard"))
+      .filter(col("w_jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
 }

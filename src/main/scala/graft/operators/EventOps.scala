@@ -1850,4 +1850,45 @@ object EventOps {
         round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
           .cast("double") / (col("n_a") + col("n_b")), 6)).as("srm_chi2"))
   }
+
+  /** Distributional A/B comparison: the Kolmogorov–Smirnov gap
+    * between the two arms' per-user purchase-value ECDFs, evaluated
+    * on the pooled-percentile grid (nBins−1 thresholds) — catches
+    * treatment effects that move the SHAPE of the distribution while
+    * leaving the mean (and so [[abTest]]'s t) untouched, e.g. a few
+    * whales up, the long tail down. Discretizing the sup onto the
+    * pooled quantile grid is what makes the statistic exact-checkable
+    * cross-engine: both engines compare identical doubles at
+    * identical thresholds; the max ties break toward the smallest
+    * threshold. Same md5 split and per-user metric as [[abTest]].
+    *
+    * Shape at 100 TB: per-user partial agg, one percentile agg, then
+    * a ≤(nBins−1)-row broadcast grid fanned over users (bounded
+    * nested loop) into a grid-sized count table; the argmax is a
+    * TakeOrdered over that bounded table.
+    */
+  def abKsStatistic(events: DataFrame, nBins: Int = 20): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(round(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0)), 6).as("m"))
+      .select(col("m"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(2L)).as("grp"))
+    val grid = perUser.agg(percentile(col("m"),
+      array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)).as("thr"))
+      .select(explode(col("thr")).as("t")).distinct()
+    val counts = perUser.crossJoin(broadcast(grid))
+      .groupBy("t").agg(
+        count(when(col("grp") === 0 && col("m") <= col("t"), lit(1))).as("ca"),
+        count(when(col("grp") === 1 && col("m") <= col("t"), lit(1))).as("cb"))
+    val totals = perUser.agg(
+      count(when(col("grp") === 0, lit(1))).as("n_a"),
+      count(when(col("grp") === 1, lit(1))).as("n_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        round(abs(col("ca") / col("n_a") - col("cb") / col("n_b")), 6).as("ks_d"),
+        col("t").as("at_m"))
+      .orderBy(desc("ks_d"), col("at_m"))
+      .limit(1)
+  }
 }

@@ -1698,6 +1698,41 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Moving-average type-token ratio per source (MATTR, Covington &
+    * McFall 2010): per doc, the mean distinct-share over sliding
+    * `window`-token windows (stride `stride`), which — unlike the raw
+    * [[typeTokenRatio]] — does not shrink mechanically with document
+    * length, so sources mixing long and short docs compare fairly.
+    * Docs shorter than one window fall back to their plain TTR. The
+    * per-doc score is one exact integer sum (Σ window distinct
+    * counts) over one division, rounded before the per-source mean.
+    *
+    * Shape at 100 TB: entirely map-side higher-order array functions
+    * on the materialized token array (no explode, no shuffle of
+    * text); the only exchange is the |sources|-group rollup. Per-doc
+    * cost is O((n/stride)·window) array scans.
+    */
+  def mattrBySource(documents: DataFrame, window: Int = 25,
+                    stride: Int = 10): DataFrame = {
+    val toks = documents
+      .select(col("source"),
+        filter(split(lower(col("text")), " ", -1), w => length(w) > 0).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+    val positions = sequence(lit(0), col("n") - window, lit(stride))
+    val withM = toks.withColumn("mattr",
+      when(col("n") >= window,
+        round(aggregate(
+          transform(positions,
+            i => size(array_distinct(slice(col("ws"), i + 1, lit(window))))),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          (size(positions) * window), 6))
+        .otherwise(round(size(array_distinct(col("ws"))).cast("double") / col("n"), 6)))
+    withM.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("mattr"), 4).as("avg_mattr"))
+      .orderBy("source")
+  }
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

@@ -253,5 +253,8 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect().head.getLong(0) == 0L)
     assert(Similarity.mmrRerank(noEmb).count() == 0)
     assert(EventOps.abTest(noEvents).collect().head.getLong(0) == 0L)
+    assert(EventOps.abKsStatistic(noEvents).count() == 0)
+    assert(Dedup.weightedJaccardPairs(noDocs).count() == 0)
+    assert(TextAnalysis.mattrBySource(noDocs).count() == 0)
   }
 }

@@ -74,6 +74,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_benford",                 // 9-row digit table × 1-row broadcast total scalar
     "dedup_assortativity",       // 1-row sum table × 1-row node-count scalar
     "sim_mmr_rerank",            // corpus × 1-row broadcast query vector; nCand=20 frames thereafter
+    "ev_ab_ks",                  // per-user metric × ≤19-row broadcast percentile grid + 1-row totals
+    "dedup_weighted_jaccard",    // vocabulary df table × 1-row broadcast n_docs scalar
     "q_gini",                    // per-customer spends × 1-row broadcast threshold array — map-side binning
     "q_weighted_median",         // price-group table × 1-row broadcast threshold array — map-side binning
     "ev_kaplan_meier"            // per-user span table × 1-row broadcast censor-horizon scalar

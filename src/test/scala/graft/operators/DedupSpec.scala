@@ -534,4 +534,19 @@ class DedupSpec extends SparkSpec {
     // ranks strictly increase with (hamming, cid)
     assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted)
   }
+
+  test("weightedJaccardPairs: boilerplate excluded by the fractional cap, " +
+    "rare overlap scores 1.0") {
+    import spark.implicits._
+    // 30 docs; 'common' is in 28 of them → df·10 > N → capped out of
+    // the vocabulary; docs 1+2 share only the rare 'alpha' → 1.0.
+    // Filler docs pairwise share ONLY 'common' (a plain Jaccard would
+    // emit hundreds of pairs) → zero candidate pairs from them.
+    val docs = (Seq((1L, "alpha"), (2L, "alpha")) ++
+      (3L to 30L).map(i => (i, s"common uniq$i")))
+      .toDF("doc_id", "text")
+    val out = Dedup.weightedJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)), out.toSeq.toString)
+  }
 }

@@ -1001,4 +1001,30 @@ class EventOpsSpec extends SparkSpec {
     val srm = math.pow(a.size - b.size, 2) / 40.0
     assert(math.abs(out.getDouble(5) - srm) < 1e-6)
   }
+
+  test("abKsStatistic: identical arms give D=0, fully separated arms give D=1") {
+    import spark.implicits._
+    def grp(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    def purchases(rows: Seq[(Long, Double)]) = rows
+      .map { case (u, v) => (u, "2024-01-01 10:00:00", "purchase", v) }
+      .toDF("user_id", "ts_str", "event_type", "value")
+      .selectExpr("CAST(ts_str AS TIMESTAMP) AS ts", "user_id", "event_type", "value")
+    // every user has the same metric → both ECDFs identical → D = 0
+    val same = EventOps.abKsStatistic(
+      purchases((1L to 30L).map(u => u -> 10.0))).collect().head
+    assert(same.getDouble(2) == 0.0, same.toString)
+    // 20 users per arm, arm 0 → 10.0, arm 1 → 1000.0: complete
+    // separation, any mid-grid threshold has F_a = 1, F_b = 0 → D = 1
+    val ids = (1L to 400L)
+    val arm0 = ids.filter(grp(_) == 0L).take(20)
+    val arm1 = ids.filter(grp(_) == 1L).take(20)
+    val out = EventOps.abKsStatistic(
+      purchases(arm0.map(_ -> 10.0) ++ arm1.map(_ -> 1000.0))).collect().head
+    assert(out.getLong(0) == 20L && out.getLong(1) == 20L)
+    assert(out.getDouble(2) == 1.0, out.toString)
+  }
 }

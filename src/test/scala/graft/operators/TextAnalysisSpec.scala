@@ -778,4 +778,22 @@ class TextAnalysisSpec extends SparkSpec {
     // 206.835 − 1.015·1 − 84.6·8 = −470.98
     assert(out("b") == ((1L, -470.98, 1.0, 8.0)), out("b").toString)
   }
+
+  test("mattrBySource: window positions, stride, and short-doc TTR fallback") {
+    // a1: 30 tokens of a 5-word cycle → one window [0..24], 5 distinct
+    //     → mattr 5/25 = 0.2
+    // a2: 45 identical tokens → windows at 0,10,20 → each 1 distinct
+    //     → mattr 3/(3·25) = 0.04
+    // b:  3 tokens, shorter than a window → TTR fallback 2/3
+    val cycle = Seq.fill(6)(Seq("a", "b", "c", "d", "e")).flatten.mkString(" ")
+    val d = Seq(
+      ("a", cycle),
+      ("a", Seq.fill(45)("z").mkString(" ")),
+      ("b", "x y x"))
+      .toDF("source", "text")
+    val out = TextAnalysis.mattrBySource(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a") == ((2L, 0.12)), out("a").toString) // avg(0.2, 0.04)
+    assert(out("b") == ((1L, 0.6667)), out("b").toString)
+  }
 }
