@@ -414,6 +414,9 @@ object SparkEntry {
     "ev_ab_ks" -> ((s, d) => EventOps.abKsStatistic(Tables.events(s, d))),
     "dedup_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(Tables.documents(s, d))),
     "text_mattr" -> ((s, d) => TextAnalysis.mattrBySource(Tables.documents(s, d))),
+    "ev_dq_checks" -> ((s, d) => EventOps.dqChecks(Tables.events(s, d))),
+    "mm_text_embedding_align" -> ((s, d) =>
+      Multimodal.textEmbeddingAlign(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_gini" -> ((s, d) => Relational.giniCustomerSpend(Tables.orders(s, d))),
     "q_weighted_median" -> ((s, d) => Relational.weightedMedianPrice(Tables.lineitem(s, d))),
     "ev_kaplan_meier" -> ((s, d) => EventOps.kaplanMeier(Tables.events(s, d))),
@@ -4187,6 +4190,49 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // one conditional-count pass; ts bounds are exact epoch-µs literals
+    "ev_dq_checks" ->
+      """WITH e AS (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT count(*) AS n_rows,
+        |       count(*) - count(DISTINCT event_id) AS n_dup_event_ids,
+        |       count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null_id,
+        |       count(CASE WHEN ts IS NULL THEN 1 END) AS n_null_ts,
+        |       count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user,
+        |       count(CASE WHEN event_type IS NULL THEN 1 END) AS n_null_type,
+        |       count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value,
+        |       count(CASE WHEN ts_us < 1577836800000000
+        |                  OR ts_us >= 2051222400000000 THEN 1 END)
+        |         AS n_ts_out_of_range,
+        |       count(CASE WHEN value < 0 THEN 1 END) AS n_negative_value,
+        |       count(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        |               ('click', 'error', 'purchase', 'signup', 'view') THEN 1 END)
+        |         AS n_unknown_type
+        |FROM e""".stripMargin,
+    // full-outer coverage + Pearson r of (n_chars, l2 norm) via raw sums
+    "mm_text_embedding_align" ->
+      """WITH d AS (SELECT doc_id AS id, n_chars FROM documents),
+        |e AS (SELECT vec_id AS id,
+        |             round(sqrt(list_sum(list_transform(
+        |               CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+        |      FROM embeddings),
+        |j AS (SELECT coalesce(d.id, e.id) AS id, n_chars, l2_norm
+        |      FROM d FULL OUTER JOIN e ON d.id = e.id),
+        |mm AS (SELECT CAST(n_chars AS DOUBLE) AS x, l2_norm AS y FROM j
+        |       WHERE n_chars IS NOT NULL AND l2_norm IS NOT NULL),
+        |s AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2,
+        |             count(CASE WHEN y = 0.0 THEN 1 END) AS n_zero_norm FROM mm),
+        |c AS (SELECT
+        |  count(CASE WHEN n_chars IS NOT NULL AND l2_norm IS NOT NULL THEN 1 END)
+        |    AS n_matched,
+        |  count(CASE WHEN l2_norm IS NULL THEN 1 END) AS n_text_only,
+        |  count(CASE WHEN n_chars IS NULL THEN 1 END) AS n_vector_only FROM j)
+        |SELECT n_matched, n_text_only, n_vector_only, n_zero_norm,
+        |       CASE WHEN m * sx2 - sx * sx > 0 AND m * sy2 - sy * sy > 0 THEN
+        |         round((m * sxy - sx * sy) /
+        |               sqrt((m * sx2 - sx * sx) * (m * sy2 - sy * sy)), 6)
+        |       END AS len_norm_corr
+        |FROM c, s""".stripMargin,
     // pooled-percentile-grid KS; same md5 split / per-user metric as ev_ab_test
     "ev_ab_ks" ->
       """WITH m AS (SELECT user_id,

@@ -1891,4 +1891,35 @@ object EventOps {
       .orderBy(desc("ks_d"), col("at_m"))
       .limit(1)
   }
+
+  /** Single-pass data-quality profile of the event log — the ingest
+    * assertion table a 100 TB pipeline runs before anything else
+    * trusts the data: null counts per column, duplicate event ids,
+    * timestamps outside the plausible window (clock skew / epoch-unit
+    * bugs land decades away), negative values, and event types
+    * outside the known enum. One row; every counter is a conditional
+    * count in ONE aggregate pass (no per-check scans), except the
+    * duplicate count which needs the one exact distinct on event_id.
+    */
+  def dqChecks(events: DataFrame,
+               knownTypes: Seq[String] = Seq("click", "error", "purchase",
+                 "signup", "view"),
+               minTs: String = "2020-01-01", maxTs: String = "2035-01-01")
+    : DataFrame = {
+    val loUs = java.time.LocalDate.parse(minTs).toEpochDay * 86400000000L
+    val hiUs = java.time.LocalDate.parse(maxTs).toEpochDay * 86400000000L
+    withTsUs(events).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("n_dup_event_ids"),
+      count(when(col("event_id").isNull, lit(1))).as("n_null_id"),
+      count(when(col("ts").isNull, lit(1))).as("n_null_ts"),
+      count(when(col("user_id").isNull, lit(1))).as("n_null_user"),
+      count(when(col("event_type").isNull, lit(1))).as("n_null_type"),
+      count(when(col("value").isNull, lit(1))).as("n_null_value"),
+      count(when(col("ts_us") < loUs || col("ts_us") >= hiUs, lit(1)))
+        .as("n_ts_out_of_range"),
+      count(when(col("value") < 0, lit(1))).as("n_negative_value"),
+      count(when(col("event_type").isNotNull &&
+        !col("event_type").isin(knownTypes: _*), lit(1))).as("n_unknown_type"))
+  }
 }

@@ -248,4 +248,49 @@ object Multimodal {
         sum(when(col("media_type") === "audio", 1L).otherwise(0L)).as("n_audio"),
         sum(when(col("media_type") === "video", 1L).otherwise(0L)).as("n_video"))
       .orderBy("shard_id")
+
+  /** Cross-modal alignment audit between the text corpus and its
+    * embedding store (vec_id keyed to doc_id): row-level coverage
+    * (matched / text-only / vector-only — an orphan on either side is
+    * a broken embedding job) plus, over the matched rows, the Pearson
+    * correlation of document length vs embedding L2 norm (computed
+    * from exact-rounded inputs via the raw-sums identity) and the
+    * count of degenerate zero-norm vectors. Unnormalized embedding
+    * pipelines correlate norm with input length; a corr collapse or a
+    * zero-norm spike means the encoder silently truncated or NaN'd.
+    *
+    * Shape at 100 TB: one full-outer hash join on the id (ids +
+    * lengths + norms cross the wire, never text or vectors — both are
+    * reduced map-side first), then a single-row conditional
+    * aggregate.
+    */
+  def textEmbeddingAlign(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    val d = documents.select(col("doc_id").as("id"), col("n_chars"))
+    val e = embeddings
+      .select(col("vec_id").as("id"),
+        round(sqrt(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+          (acc, x) => acc + x * x)), 6).as("l2_norm"))
+    val j = d.join(e, Seq("id"), "full_outer")
+      .select(col("id"), col("n_chars"), col("l2_norm"))
+    val matched = j.filter(col("n_chars").isNotNull && col("l2_norm").isNotNull)
+      .select(col("n_chars").cast("double").as("x"), col("l2_norm").as("y"))
+    val sums = matched.agg(count(lit(1)).as("m"),
+      sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"),
+      count(when(col("y") === 0.0, lit(1))).as("n_zero_norm"))
+    val coverage = j.agg(
+      count(when(col("n_chars").isNotNull && col("l2_norm").isNotNull, lit(1)))
+        .as("n_matched"),
+      count(when(col("l2_norm").isNull, lit(1))).as("n_text_only"),
+      count(when(col("n_chars").isNull, lit(1))).as("n_vector_only"))
+    coverage.crossJoin(broadcast(sums))
+      .select(col("n_matched"), col("n_text_only"), col("n_vector_only"),
+        col("n_zero_norm"),
+        when(col("m") * col("sx2") - col("sx") * col("sx") > 0 &&
+             col("m") * col("sy2") - col("sy") * col("sy") > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("m") * col("sx2") - col("sx") * col("sx")) *
+              (col("m") * col("sy2") - col("sy") * col("sy"))), 6))
+          .as("len_norm_corr"))
+  }
 }

@@ -256,5 +256,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.abKsStatistic(noEvents).count() == 0)
     assert(Dedup.weightedJaccardPairs(noDocs).count() == 0)
     assert(TextAnalysis.mattrBySource(noDocs).count() == 0)
+    assert(EventOps.dqChecks(noEvents).collect().head.getLong(0) == 0L)
+    assert(Multimodal.textEmbeddingAlign(noDocs, noEmb)
+      .collect().head.getLong(0) == 0L)
   }
 }

@@ -76,6 +76,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_mmr_rerank",            // corpus × 1-row broadcast query vector; nCand=20 frames thereafter
     "ev_ab_ks",                  // per-user metric × ≤19-row broadcast percentile grid + 1-row totals
     "dedup_weighted_jaccard",    // vocabulary df table × 1-row broadcast n_docs scalar
+    "mm_text_embedding_align",   // 1-row coverage table × 1-row broadcast sums scalar
     "q_gini",                    // per-customer spends × 1-row broadcast threshold array — map-side binning
     "q_weighted_median",         // price-group table × 1-row broadcast threshold array — map-side binning
     "ev_kaplan_meier"            // per-user span table × 1-row broadcast censor-horizon scalar

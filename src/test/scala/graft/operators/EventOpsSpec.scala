@@ -1027,4 +1027,39 @@ class EventOpsSpec extends SparkSpec {
     assert(out.getLong(0) == 20L && out.getLong(1) == 20L)
     assert(out.getDouble(2) == 1.0, out.toString)
   }
+
+  test("dqChecks: each planted defect is counted by exactly its own counter") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (1L, "2024-01-01 10:01:00", 1L, "view", 1.0),    // duplicate event_id
+      (2L, "1969-12-31 00:00:00", 1L, "click", 1.0),   // ts before range
+      (3L, "2024-01-01 10:02:00", 2L, "teleport", 1.0),// unknown type
+      (4L, "2024-01-01 10:03:00", 2L, "purchase", -5.0), // negative value
+      (5L, "2024-01-01 10:04:00", 3L, "view", 99.0))
+      .toDF("event_id", "ts_str", "user_id", "type_raw", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "nullif(type_raw, 'view') AS maybe_null_type", "value")
+      .selectExpr("event_id", "ts", "user_id",
+        "coalesce(maybe_null_type, 'view') AS event_type", "value",
+        "CAST(NULL AS STRING) AS props")
+    val out = EventOps.dqChecks(events).collect().head
+    assert(out.getLong(0) == 6L, "n_rows")
+    assert(out.getLong(1) == 1L, "dup ids")
+    assert(out.getLong(7) == 1L, "ts out of range")
+    assert(out.getLong(8) == 1L, "negative value")
+    assert(out.getLong(9) == 1L, "unknown type")
+    assert((2 to 6).forall(out.getLong(_) == 0L), out.toString)
+  }
+
+  test("dqChecks: null columns are counted as nulls, not crashes") {
+    import spark.implicits._
+    val events = Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0))
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts",
+        "CAST(NULL AS BIGINT) AS user_id", "event_type",
+        "CAST(NULL AS DOUBLE) AS value")
+    val out = EventOps.dqChecks(events).collect().head
+    assert(out.getLong(4) == 1L && out.getLong(6) == 1L, out.toString)
+  }
 }

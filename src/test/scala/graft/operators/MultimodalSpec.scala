@@ -143,4 +143,21 @@ class MultimodalSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("textEmbeddingAlign: coverage split, zero-norm count, hand-checked corr") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 40L), (4L, 99L))
+      .toDF("doc_id", "n_chars") // doc 4 has no vector
+    val embs = Seq(
+      (1L, Seq(3.0f, 4.0f)),   // norm 5
+      (2L, Seq(6.0f, 8.0f)),   // norm 10
+      (3L, Seq(0.0f, 0.0f)),   // degenerate zero norm
+      (9L, Seq(1.0f, 0.0f)))   // orphan vector
+      .toDF("vec_id", "embedding")
+    val out = Multimodal.textEmbeddingAlign(docs, embs).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((3L, 1L, 1L, 1L)), out.toString)
+    // x=[10,20,40], y=[5,10,0]: r = −300/√(1400·150) = −0.654654
+    assert(out.getDouble(4) == -0.654654, out.toString)
+  }
 }
