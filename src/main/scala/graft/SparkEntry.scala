@@ -415,6 +415,8 @@ object SparkEntry {
     "dedup_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(Tables.documents(s, d))),
     "text_mattr" -> ((s, d) => TextAnalysis.mattrBySource(Tables.documents(s, d))),
     "ev_dq_checks" -> ((s, d) => EventOps.dqChecks(Tables.events(s, d))),
+    "ev_burst_detect" -> ((s, d) => EventOps.burstDetect(Tables.events(s, d))),
+    "q_price_ols_by_flag" -> ((s, d) => Relational.priceOlsByFlag(Tables.lineitem(s, d))),
     "mm_text_embedding_align" -> ((s, d) =>
       Multimodal.textEmbeddingAlign(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_gini" -> ((s, d) => Relational.giniCustomerSpend(Tables.orders(s, d))),
@@ -4190,6 +4192,39 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // lead(k−1) over the per-user sort IS the pattern match
+    "ev_burst_detect" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |w AS (SELECT user_id, ts_us,
+        |             lead(ts_us, 2) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS ts_k FROM e)
+        |SELECT user_id, ts_us AS burst_start_us, ts_k AS burst_end_us
+        |FROM w WHERE ts_k IS NOT NULL AND ts_k - ts_us <= 1800000000
+        |ORDER BY user_id, burst_start_us""".stripMargin,
+    // per-group closed-form OLS from five raw sums; x exact, y double
+    "q_price_ols_by_flag" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |             sum(l_extendedprice) AS sy,
+        |             sum(CAST(l_quantity AS BIGINT) * l_extendedprice) AS sxy,
+        |             CAST(sum(CAST(l_quantity AS BIGINT) *
+        |                      CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx2,
+        |             sum(l_extendedprice * l_extendedprice) AS sy2
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n * sx2 - sx * sx > 0 THEN
+        |    round((n * sxy - sx * sy) / CAST(n * sx2 - sx * sx AS DOUBLE), 6)
+        |  END AS slope_per_unit,
+        |  CASE WHEN n * sx2 - sx * sx > 0 THEN
+        |    round(sy / n - (n * sxy - sx * sy)
+        |          / CAST(n * sx2 - sx * sx AS DOUBLE) * sx / n, 4)
+        |  END AS intercept,
+        |  CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0 THEN
+        |    round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |          / (CAST(n * sx2 - sx * sx AS DOUBLE) * (n * sy2 - sy * sy)), 6)
+        |  END AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     // one conditional-count pass; ts bounds are exact epoch-µs literals
     "ev_dq_checks" ->
       """WITH e AS (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)

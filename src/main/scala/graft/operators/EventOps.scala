@@ -1922,4 +1922,30 @@ object EventOps {
       count(when(col("event_type").isNotNull &&
         !col("event_type").isin(knownTypes: _*), lit(1))).as("n_unknown_type"))
   }
+
+  /** Burst detector (the simplest CEP pattern): every event that
+    * starts a run of ≥ `k` events by the same user within `windowUs`
+    * — retry storms, bot hammering, double-fire bugs. Detected with a
+    * single lead(k−1) over the per-user sort: the k-th event's
+    * timestamp within `windowUs` of the current one IS the pattern
+    * match, no self-join and no per-window state. Overlapping runs
+    * each report their own start (a 5-event hammer with k=3 yields 3
+    * rows) — downstream session logic can coalesce; the detector
+    * stays stateless.
+    *
+    * Shape at 100 TB: one user-partitioned window sort (same exchange
+    * every sessionize-family op reuses) and a map-side filter — the
+    * output is pattern matches only.
+    */
+  def burstDetect(events: DataFrame, k: Int = 3,
+                  windowUs: Long = 1800000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    withTsUs(events)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("ts_k", lead("ts_us", k - 1).over(byUser))
+      .filter(col("ts_k").isNotNull && col("ts_k") - col("ts_us") <= windowUs)
+      .select(col("user_id"), col("ts_us").as("burst_start_us"),
+        col("ts_k").as("burst_end_us"))
+      .orderBy("user_id", "burst_start_us")
+  }
 }

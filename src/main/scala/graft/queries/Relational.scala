@@ -1160,4 +1160,42 @@ object Relational {
       .agg(min("t").as("total_weight"),
         min("price").as("weighted_median_price"))
   }
+
+  /** Grouped OLS: per return flag, the closed-form least-squares line
+    * price = a + b·quantity over line items — does bulk actually get
+    * a discount, and does the relationship differ for returned goods?
+    * The per-GROUP face of the global regression fits (Heaps,
+    * retention decay): five raw sums per group — quantity kept as
+    * exact BIGINT (its squares cannot overflow), price summed as
+    * double (its exact-cents squares would overflow int64 at scale,
+    * and DuckDB's HUGEINT promotion would then diverge from Spark's
+    * ANSI-off wraparound — doubles + final rounding are the
+    * cross-engine-safe representation, the established fit
+    * convention). Slope/intercept/r² derive in one final select with
+    * an identical expression tree; a zero-variance group reports
+    * nulls.
+    *
+    * Shape at 100 TB: one map-side-combined aggregate to |groups|
+    * rows — the regression input never leaves the partial-agg path.
+    */
+  def priceOlsByFlag(lineitem: DataFrame): DataFrame = {
+    val sums = lineitem
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"), col("l_extendedprice").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXn = (col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
+    val varYn = col("n") * col("sy2") - col("sy") * col("sy")
+    sums.select(col("l_returnflag"), col("n"),
+      when(varXn > 0, round(covN / varXn, 6)).as("slope_per_unit"),
+      when(varXn > 0,
+        round(col("sy") / col("n") - (covN / varXn) * col("sx") / col("n"), 4))
+        .as("intercept"),
+      when(varXn > 0 && varYn > 0,
+        round(covN * covN / (varXn * varYn), 6)).as("r2"))
+      .orderBy("l_returnflag")
+  }
 }

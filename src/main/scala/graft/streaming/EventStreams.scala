@@ -693,6 +693,42 @@ object EventStreams {
     * Time-ordered replay contract as [[transitionEdges]]; the spec
     * pins stage counts to the oracle-green `ev_strict_funnel` row.
     */
+  case class LabeledVec(label: Int, embedding: Seq[Float])
+  case class CentroidState(n: Long, sums: Seq[Double])
+  case class LabelCentroid(label: Int, n: Long, centroid: Seq[Double])
+
+  /** Streaming running label centroids — the stateful VECTOR-state
+    * face of [[graft.operators.Similarity.labelCentroids]]: per
+    * label, the state is one (count, per-dimension sum) pair, merged
+    * per micro-batch and emitted as the running mean vector
+    * (mapGroupsWithState, Update mode). This is the online form of
+    * every "class prototype" maintenance job — drift monitors,
+    * nearest-centroid classifiers, SemDeDup-style cluster upkeep —
+    * with state O(labels × dim) regardless of stream length. The
+    * spec replay-pins the final emission to the oracle-green batch
+    * centroids (float-sum order differs between the streaming fold
+    * and the batch partial aggregate, so the pin is ≤1e-6 per
+    * coordinate rather than bit equality).
+    */
+  def runningLabelCentroids(vecs: Dataset[LabeledVec]): Dataset[LabelCentroid] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .groupByKey(_.label)
+      .mapGroupsWithState[CentroidState, LabelCentroid](
+        GroupStateTimeout.NoTimeout) {
+        (label: Int, it: Iterator[LabeledVec], state: GroupState[CentroidState]) =>
+          var st = state.getOption.getOrElse(CentroidState(0L, Seq.empty))
+          it.foreach { v =>
+            val s = if (st.sums.isEmpty) v.embedding.map(_.toDouble)
+              else st.sums.zip(v.embedding).map { case (a, b) => a + b }
+            st = CentroidState(st.n + 1, s)
+          }
+          state.update(st)
+          LabelCentroid(label, st.n, st.sums.map(_ / st.n))
+      }
+  }
+
   def strictFunnelHits(events: Dataset[FunnelEvent],
                        stepUs: Long = 3600000000L): Dataset[FunnelHit] = {
     val spark = events.sparkSession

@@ -1052,6 +1052,27 @@ class EventOpsSpec extends SparkSpec {
     assert((2 to 6).forall(out.getLong(_) == 0L), out.toString)
   }
 
+  test("burstDetect: k-th event inside the window flags the start, per user") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:10:00", 1L, "view"),
+      (3L, "2024-01-01 10:20:00", 1L, "view"),   // 3 events in 20 min → burst at e1
+      (4L, "2024-01-01 12:00:00", 1L, "view"),   // gap: e2's lead2 is 110 min out
+      (5L, "2024-01-01 10:00:00", 2L, "view"),
+      (6L, "2024-01-01 10:01:00", 2L, "view"))   // only 2 events → never
+    val out = EventOps.burstDetect(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00"))), out.toSeq.toString)
+    // overlapping hammer: 4 events in 3 min with k=3 → starts at e1 AND e2
+    val hammer = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "view"),
+      (3L, "2024-01-01 10:02:00", 1L, "view"),
+      (4L, "2024-01-01 10:03:00", 1L, "view"))
+    assert(EventOps.burstDetect(hammer).count() == 2)
+  }
+
   test("dqChecks: null columns are counted as nulls, not crashes") {
     import spark.implicits._
     val events = Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0))

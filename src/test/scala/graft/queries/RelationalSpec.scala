@@ -440,4 +440,19 @@ class RelationalSpec extends SparkSpec {
     val m32 = Relational.weightedMedianPrice(many, nBuckets = 32).collect().head.getDouble(1)
     assert(m2 == 10.0 && m32 == 10.0)
   }
+
+  test("priceOlsByFlag: exact line recovered, degenerate groups report nulls") {
+    val li = Seq(
+      ("A", 1.0, 10.0), ("A", 2.0, 20.0), ("A", 3.0, 30.0), // y = 10x
+      ("B", 5.0, 7.0), ("B", 5.0, 9.0),                     // constant x
+      ("C", 1.0, 10.0), ("C", 2.0, 10.0))                   // constant y
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val out = Relational.priceOlsByFlag(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(2) == 10.0 && out("A").getDouble(3) == 0.0 &&
+      out("A").getDouble(4) == 1.0, out("A").toString)
+    assert(out("B").isNullAt(2) && out("B").isNullAt(3) && out("B").isNullAt(4))
+    assert(out("C").getDouble(2) == 0.0 && out("C").getDouble(3) == 10.0 &&
+      out("C").isNullAt(4), out("C").toString) // zero y-variance → r² undefined
+  }
 }

@@ -683,6 +683,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayed sf0.001 embeddings through runningLabelCentroids match batch centroids") {
+    // Vector state: the final per-label emission (count, running-mean
+    // vector) must match the oracle-green batch labelCentroids within
+    // 2e-6 per coordinate (the batch side rounds at 6 decimals and
+    // float-sum order differs between the streaming fold and the
+    // batch partial aggregate).
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val rows = emb.select(col("label"), col("embedding"))
+      .as[EventStreams.LabeledVec].collect()
+    val mem = MemoryStream[EventStreams.LabeledVec]
+    val q = EventStreams.runningLabelCentroids(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("centroid_test")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // last emission per label wins (Update mode appends each batch's row)
+      val streamed = spark.table("centroid_test").collect()
+        .zipWithIndex
+        .groupBy(_._1.getInt(0)).map { case (l, vs) =>
+          val last = vs.maxBy(_._2)._1
+          l -> ((last.getLong(1), last.getSeq[Double](2)))
+        }
+      val batch = graft.operators.Similarity.labelCentroids(emb).collect()
+        .groupBy(_.getInt(0)).map { case (l, rs) =>
+          l -> ((rs.head.getLong(3),
+            rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
+        }
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (l, (n, cb)) =>
+        val (sn, cs) = streamed(l)
+        assert(sn == n, s"label $l count $sn vs $n")
+        cb.zip(cs).foreach { case (b, s) =>
+          assert(math.abs(b - s) <= 2e-6, s"label $l coord |$b - $s|") }
+      }
+    } finally q.stop()
+  }
+
   test("replayed sf0.001 events through strictFunnelHits equals ev_strict_funnel counts") {
     // Users counted at stage ≥ s in the streamed hit log must equal
     // the oracle-green batch strict funnel's per-stage counts — the
