@@ -416,6 +416,7 @@ object SparkEntry {
     "text_mattr" -> ((s, d) => TextAnalysis.mattrBySource(Tables.documents(s, d))),
     "ev_dq_checks" -> ((s, d) => EventOps.dqChecks(Tables.events(s, d))),
     "ev_burst_detect" -> ((s, d) => EventOps.burstDetect(Tables.events(s, d))),
+    "ev_attribution_models" -> ((s, d) => EventOps.attributionModels(Tables.events(s, d))),
     "q_price_ols_by_flag" -> ((s, d) => Relational.priceOlsByFlag(Tables.lineitem(s, d))),
     "mm_text_embedding_align" -> ((s, d) =>
       Multimodal.textEmbeddingAlign(Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -4192,6 +4193,46 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // first/last from one per-purchase sort; linear splits 1/n; no-touch → direct
+    "ev_attribution_models" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |p AS (SELECT user_id, event_id AS pid, ts_us AS pts, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS tid, ts_us AS tts,
+        |             event_type AS channel FROM e WHERE event_type <> 'purchase'),
+        |j AS (SELECT pid, value, tid, tts, channel
+        |      FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |        AND t.tts < p.pts AND p.pts - t.tts <= 1800000000),
+        |j2 AS (SELECT *,
+        |         row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn_f,
+        |         row_number() OVER (PARTITION BY pid
+        |           ORDER BY tts DESC, tid DESC) AS rn_l,
+        |         count(tid) OVER (PARTITION BY pid) AS n,
+        |         coalesce(channel, 'direct') AS ch
+        |       FROM j),
+        |fa AS (SELECT ch AS channel, count(*) AS n_first,
+        |              round(sum(value), 4) AS val_first
+        |       FROM j2 WHERE rn_f = 1 GROUP BY 1),
+        |la AS (SELECT ch AS channel, count(*) AS n_last,
+        |              round(sum(value), 4) AS val_last
+        |       FROM j2 WHERE rn_l = 1 GROUP BY 1),
+        |li AS (SELECT ch AS channel,
+        |              round(sum(CASE WHEN n > 0 THEN CAST(1.0 AS DOUBLE) / n
+        |                        ELSE CAST(1.0 AS DOUBLE) END), 4) AS credit_linear,
+        |              round(sum(CASE WHEN n > 0 THEN value / n ELSE value END), 4)
+        |                AS val_linear
+        |       FROM j2 GROUP BY 1)
+        |SELECT coalesce(fa.channel, la.channel, li.channel) AS channel,
+        |       coalesce(n_first, 0) AS n_first,
+        |       coalesce(val_first, 0.0) AS val_first,
+        |       coalesce(n_last, 0) AS n_last,
+        |       coalesce(val_last, 0.0) AS val_last,
+        |       coalesce(credit_linear, 0.0) AS credit_linear,
+        |       coalesce(val_linear, 0.0) AS val_linear
+        |FROM fa FULL OUTER JOIN la ON fa.channel = la.channel
+        |        FULL OUTER JOIN li ON coalesce(fa.channel, la.channel) = li.channel
+        |ORDER BY channel""".stripMargin,
     // lead(k−1) over the per-user sort IS the pattern match
     "ev_burst_detect" ->
       """WITH e AS (SELECT user_id, event_id,

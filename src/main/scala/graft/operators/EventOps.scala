@@ -1948,4 +1948,66 @@ object EventOps {
         col("ts_k").as("burst_end_us"))
       .orderBy("user_id", "burst_start_us")
   }
+
+  /** Attribution model comparison: per channel, the conversion credit
+    * under first-touch, last-touch, AND linear multi-touch — the
+    * three standard models side by side, because the 100 TB question
+    * is never "what does last-touch say" but "how much does the
+    * answer change if we pick differently". Each purchase's touch set
+    * is the user's non-purchase events inside the lookback; a
+    * touchless purchase credits the synthetic 'direct' channel with
+    * weight 1 in all three models; linear splits one unit (and the
+    * purchase value) evenly across the touch set.
+    *
+    * Shape at 100 TB: the purchase×touch join is user-keyed and
+    * lookback-bounded (touches-per-purchase is minutes of one user's
+    * activity, not the log); first/last come from ONE per-purchase
+    * window sort used in both directions; the channel rollup is a
+    * |channels|-sized aggregate joined full-outer across the three
+    * models.
+    */
+  def attributionModels(events: DataFrame, lookbackMin: Int = 30): DataFrame = {
+    val lookUs = lookbackMin.toLong * 60 * 1000000
+    val e = withTsUs(events)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts_us").as("pts"), col("value"))
+    val t = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("ts_us").as("tts"), col("event_type").as("channel"))
+    val j = p.join(t,
+      p("user_id") === t("user_id") && col("tts") < col("pts") &&
+        col("pts") - col("tts") <= lookUs, "left")
+      .select(col("pid"), col("value"), col("tid"), col("tts"), col("channel"))
+    val byP = Window.partitionBy("pid")
+    val j2 = j
+      .withColumn("rn_f", row_number().over(byP.orderBy("tts", "tid")))
+      .withColumn("rn_l", row_number().over(byP.orderBy(desc("tts"), desc("tid"))))
+      .withColumn("n", count("tid").over(byP))
+      .withColumn("ch", coalesce(col("channel"), lit("direct")))
+    val firstA = j2.filter(col("rn_f") === 1)
+      .groupBy(col("ch").as("channel"))
+      .agg(count(lit(1)).as("n_first"), round(sum("value"), 4).as("val_first"))
+    val lastA = j2.filter(col("rn_l") === 1)
+      .groupBy(col("ch").as("channel"))
+      .agg(count(lit(1)).as("n_last"), round(sum("value"), 4).as("val_last"))
+    val linearA = j2
+      .select(col("ch").as("channel"),
+        when(col("n") > 0, lit(1.0) / col("n")).otherwise(lit(1.0)).as("credit"),
+        when(col("n") > 0, col("value") / col("n")).otherwise(col("value"))
+          .as("val_part"))
+      .groupBy("channel")
+      .agg(round(sum("credit"), 4).as("credit_linear"),
+        round(sum("val_part"), 4).as("val_linear"))
+    firstA.join(lastA, Seq("channel"), "full_outer")
+      .join(linearA, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("val_first"), lit(0.0)).as("val_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("val_last"), lit(0.0)).as("val_last"),
+        coalesce(col("credit_linear"), lit(0.0)).as("credit_linear"),
+        coalesce(col("val_linear"), lit(0.0)).as("val_linear"))
+      .orderBy("channel")
+  }
 }

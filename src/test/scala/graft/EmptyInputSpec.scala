@@ -259,5 +259,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.dqChecks(noEvents).collect().head.getLong(0) == 0L)
     assert(Multimodal.textEmbeddingAlign(noDocs, noEmb)
       .collect().head.getLong(0) == 0L)
+    assert(EventOps.burstDetect(noEvents).count() == 0)
+    assert(EventOps.attributionModels(noEvents).count() == 0)
+    assert(graft.queries.Relational.priceOlsByFlag(
+      Seq.empty[(String, Double, Double)]
+        .toDF("l_returnflag", "l_quantity", "l_extendedprice")).count() == 0)
   }
 }

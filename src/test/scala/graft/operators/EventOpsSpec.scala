@@ -1073,6 +1073,27 @@ class EventOpsSpec extends SparkSpec {
     assert(EventOps.burstDetect(hammer).count() == 2)
   }
 
+  test("attributionModels: first/last/linear disagree exactly as constructed") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:10:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:20:00", 1L, "purchase", 100.0), // view→click→buy
+      (4L, "2024-01-01 09:00:00", 2L, "purchase", 10.0),  // touchless → direct
+      (5L, "2024-01-01 08:00:00", 3L, "view", 0.0),
+      (6L, "2024-01-01 10:00:00", 3L, "purchase", 1.0))   // view outside lookback
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.attributionModels(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("view") == ((1L, 100.0, 0L, 0.0, 0.5, 50.0)), out("view").toString)
+    assert(out("click") == ((0L, 0.0, 1L, 100.0, 0.5, 50.0)), out("click").toString)
+    assert(out("direct") == ((2L, 11.0, 2L, 11.0, 2.0, 11.0)), out("direct").toString)
+    assert(out.keySet == Set("view", "click", "direct"))
+  }
+
   test("dqChecks: null columns are counted as nulls, not crashes") {
     import spark.implicits._
     val events = Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0))
