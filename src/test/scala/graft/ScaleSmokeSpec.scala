@@ -201,4 +201,19 @@ class ScaleSmokeSpec extends SparkSpec {
     m1.foreach { case (shard, (n, bytes)) =>
       assert(m5(shard) == ((5 * n, 5 * bytes)), s"shard $shard") }
   }
+
+  test("two-level global rank is bucket-count-invariant on real data (gini, weighted median)") {
+    // The scale mechanism (percentile-bucket binning + partitioned
+    // in-bucket windows + bounded offset table) must reproduce the
+    // single-sort answer for ANY bucket count on the real per-customer
+    // spend distribution — ties, skew and all.
+    val orders = Tables.orders(spark, sf0001)
+    val gs = Seq(2, 7, 32).map(b =>
+      Relational.giniCustomerSpend(orders, nBuckets = b).collect().head.getDouble(2))
+    assert(gs.distinct.length == 1, gs.toString)
+    val li = Tables.lineitem(spark, sf0001)
+    val ms = Seq(2, 7, 32).map(b =>
+      Relational.weightedMedianPrice(li, nBuckets = b).collect().head.getDouble(1))
+    assert(ms.distinct.length == 1, ms.toString)
+  }
 }
