@@ -417,6 +417,10 @@ object SparkEntry {
     "ev_dq_checks" -> ((s, d) => EventOps.dqChecks(Tables.events(s, d))),
     "ev_burst_detect" -> ((s, d) => EventOps.burstDetect(Tables.events(s, d))),
     "ev_attribution_models" -> ((s, d) => EventOps.attributionModels(Tables.events(s, d))),
+    "ev_psi_drift" -> ((s, d) => EventOps.psiDrift(Tables.events(s, d))),
+    "q_customer_acquisition" -> ((s, d) => Relational.customerAcquisition(Tables.orders(s, d))),
+    "q_market_hhi" -> ((s, d) => Relational.marketHhi(Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_price_ols_by_flag" -> ((s, d) => Relational.priceOlsByFlag(Tables.lineitem(s, d))),
     "mm_text_embedding_align" -> ((s, d) =>
       Multimodal.textEmbeddingAlign(Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -4193,6 +4197,60 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // reference half defines the decile bins; shares clamped at 1e-6
+    "ev_psi_drift" ->
+      """WITH e AS (SELECT event_type, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |           FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |eb AS (SELECT event_type, value, day < (d0 + d1 + 1) // 2 AS is_ref
+        |       FROM e, b),
+        |thr AS (SELECT event_type,
+        |               quantile_cont(value,
+        |                 list_transform(range(1, 10), i -> i / 10.0)) AS thr
+        |        FROM eb WHERE is_ref GROUP BY 1),
+        |binned AS (SELECT eb.event_type, is_ref,
+        |                  CAST(len(list_filter(thr, t -> t < value)) AS INTEGER)
+        |                    AS bin
+        |           FROM eb JOIN thr USING (event_type)),
+        |c AS (SELECT event_type, bin,
+        |             count(CASE WHEN is_ref THEN 1 END) AS nr,
+        |             count(CASE WHEN NOT is_ref THEN 1 END) AS nc
+        |      FROM binned GROUP BY 1, 2),
+        |t AS (SELECT event_type, nr, nc,
+        |        greatest(CAST(nr AS DOUBLE)
+        |          / sum(nr) OVER (PARTITION BY event_type), 1e-6) AS p,
+        |        greatest(CAST(nc AS DOUBLE)
+        |          / sum(nc) OVER (PARTITION BY event_type), 1e-6) AS q
+        |      FROM c)
+        |SELECT event_type, CAST(sum(nr) AS BIGINT) AS n_ref,
+        |       CAST(sum(nc) AS BIGINT) AS n_cur,
+        |       round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // month of each customer's FIRST order; cumulative over the month table
+    "q_customer_acquisition" ->
+      """WITH f AS (SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS month
+        |           FROM orders GROUP BY 1),
+        |m AS (SELECT month, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT month, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
+        |         PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_customers
+        |FROM m ORDER BY month""".stripMargin,
+    // nation revenue rounded to cents BEFORE shares; HHI = Σ share²
+    "q_market_hhi" ->
+      """WITH rev AS (SELECT r_name AS region, n_name AS nation,
+        |               round(sum(o_totalprice), 2) AS rev
+        |             FROM orders
+        |             JOIN customer ON o_custkey = c_custkey
+        |             JOIN nation ON c_nationkey = n_nationkey
+        |             JOIN region ON n_regionkey = r_regionkey
+        |             GROUP BY 1, 2),
+        |s AS (SELECT region,
+        |             rev / sum(rev) OVER (PARTITION BY region) AS share
+        |      FROM rev)
+        |SELECT region, count(*) AS n_nations,
+        |       round(sum(share * share), 6) AS hhi
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // first/last from one per-purchase sort; linear splits 1/n; no-touch → direct
     "ev_attribution_models" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,

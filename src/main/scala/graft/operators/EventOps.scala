@@ -1949,6 +1949,50 @@ object EventOps {
       .orderBy("user_id", "burst_start_us")
   }
 
+  /** Population Stability Index per event type between the first and
+    * second half of the corpus's day range — the standard ML-serving
+    * drift monitor (PSI = Σ (p−q)·ln(p/q) over reference-decile bins
+    * of `value`; < 0.1 stable, > 0.25 retrain). The reference half
+    * DEFINES the bins (its own deciles), the current half is scored
+    * against them, so a shifted distribution shows up as mass moving
+    * across fixed boundaries. Shares are clamped at 1e-6 (the
+    * standard empty-bin guard — ln(0) is undefined and DuckDB raises)
+    * and every division/log runs on exact integer counts, rounded
+    * once at the end.
+    *
+    * Shape at 100 TB: the split day and per-type decile arrays are
+    * one 1-row and one |types|-row broadcast; binning is map-side;
+    * the PSI rollup aggregates a |types|×11-bin table. Same
+    * partial-agg shape as any histogram.
+    */
+  def psiDrift(events: DataFrame, nBins: Int = 10): DataFrame = {
+    val dayUs = 86400000000L
+    val e = withTsUs(events)
+      .select(col("event_type"), col("value"), tsBucket(dayUs).as("day"))
+    val bounds = e.agg(min("day").as("d0"), max("day").as("d1"))
+    val eb = e.crossJoin(broadcast(bounds))
+      .withColumn("is_ref", col("day") < expr("(d0 + d1 + 1) div 2"))
+    val thr = eb.filter(col("is_ref")).groupBy("event_type")
+      .agg(percentile(col("value"),
+        array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)).as("thr"))
+    val binned = eb.join(broadcast(thr), Seq("event_type"))
+      .select(col("event_type"), col("is_ref"),
+        size(filter(col("thr"), t => t < col("value"))).as("bin"))
+    val counts = binned.groupBy("event_type", "bin").agg(
+      count(when(col("is_ref"), lit(1))).as("nr"),
+      count(when(!col("is_ref"), lit(1))).as("nc"))
+    val byType = Window.partitionBy("event_type")
+    val p = greatest(col("nr") / sum("nr").over(byType), lit(1e-6))
+    val q = greatest(col("nc") / sum("nc").over(byType), lit(1e-6))
+    counts
+      .select(col("event_type"), col("nr"), col("nc"),
+        ((p - q) * log(p / q)).as("term"))
+      .groupBy("event_type")
+      .agg(sum("nr").as("n_ref"), sum("nc").as("n_cur"),
+        round(sum("term"), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
   /** Attribution model comparison: per channel, the conversion credit
     * under first-touch, last-touch, AND linear multi-touch — the
     * three standard models side by side, because the 100 TB question

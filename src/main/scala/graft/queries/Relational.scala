@@ -1161,6 +1161,56 @@ object Relational {
         min("price").as("weighted_median_price"))
   }
 
+  /** Customer acquisition curve: new customers per month (month of
+    * each customer's FIRST order) and the cumulative base — the
+    * growth chart every business review opens with. The fact scan
+    * reduces to one per-customer min, then a |months|-sized monthly
+    * count; the cumulative window runs on that bounded month table
+    * (allowlisted, same proof as q_drawdown).
+    */
+  def customerAcquisition(orders: DataFrame): DataFrame = {
+    val firstMonth = orders
+      .groupBy("o_custkey")
+      .agg(min(date_format(col("o_orderdate"), "yyyy-MM")).as("month"))
+    val monthly = firstMonth.groupBy("month").agg(count(lit(1)).as("n_new"))
+    monthly
+      .withColumn("cum_customers",
+        sum("n_new").over(Window.orderBy("month")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("month")
+  }
+
+  /** Market concentration per region: the Herfindahl–Hirschman index
+    * of nation-level revenue shares (Σ shareᵢ² — 1/n for perfectly
+    * even markets, 1.0 for a monopoly; the antitrust-standard
+    * concentration number, complementing [[giniCustomerSpend]]'s
+    * customer-level inequality). Nation revenue is rounded to cents
+    * before shares so both engines square identical doubles.
+    *
+    * Shape at 100 TB: the star join broadcasts the nation/region/
+    * customer dims; the fact aggregate is |nations|-sized, and the
+    * HHI rollup runs on that bounded table with a partitioned window.
+    */
+  def marketHhi(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                region: DataFrame): DataFrame = {
+    val rev = orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val byRegion = Window.partitionBy("region")
+    rev
+      .select(col("region"),
+        (col("rev") / sum("rev").over(byRegion)).as("share"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_nations"), round(sum(col("share") * col("share")), 6).as("hhi"))
+      .orderBy("region")
+  }
+
   /** Grouped OLS: per return flag, the closed-form least-squares line
     * price = a + b·quantity over line items — does bulk actually get
     * a discount, and does the relationship differ for returned goods?

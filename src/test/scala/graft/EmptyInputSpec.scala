@@ -261,6 +261,10 @@ class EmptyInputSpec extends SparkSpec {
       .collect().head.getLong(0) == 0L)
     assert(EventOps.burstDetect(noEvents).count() == 0)
     assert(EventOps.attributionModels(noEvents).count() == 0)
+    assert(EventOps.psiDrift(noEvents).count() == 0)
+    assert(graft.queries.Relational.customerAcquisition(
+      Seq.empty[(Long, Long, java.sql.Timestamp)]
+        .toDF("o_orderkey", "o_custkey", "o_orderdate")).count() == 0)
     assert(graft.queries.Relational.priceOlsByFlag(
       Seq.empty[(String, Double, Double)]
         .toDF("l_returnflag", "l_quantity", "l_extendedprice")).count() == 0)

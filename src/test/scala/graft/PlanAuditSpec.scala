@@ -77,6 +77,7 @@ class PlanAuditSpec extends SparkSpec {
     "ev_ab_ks",                  // per-user metric × ≤19-row broadcast percentile grid + 1-row totals
     "dedup_weighted_jaccard",    // vocabulary df table × 1-row broadcast n_docs scalar
     "mm_text_embedding_align",   // 1-row coverage table × 1-row broadcast sums scalar
+    "ev_psi_drift",              // event stream × 1-row broadcast split-day scalar — map-side flag
     "q_gini",                    // per-customer spends × 1-row broadcast threshold array — map-side binning
     "q_weighted_median",         // price-group table × 1-row broadcast threshold array — map-side binning
     "ev_kaplan_meier"            // per-user span table × 1-row broadcast censor-horizon scalar
@@ -102,7 +103,8 @@ class PlanAuditSpec extends SparkSpec {
     "ev_session_gap_hist", // share denominator over the ≤169-row gap-hour histogram
     "q_gini",             // bucket-offset cumulative over the nBuckets=32-row table
     "q_weighted_median",  // bucket-offset/total cumulative over the nBuckets=32-row table
-    "ev_kaplan_meier"     // risk/survival windows over the |days|-bounded lifetime histogram
+    "ev_kaplan_meier",    // risk/survival windows over the |days|-bounded lifetime histogram
+    "q_customer_acquisition" // cumulative over the per-MONTH first-order table
   )
 
   private def windowPartitionSpecs(

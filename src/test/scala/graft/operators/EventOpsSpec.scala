@@ -1094,6 +1094,28 @@ class EventOpsSpec extends SparkSpec {
     assert(out.keySet == Set("view", "click", "direct"))
   }
 
+  test("psiDrift: identical halves score 0, a level shift saturates the top bin") {
+    import spark.implicits._
+    // day 0 = reference half, day 9 = current half (split at day 5).
+    // 'view' repeats the same 1..10 values in both halves → PSI = 0;
+    // 'error' jumps to 1000 in the current half → all mass crosses
+    // into the top reference bin → PSI far above the 0.25 alarm.
+    val rows =
+      (1 to 10).flatMap(v => Seq(
+        (v.toLong, "2024-01-01 10:00:00", 1L, "view", v.toDouble),
+        (v.toLong + 100, "2024-01-10 10:00:00", 1L, "view", v.toDouble),
+        (v.toLong + 200, "2024-01-01 10:00:00", 1L, "error", v.toDouble),
+        (v.toLong + 300, "2024-01-10 10:00:00", 1L, "error", 1000.0)))
+    val events = rows.toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.psiDrift(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("view") == ((10L, 10L, 0.0)), out("view").toString)
+    assert(out("error")._1 == 10L && out("error")._3 > 1.0, out("error").toString)
+  }
+
   test("dqChecks: null columns are counted as nulls, not crashes") {
     import spark.implicits._
     val events = Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0))

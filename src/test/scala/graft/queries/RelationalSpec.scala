@@ -441,6 +441,34 @@ class RelationalSpec extends SparkSpec {
     assert(m2 == 10.0 && m32 == 10.0)
   }
 
+  test("customerAcquisition: only FIRST orders count, cumulative is monotone") {
+    val orders = Seq(
+      (1L, 1L, "2024-01-05"), (2L, 1L, "2024-03-01"), // cust 1: Jan (Mar repeat)
+      (3L, 2L, "2024-02-10"),                          // cust 2: Feb
+      (4L, 3L, "2024-02-20"))                          // cust 3: Feb
+      .toDF("o_orderkey", "o_custkey", "d")
+      .selectExpr("o_orderkey", "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate")
+    val out = Relational.customerAcquisition(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("2024-01", 1L, 1L), ("2024-02", 2L, 3L)),
+      out.toSeq.toString)
+  }
+
+  test("marketHhi: even duopoly vs monopoly concentration") {
+    val region = Seq((0L, "EU"), (1L, "NA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10L, "DE", 0L), (11L, "FR", 0L), (20L, "US", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((100L, 10L), (101L, 11L), (102L, 20L))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (1L, 100L, 75.0), (2L, 101L, 25.0), // EU: 75/25 split
+      (3L, 102L, 50.0))                    // NA: monopoly
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Relational.marketHhi(orders, customer, nation, region).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("EU", 2L, 0.625), ("NA", 1L, 1.0)), out.toSeq.toString)
+  }
+
   test("priceOlsByFlag: exact line recovered, degenerate groups report nulls") {
     val li = Seq(
       ("A", 1.0, 10.0), ("A", 2.0, 20.0), ("A", 3.0, 30.0), // y = 10x
