@@ -413,6 +413,7 @@ object SparkEntry {
     "ev_ab_test" -> ((s, d) => EventOps.abTest(Tables.events(s, d))),
     "ev_ab_ks" -> ((s, d) => EventOps.abKsStatistic(Tables.events(s, d))),
     "dedup_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(Tables.documents(s, d))),
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
     "text_mattr" -> ((s, d) => TextAnalysis.mattrBySource(Tables.documents(s, d))),
     "ev_dq_checks" -> ((s, d) => EventOps.dqChecks(Tables.events(s, d))),
     "ev_burst_detect" -> ((s, d) => EventOps.burstDetect(Tables.events(s, d))),
@@ -4390,6 +4391,31 @@ object SparkEntry {
         |         AS ks_d,
         |       t AS at_m
         |FROM c, tot ORDER BY ks_d DESC, at_m LIMIT 1""".stripMargin,
+    // window-min fingerprint selection; md5-derived 28-bit hashes
+    "dedup_winnow_pairs" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                      x -> length(x) > 0) AS ws
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |             list_transform(range(0, len(ws) - 4 + 1),
+        |               i -> CAST(concat('0x', substr(md5(array_to_string(
+        |                 ws[CAST(i + 1 AS INTEGER):CAST(i + 4 AS INTEGER)], ' ')),
+        |                 1, 7)) AS BIGINT)) AS hs
+        |      FROM w WHERE len(ws) >= 4),
+        |f AS (SELECT DISTINCT doc_id, fp FROM (
+        |        SELECT doc_id,
+        |               unnest(list_transform(
+        |                 range(0, greatest(len(hs) - 4, 0) + 1),
+        |                 j -> list_min(hs[CAST(j + 1 AS INTEGER):
+        |                                  CAST(j + 4 AS INTEGER)]))) AS fp
+        |        FROM h) z),
+        |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 1000),
+        |c AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |      FROM c a JOIN c b USING (fp) WHERE a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // ln(N/df) weights rounded to 6 before any sum; df-capped vocabulary
     "dedup_weighted_jaccard" ->
       """WITH tok AS (SELECT DISTINCT doc_id, w FROM (

@@ -137,6 +137,7 @@ object VectorFunctions {
   private val simhashName = "graft_simhash"
   private val shinglesName = "graft_shingles"
   private val hyperName = "graft_hyperplanes"
+  private val winnowName = "graft_winnow"
 
   private def literalInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -163,6 +164,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       hyperName, exprs => HyperplaneSignature(exprs.head,
         literalInt(exprs(1), "nTables"), literalInt(exprs(2), "bitsPerTable")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      winnowName, exprs => WinnowFingerprints(exprs.head,
+        literalInt(exprs(1), "k"), literalInt(exprs(2), "w")), "built-in")
   }
 
   /** Column-level APIs (require [[ensureRegistered]] on the session
@@ -186,4 +190,9 @@ object VectorFunctions {
     call_function(hyperName, v,
       org.apache.spark.sql.functions.lit(nTables),
       org.apache.spark.sql.functions.lit(bitsPerTable))
+
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    call_function(winnowName, text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 }

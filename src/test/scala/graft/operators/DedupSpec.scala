@@ -535,6 +535,27 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted)
   }
 
+  test("winnowPairs: a shared run of w+k-1 words is guaranteed a shared fingerprint") {
+    import spark.implicits._
+    // k=4, w=4 → any shared run of ≥7 words must yield ≥1 shared
+    // window-minimum (the Schleimer et al. no-false-negative bound)
+    val run = "one two three four five six seven"
+    val docs = Seq(
+      (1L, s"$run alpha beta gamma delta"),
+      (2L, s"x y z $run q r s"),
+      (3L, "totally different words here completely unrelated content stream"),
+      (4L, "a b c")) // shorter than one shingle → excluded
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(docs, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)), out.toSeq.toString)
+    // identical docs share EVERY fingerprint; count equals either side's set
+    val twins = Seq((1L, s"$run alpha beta"), (2L, s"$run alpha beta"))
+      .toDF("doc_id", "text")
+    val t = Dedup.winnowPairs(twins, minShared = 1).collect().head
+    assert(t.getLong(0) == 1L && t.getLong(1) == 2L && t.getLong(2) >= 1L)
+  }
+
   test("weightedJaccardPairs: boilerplate excluded by the fractional cap, " +
     "rare overlap scores 1.0") {
     import spark.implicits._
