@@ -419,6 +419,8 @@ object SparkEntry {
     "ev_burst_detect" -> ((s, d) => EventOps.burstDetect(Tables.events(s, d))),
     "ev_attribution_models" -> ((s, d) => EventOps.attributionModels(Tables.events(s, d))),
     "ev_psi_drift" -> ((s, d) => EventOps.psiDrift(Tables.events(s, d))),
+    "ev_ab_hte" -> ((s, d) => EventOps.abHeterogeneous(Tables.events(s, d))),
+    "sim_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
     "q_customer_acquisition" -> ((s, d) => Relational.customerAcquisition(Tables.orders(s, d))),
     "q_market_hhi" -> ((s, d) => Relational.marketHhi(Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
@@ -4198,6 +4200,65 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // ab_test sliced by pooled activity terciles; effect from unrounded means
+    "ev_ab_hte" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events,
+        |             round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |                       ELSE 0.0 END), 6) AS m
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT n_events, m,
+        |             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |               AS BIGINT) % 2 AS grp FROM u),
+        |thr AS (SELECT quantile_cont(CAST(n_events AS DOUBLE),
+        |                 list_transform(range(1, 3), i -> i / 3.0)) AS thr FROM g),
+        |seg AS (SELECT m, grp,
+        |          CAST(len(list_filter(thr, t -> t < n_events)) AS INTEGER)
+        |            AS segment
+        |        FROM g, thr),
+        |w AS (SELECT segment,
+        |  count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+        |  count(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+        |  sum(CASE WHEN grp = 0 THEN m ELSE 0.0 END) AS sx_a,
+        |  sum(CASE WHEN grp = 1 THEN m ELSE 0.0 END) AS sx_b,
+        |  sum(CASE WHEN grp = 0 THEN m * m ELSE 0.0 END) AS sx2_a,
+        |  sum(CASE WHEN grp = 1 THEN m * m ELSE 0.0 END) AS sx2_b
+        |  FROM seg GROUP BY 1)
+        |SELECT segment, n_a, n_b,
+        |       round(sx_a / n_a, 6) AS mean_a, round(sx_b / n_b, 6) AS mean_b,
+        |       round(sx_a / n_a - sx_b / n_b, 6) AS effect,
+        |       CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |         round((sx_a / n_a - sx_b / n_b) /
+        |           sqrt(((sx2_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+        |              + ((sx2_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4)
+        |       END AS welch_t
+        |FROM w ORDER BY segment""".stripMargin,
+    // Σ 1/(60+rank) over the cosine and inner-product top-10 lists
+    "sim_rrf_fusion" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |sc AS (SELECT qid, cid, round(list_cosine_similarity(qv, cv), 6) AS s
+        |       FROM q CROSS JOIN c WHERE qid <> cid),
+        |rc AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |         ORDER BY s DESC, cid) AS rc FROM sc),
+        |sd AS (SELECT qid, cid, round(list_inner_product(qv, cv), 6) AS s
+        |       FROM q CROSS JOIN c WHERE qid <> cid),
+        |rd AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |         ORDER BY s DESC, cid) AS rd FROM sd),
+        |f AS (SELECT coalesce(rc.qid, rd.qid) AS qid,
+        |             coalesce(rc.cid, rd.cid) AS cid,
+        |             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rc.rc), 0.0)
+        |                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + rd.rd), 0.0), 6)
+        |               AS rrf
+        |      FROM (SELECT * FROM rc WHERE rc <= 10) rc
+        |      FULL OUTER JOIN (SELECT * FROM rd WHERE rd <= 10) rd
+        |        ON rc.qid = rd.qid AND rc.cid = rd.cid),
+        |r AS (SELECT qid, cid, rrf,
+        |             CAST(row_number() OVER (PARTITION BY qid
+        |               ORDER BY rrf DESC, cid) AS INTEGER) AS rnk FROM f)
+        |SELECT qid, rnk, cid, rrf FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     // reference half defines the decile bins; shares clamped at 1e-6
     "ev_psi_drift" ->
       """WITH e AS (SELECT event_type, value,

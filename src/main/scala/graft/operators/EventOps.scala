@@ -1949,6 +1949,52 @@ object EventOps {
       .orderBy("user_id", "burst_start_us")
   }
 
+  /** Heterogeneous treatment effect: the [[abTest]] readout sliced by
+    * activity segment (terciles of per-user event count from the
+    * pooled distribution) — an experiment whose average effect is
+    * flat often concentrates its real effect in heavy or light
+    * users, and shipping on the average alone is how that gets
+    * missed. Per segment: arm sizes, arm means, their difference and
+    * Welch's t (raw-sums identity, same discipline as [[abTest]];
+    * arms with ≤1 user in a segment report null t).
+    *
+    * Shape at 100 TB: one per-user aggregate, a 1-row broadcast
+    * percentile array for segment binning, then a |segments|-row
+    * conditional rollup.
+    */
+  def abHeterogeneous(events: DataFrame, nSegments: Int = 3): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 6).as("m"))
+      .select(col("n_events"), col("m"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(2L)).as("grp"))
+    val thr = perUser.agg(percentile(col("n_events").cast("double"),
+      array((1 until nSegments).map(i => lit(i.toDouble / nSegments)): _*))
+      .as("thr"))
+    val seg = perUser.crossJoin(broadcast(thr))
+      .select(col("m"), col("grp"),
+        size(filter(col("thr"), t => t < col("n_events"))).as("segment"))
+    val wide = seg.groupBy("segment").agg(
+      count(when(col("grp") === 0, lit(1))).as("n_a"),
+      count(when(col("grp") === 1, lit(1))).as("n_b"),
+      sum(when(col("grp") === 0, col("m")).otherwise(0.0)).as("sx_a"),
+      sum(when(col("grp") === 1, col("m")).otherwise(0.0)).as("sx_b"),
+      sum(when(col("grp") === 0, col("m") * col("m")).otherwise(0.0)).as("sx2_a"),
+      sum(when(col("grp") === 1, col("m") * col("m")).otherwise(0.0)).as("sx2_b"))
+    val varA = (col("sx2_a") - col("sx_a") * col("sx_a") / col("n_a")) / (col("n_a") - 1)
+    val varB = (col("sx2_b") - col("sx_b") * col("sx_b") / col("n_b")) / (col("n_b") - 1)
+    wide.select(col("segment"), col("n_a"), col("n_b"),
+      round(col("sx_a") / col("n_a"), 6).as("mean_a"),
+      round(col("sx_b") / col("n_b"), 6).as("mean_b"),
+      round(col("sx_a") / col("n_a") - col("sx_b") / col("n_b"), 6).as("effect"),
+      when(col("n_a") > 1 && col("n_b") > 1,
+        round((col("sx_a") / col("n_a") - col("sx_b") / col("n_b")) /
+          sqrt(varA / col("n_a") + varB / col("n_b")), 4)).as("welch_t"))
+      .orderBy("segment")
+  }
+
   /** Population Stability Index per event type between the first and
     * second half of the corpus's day range — the standard ML-serving
     * drift monitor (PSI = Σ (p−q)·ln(p/q) over reference-decile bins

@@ -959,6 +959,36 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher 2009): merge
+    * the cosine top-`poolK` and inner-product top-`poolK` lists per
+    * query by Σ 1/(c + rank) — the standard parameter-free way to
+    * combine retrieval signals (here: direction vs direction×norm;
+    * in production: dense + BM25). RRF needs only RANKS, never score
+    * calibration, and 1/(c+rank) on exact integer ranks is
+    * bit-identical cross-engine before the single rounding.
+    *
+    * Shape at 100 TB: both input lists come from the broadcast-query
+    * bounded-heap scorers (corpus read twice, map-side reduced to
+    * poolK per query); fusion joins two |queries|×poolK tables.
+    */
+  def rrfFusion(embeddings: DataFrame, k: Int = 5, poolK: Int = 10,
+                nQueries: Int = 10, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cosR = bruteForceTopK(embeddings, poolK, nQueries)
+      .select(col("qid"), col("cid"), col("rnk").as("rc"))
+    val dotR = mipsTopK(embeddings, poolK, nQueries)
+      .select(col("qid"), col("cid"), col("rnk").as("rd"))
+    val fused = cosR.join(dotR, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        round(coalesce(lit(1.0) / (lit(c) + col("rc")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rd")), lit(0.0)), 6).as("rrf"))
+    val w = Window.partitionBy("qid").orderBy(desc("rrf"), col("cid"))
+    fused.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "rrf")
+      .orderBy("qid", "rnk")
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
     * 1998): from the query's top-`nCand` cosine candidates, greedily
     * pick `k` results maximizing λ·rel(c) − μ·max_{s∈S} sim(c, s) —

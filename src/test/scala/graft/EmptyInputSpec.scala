@@ -263,6 +263,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.attributionModels(noEvents).count() == 0)
     assert(EventOps.psiDrift(noEvents).count() == 0)
     assert(Dedup.winnowPairs(noDocs).count() == 0)
+    assert(EventOps.abHeterogeneous(noEvents).count() == 0)
+    assert(Similarity.rrfFusion(noEmb).count() == 0)
     assert(graft.queries.Relational.customerAcquisition(
       Seq.empty[(Long, Long, java.sql.Timestamp)]
         .toDF("o_orderkey", "o_custkey", "o_orderdate")).count() == 0)

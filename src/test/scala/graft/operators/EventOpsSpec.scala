@@ -1094,6 +1094,36 @@ class EventOpsSpec extends SparkSpec {
     assert(out.keySet == Set("view", "click", "direct"))
   }
 
+  test("abHeterogeneous: the effect surfaces only in the segment carrying it") {
+    import spark.implicits._
+    def grp(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    // light users (1 event): arm 0 buys 10, arm 1 buys 30 → effect −20;
+    // heavy users (21 events): both arms buy 10 → effect 0
+    val light0 = (1L to 400L).filter(grp(_) == 0L).take(20)
+    val light1 = (1L to 400L).filter(grp(_) == 1L).take(20)
+    val heavy0 = (401L to 800L).filter(grp(_) == 0L).take(20)
+    val heavy1 = (401L to 800L).filter(grp(_) == 1L).take(20)
+    val rows =
+      light0.map(u => (u, "purchase", 10.0)) ++
+      light1.map(u => (u, "purchase", 30.0)) ++
+      (heavy0 ++ heavy1).flatMap(u =>
+        (u, "purchase", 10.0) +: Seq.fill(20)((u, "view", 0.0)))
+    val events = rows.zipWithIndex.map { case ((u, t, v), i) =>
+      (i.toLong, "2024-01-01 10:00:00", u, t, v) }
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.abHeterogeneous(events, nSegments = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(5))))
+      .toMap
+    assert(out(0) == ((20L, 20L, -20.0)), out(0).toString)
+    assert(out(1) == ((20L, 20L, 0.0)), out(1).toString)
+  }
+
   test("psiDrift: identical halves score 0, a level shift saturates the top bin") {
     import spark.implicits._
     // day 0 = reference half, day 9 = current half (split at day 5).

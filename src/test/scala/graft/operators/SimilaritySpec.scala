@@ -566,6 +566,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.take(2).map(_._2).toSet != Set(1L, 2L), out.toSeq.toString)
   }
 
+  test("rrfFusion: rank-only fusion promotes the agreed-upon, hand-checked scores") {
+    // cosine ties 1 and 3 at 1.0 (ranks by cid); inner product ranks 2
+    // first (norm wins). RRF sums 1/(60+rank) per list:
+    // 1 → 1/61+1/62 = .032522, 2 → 1/63+1/61 = .032266, 3 → 1/62+1/63 = .032002
+    val e = emb(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(10.0f, 1.0f)),
+      (3L, Seq(0.1f, 0.0f)))
+    val out = Similarity.rrfFusion(e, k = 3, poolK = 3).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1, 1L, 0.032522), (2, 2L, 0.032266), (3, 3L, 0.032002)),
+      out.toSeq.toString)
+  }
+
   test("mmrRerank: fewer candidates than k returns all candidates once") {
     val e = emb(
       (0L, Seq(1.0f, 0.0f)),
