@@ -420,6 +420,8 @@ object SparkEntry {
     "ev_attribution_models" -> ((s, d) => EventOps.attributionModels(Tables.events(s, d))),
     "ev_psi_drift" -> ((s, d) => EventOps.psiDrift(Tables.events(s, d))),
     "ev_ab_hte" -> ((s, d) => EventOps.abHeterogeneous(Tables.events(s, d))),
+    "ev_diff_in_diff" -> ((s, d) => EventOps.diffInDiff(Tables.events(s, d))),
+    "text_rake_keywords" -> ((s, d) => TextAnalysis.rakeKeywords(Tables.documents(s, d))),
     "sim_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
     "q_customer_acquisition" -> ((s, d) => Relational.customerAcquisition(Tables.orders(s, d))),
     "q_market_hhi" -> ((s, d) => Relational.marketHhi(Tables.orders(s, d),
@@ -4200,6 +4202,56 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // 2×2 arm × half-period cells over FIXED arm user counts
+    "ev_diff_in_diff" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |           FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |eb AS (SELECT user_id, event_type, value,
+        |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |           AS BIGINT) % 2 AS grp,
+        |         day >= (d0 + d1 + 1) // 2 AS is_post
+        |       FROM e, b),
+        |c AS (SELECT
+        |  sum(CASE WHEN grp = 0 AND NOT is_post THEN value ELSE 0.0 END) AS v_t_pre,
+        |  sum(CASE WHEN grp = 0 AND is_post THEN value ELSE 0.0 END) AS v_t_post,
+        |  sum(CASE WHEN grp = 1 AND NOT is_post THEN value ELSE 0.0 END) AS v_c_pre,
+        |  sum(CASE WHEN grp = 1 AND is_post THEN value ELSE 0.0 END) AS v_c_post
+        |  FROM eb WHERE event_type = 'purchase'),
+        |u AS (SELECT count(CASE WHEN grp = 0 THEN 1 END) AS n_t,
+        |             count(CASE WHEN grp = 1 THEN 1 END) AS n_c
+        |      FROM (SELECT DISTINCT user_id, grp FROM eb) z)
+        |SELECT n_t, n_c,
+        |       round(v_t_pre / n_t, 6) AS treated_pre,
+        |       round(v_t_post / n_t, 6) AS treated_post,
+        |       round(v_c_pre / n_c, 6) AS control_pre,
+        |       round(v_c_post / n_c, 6) AS control_post,
+        |       round((v_t_post / n_t - v_t_pre / n_t)
+        |             - (v_c_post / n_c - v_c_pre / n_c), 6) AS did_effect
+        |FROM c, u""".stripMargin,
+    // stopword/punctuation-delimited phrases; word score = degree/frequency
+    "text_rake_keywords" ->
+      """WITH ph0 AS (SELECT unnest(string_split(regexp_replace(lower(text),
+        |    '\b(?:the|a|an|of|to|and|in|is|on|that|for|with)\b|[.!?,;:]',
+        |    '|', 'g'), '|')) AS raw FROM documents),
+        |p AS (SELECT list_filter(string_split(raw, ' '), x -> length(x) > 0) AS ws
+        |      FROM ph0),
+        |occ AS (SELECT array_to_string(ws, ' ') AS phrase, ws FROM p
+        |        WHERE len(ws) BETWEEN 1 AND 4),
+        |wstat AS (SELECT word,
+        |            round(CAST(sum(len) AS DOUBLE) / count(*), 6) AS w_score
+        |          FROM (SELECT len(ws) AS len, unnest(ws) AS word FROM occ) z
+        |          GROUP BY 1),
+        |phr AS (SELECT phrase, count(*) AS n_occ FROM occ GROUP BY 1),
+        |pw AS (SELECT phrase, n_occ,
+        |              unnest(list_filter(string_split(phrase, ' '),
+        |                                 x -> length(x) > 0)) AS word
+        |       FROM phr),
+        |s AS (SELECT phrase, n_occ, round(sum(w_score), 4) AS score
+        |      FROM pw JOIN wstat USING (word) GROUP BY 1, 2)
+        |SELECT phrase, n_occ, score FROM s
+        |ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
     // ab_test sliced by pooled activity terciles; effect from unrounded means
     "ev_ab_hte" ->
       """WITH u AS (SELECT user_id, count(*) AS n_events,

@@ -1949,6 +1949,56 @@ object EventOps {
       .orderBy("user_id", "burst_start_us")
   }
 
+  /** Difference-in-differences: per-user-per-period purchase value in
+    * a 2×2 (arm × before/after) design — effect = (treated_post −
+    * treated_pre) − (control_post − control_pre), the standard causal
+    * estimate when treatment lands mid-stream and arms have level
+    * differences a plain post-period comparison would misread (Card &
+    * Krueger 1994 popularized the design). Period split at the
+    * midpoint day (the [[psiDrift]] convention), arms from the md5
+    * 50/50 split; the four cell means divide period purchase value by
+    * the arm's FIXED user count, so a user inactive in one period
+    * counts as zero rather than dropping out (the panel-balance
+    * convention that keeps DiD honest).
+    *
+    * Shape at 100 TB: one conditional-aggregate pass over events plus
+    * a per-user distinct for the two arm denominators — two 1-row
+    * frames meeting in a broadcast cross join.
+    */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val e = withTsUs(events)
+      .select(col("user_id"), col("event_type"), col("value"),
+        tsBucket(dayUs).as("day"))
+    val bounds = e.agg(min("day").as("d0"), max("day").as("d1"))
+    val eb = e.crossJoin(broadcast(bounds))
+      .withColumn("grp",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(2L)))
+      .withColumn("is_post", col("day") >= expr("(d0 + d1 + 1) div 2"))
+    val cells = eb.filter(col("event_type") === "purchase").agg(
+      sum(when(col("grp") === 0 && !col("is_post"), col("value"))
+        .otherwise(0.0)).as("v_t_pre"),
+      sum(when(col("grp") === 0 && col("is_post"), col("value"))
+        .otherwise(0.0)).as("v_t_post"),
+      sum(when(col("grp") === 1 && !col("is_post"), col("value"))
+        .otherwise(0.0)).as("v_c_pre"),
+      sum(when(col("grp") === 1 && col("is_post"), col("value"))
+        .otherwise(0.0)).as("v_c_post"))
+    val users = eb.select(col("user_id"), col("grp")).distinct().agg(
+      count(when(col("grp") === 0, lit(1))).as("n_t"),
+      count(when(col("grp") === 1, lit(1))).as("n_c"))
+    cells.crossJoin(broadcast(users))
+      .select(col("n_t"), col("n_c"),
+        round(col("v_t_pre") / col("n_t"), 6).as("treated_pre"),
+        round(col("v_t_post") / col("n_t"), 6).as("treated_post"),
+        round(col("v_c_pre") / col("n_c"), 6).as("control_pre"),
+        round(col("v_c_post") / col("n_c"), 6).as("control_post"),
+        round((col("v_t_post") / col("n_t") - col("v_t_pre") / col("n_t"))
+          - (col("v_c_post") / col("n_c") - col("v_c_pre") / col("n_c")), 6)
+          .as("did_effect"))
+  }
+
   /** Heterogeneous treatment effect: the [[abTest]] readout sliced by
     * activity segment (terciles of per-user event count from the
     * pooled distribution) — an experiment whose average effect is

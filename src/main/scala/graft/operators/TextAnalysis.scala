@@ -1733,6 +1733,48 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword/punctuation-delimited word runs (≤
+    * `maxPhraseLen` words); each word scores degree/frequency where
+    * degree sums the lengths of the phrases it appears in, and a
+    * phrase scores the sum of its words' scores — multi-word terms
+    * whose words co-travel outrank frequent-but-generic unigrams,
+    * which is exactly what TF-IDF misses for phrases. Top
+    * `topK` phrases by (rounded score, phrase). The stopword set is
+    * the shared [[gopherStopwords]] list, applied as one regex
+    * (word-boundary alternation + terminal punctuation → delimiter)
+    * with identical RE2/Java semantics.
+    *
+    * Shape at 100 TB: phrase extraction is map-side regex + split;
+    * the word-stat and phrase-score aggregates are vocabulary- and
+    * phrase-table-sized; the final cut is a TakeOrdered top-k.
+    */
+  def rakeKeywords(documents: DataFrame, maxPhraseLen: Int = 4,
+                   topK: Int = 20): DataFrame = {
+    val delimPat = "\\b(?:" + gopherStopwords.mkString("|") + ")\\b|[.!?,;:]"
+    val occs = documents
+      .select(explode(split(regexp_replace(lower(col("text")), delimPat, "|"),
+        "\\|", -1)).as("raw"))
+      .select(filter(split(col("raw"), " ", -1), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")).between(1, maxPhraseLen))
+      .select(concat_ws(" ", col("ws")).as("phrase"), col("ws"))
+    val wordStats = occs
+      .select(size(col("ws")).as("len"), explode(col("ws")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("word"), round(col("deg") / col("freq"), 6).as("w_score"))
+    val phrases = occs.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    phrases
+      .select(col("phrase"), col("n_occ"),
+        filter(split(col("phrase"), " ", -1), w => length(w) > 0).as("ws"))
+      .select(col("phrase"), col("n_occ"), explode(col("ws")).as("word"))
+      .join(wordStats, "word")
+      .groupBy("phrase", "n_occ")
+      .agg(round(sum("w_score"), 4).as("score"))
+      .orderBy(desc("score"), col("phrase"))
+      .limit(topK)
+  }
+
   /** Stopword list for [[gopherRules]] — shared with the oracle SQL. */
   private[graft] val gopherStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "that", "for", "with")

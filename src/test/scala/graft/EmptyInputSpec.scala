@@ -265,6 +265,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.winnowPairs(noDocs).count() == 0)
     assert(EventOps.abHeterogeneous(noEvents).count() == 0)
     assert(Similarity.rrfFusion(noEmb).count() == 0)
+    assert(EventOps.diffInDiff(noEvents).collect().head.getLong(0) == 0L)
+    assert(TextAnalysis.rakeKeywords(noDocs).count() == 0)
     assert(graft.queries.Relational.customerAcquisition(
       Seq.empty[(Long, Long, java.sql.Timestamp)]
         .toDF("o_orderkey", "o_custkey", "o_orderdate")).count() == 0)

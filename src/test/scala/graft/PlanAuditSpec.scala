@@ -79,6 +79,7 @@ class PlanAuditSpec extends SparkSpec {
     "mm_text_embedding_align",   // 1-row coverage table × 1-row broadcast sums scalar
     "ev_psi_drift",              // event stream × 1-row broadcast split-day scalar — map-side flag
     "ev_ab_hte",                 // per-user metric × 1-row broadcast tercile array — map-side binning
+    "ev_diff_in_diff",           // event stream × 1-row broadcast split-day scalar; 1-row cell × user frames
     "sim_rrf_fusion",            // two broadcast(nQueries=10) scoring frames, bounded-heap reduced
     "q_gini",                    // per-customer spends × 1-row broadcast threshold array — map-side binning
     "q_weighted_median",         // price-group table × 1-row broadcast threshold array — map-side binning

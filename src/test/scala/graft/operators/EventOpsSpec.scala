@@ -1094,6 +1094,34 @@ class EventOpsSpec extends SparkSpec {
     assert(out.keySet == Set("view", "click", "direct"))
   }
 
+  test("diffInDiff: planted treatment effect net of the shared trend") {
+    import spark.implicits._
+    def grp(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val treated = (1L to 400L).filter(grp(_) == 0L).take(10)
+    val control = (1L to 400L).filter(grp(_) == 1L).take(10)
+    // days 0..9 (split at 5): treated 10→30 per user, control 5→10;
+    // DiD = (30−10) − (10−5) = 15
+    val rows =
+      treated.flatMap(u => Seq((u, "2024-01-01 10:00:00", 10.0),
+        (u, "2024-01-09 10:00:00", 30.0))) ++
+      control.flatMap(u => Seq((u, "2024-01-01 10:00:00", 5.0),
+        (u, "2024-01-09 10:00:00", 10.0)))
+    val events = rows.zipWithIndex.map { case ((u, t, v), i) =>
+      (i.toLong, t, u, "purchase", v) }
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.diffInDiff(events).collect().head
+    assert(out.getLong(0) == 10L && out.getLong(1) == 10L)
+    assert((out.getDouble(2), out.getDouble(3), out.getDouble(4), out.getDouble(5))
+      == ((10.0, 30.0, 5.0, 10.0)), out.toString)
+    assert(out.getDouble(6) == 15.0, out.toString)
+  }
+
   test("abHeterogeneous: the effect surfaces only in the segment carrying it") {
     import spark.implicits._
     def grp(u: Long): Long = {

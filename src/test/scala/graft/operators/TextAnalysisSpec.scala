@@ -779,6 +779,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("b") == ((1L, -470.98, 1.0, 8.0)), out("b").toString)
   }
 
+  test("rakeKeywords: degree/frequency scoring, hand-checked phrase ranking") {
+    // phrases: [red apple], [green apple], [red apple juice]
+    // red: deg 5 / freq 2 = 2.5; apple: 7/3 = 2.333333; green: 2; juice: 3
+    // → red apple juice 7.8333 > red apple 4.8333 > green apple 4.3333
+    val d = Seq((1L, "the red apple and green apple. red apple juice"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("red apple juice", 1L, 7.8333),
+      ("red apple", 1L, 4.8333),
+      ("green apple", 1L, 4.3333)), out.toSeq.toString)
+  }
+
   test("mattrBySource: window positions, stride, and short-doc TTR fallback") {
     // a1: 30 tokens of a 5-word cycle → one window [0..24], 5 distinct
     //     → mattr 5/25 = 0.2
