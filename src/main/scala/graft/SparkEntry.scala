@@ -421,6 +421,8 @@ object SparkEntry {
     "ev_psi_drift" -> ((s, d) => EventOps.psiDrift(Tables.events(s, d))),
     "ev_ab_hte" -> ((s, d) => EventOps.abHeterogeneous(Tables.events(s, d))),
     "ev_diff_in_diff" -> ((s, d) => EventOps.diffInDiff(Tables.events(s, d))),
+    "ev_cuped" -> ((s, d) => EventOps.cuped(Tables.events(s, d))),
+    "q_revenue_accounting" -> ((s, d) => Relational.revenueAccounting(Tables.orders(s, d))),
     "text_rake_keywords" -> ((s, d) => TextAnalysis.rakeKeywords(Tables.documents(s, d))),
     "sim_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
     "q_customer_acquisition" -> ((s, d) => Relational.customerAcquisition(Tables.orders(s, d))),
@@ -4202,6 +4204,57 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // θ = cov/var from one raw-sums pass; same splits as ab_test / did
+    "ev_cuped" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |           FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |u AS (SELECT user_id,
+        |        round(sum(CASE WHEN event_type = 'purchase'
+        |          AND day < (d0 + d1 + 1) // 2 THEN value ELSE 0.0 END), 6) AS x,
+        |        round(sum(CASE WHEN event_type = 'purchase'
+        |          AND day >= (d0 + d1 + 1) // 2 THEN value ELSE 0.0 END), 6) AS y
+        |      FROM e, b GROUP BY 1),
+        |g AS (SELECT x, y,
+        |        CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |          AS BIGINT) % 2 AS grp FROM u),
+        |s AS (SELECT count(*) AS n,
+        |        count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+        |        count(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |        sum(x * x) AS sx2, sum(y * y) AS sy2,
+        |        sum(CASE WHEN grp = 0 THEN x ELSE 0.0 END) AS sx_a,
+        |        sum(CASE WHEN grp = 1 THEN x ELSE 0.0 END) AS sx_b,
+        |        sum(CASE WHEN grp = 0 THEN y ELSE 0.0 END) AS sy_a,
+        |        sum(CASE WHEN grp = 1 THEN y ELSE 0.0 END) AS sy_b FROM g)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n * sx2 - sx * sx > 0 THEN
+        |    round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) END AS theta,
+        |  round(sy_a / n_a - sy_b / n_b, 6) AS effect_raw,
+        |  CASE WHEN n * sx2 - sx * sx > 0 THEN
+        |    round(sy_a / n_a - sy_b / n_b
+        |      - (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+        |        * (sx_a / n_a - sx_b / n_b), 6) END AS effect_cuped,
+        |  CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0 THEN
+        |    round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6)
+        |  END AS var_reduction
+        |FROM s""".stripMargin,
+    // an order is "new" iff it falls in its customer's first month
+    "q_revenue_accounting" ->
+      """WITH w AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+        |                  o_totalprice FROM orders),
+        |f AS (SELECT o_custkey, min(month) AS first_month FROM w GROUP BY 1),
+        |m AS (SELECT month,
+        |        round(sum(CASE WHEN month = first_month THEN o_totalprice
+        |                  ELSE 0.0 END), 2) AS revenue_new,
+        |        round(sum(CASE WHEN month <> first_month THEN o_totalprice
+        |                  ELSE 0.0 END), 2) AS revenue_repeat
+        |      FROM w JOIN f USING (o_custkey) GROUP BY 1)
+        |SELECT month, revenue_new, revenue_repeat,
+        |       round(revenue_new / (revenue_new + revenue_repeat), 6) AS share_new
+        |FROM m ORDER BY month""".stripMargin,
     // 2×2 arm × half-period cells over FIXED arm user counts
     "ev_diff_in_diff" ->
       """WITH e AS (SELECT user_id, event_type, value,

@@ -1999,6 +1999,65 @@ object EventOps {
           .as("did_effect"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013): adjust each user's
+    * post-period purchase value Y by their PRE-period value X —
+    * Y′ = Y − θ·(X − E[X]) with θ = cov(X,Y)/var(X) — and report the
+    * raw vs adjusted arm effect plus the variance-reduction factor
+    * ρ²(X,Y). Pre-period behavior explains much of the outcome
+    * variance that has nothing to do with treatment; removing it
+    * shrinks confidence intervals by exactly ρ², which is why every
+    * serious experimentation platform runs CUPED. Same period split
+    * as [[diffInDiff]] and arm split as [[abTest]]; all statistics
+    * derive from one pass of raw sums over per-user (X, Y) pairs
+    * rounded to 6, identical expression trees cross-engine;
+    * degenerate var(X)=0 reports null θ/adjusted effect.
+    *
+    * Shape at 100 TB: one conditional per-user aggregate (map-side
+    * combined) and one 1-row raw-sums rollup — no join, no window.
+    */
+  def cuped(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val e = withTsUs(events)
+      .select(col("user_id"), col("event_type"), col("value"),
+        tsBucket(dayUs).as("day"))
+    val bounds = e.agg(min("day").as("d0"), max("day").as("d1"))
+    val perUser = e.crossJoin(broadcast(bounds))
+      .withColumn("is_post", col("day") >= expr("(d0 + d1 + 1) div 2"))
+      .groupBy("user_id")
+      .agg(
+        round(sum(when(col("event_type") === "purchase" && !col("is_post"),
+          col("value")).otherwise(0.0)), 6).as("x"),
+        round(sum(when(col("event_type") === "purchase" && col("is_post"),
+          col("value")).otherwise(0.0)), 6).as("y"))
+      .select(col("x"), col("y"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(2L)).as("grp"))
+    val s = perUser.agg(
+      count(lit(1)).as("n"),
+      count(when(col("grp") === 0, lit(1))).as("n_a"),
+      count(when(col("grp") === 1, lit(1))).as("n_b"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"),
+      sum(when(col("grp") === 0, col("x")).otherwise(0.0)).as("sx_a"),
+      sum(when(col("grp") === 1, col("x")).otherwise(0.0)).as("sx_b"),
+      sum(when(col("grp") === 0, col("y")).otherwise(0.0)).as("sy_a"),
+      sum(when(col("grp") === 1, col("y")).otherwise(0.0)).as("sy_b"))
+    val varXn = col("n") * col("sx2") - col("sx") * col("sx")
+    val varYn = col("n") * col("sy2") - col("sy") * col("sy")
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val theta = covN / varXn
+    val effectRaw = col("sy_a") / col("n_a") - col("sy_b") / col("n_b")
+    val effectCuped = effectRaw -
+      theta * (col("sx_a") / col("n_a") - col("sx_b") / col("n_b"))
+    s.select(col("n_a"), col("n_b"),
+      when(varXn > 0, round(theta, 6)).as("theta"),
+      round(effectRaw, 6).as("effect_raw"),
+      when(varXn > 0, round(effectCuped, 6)).as("effect_cuped"),
+      when(varXn > 0 && varYn > 0,
+        round(covN * covN / (varXn * varYn), 6)).as("var_reduction"))
+  }
+
   /** Heterogeneous treatment effect: the [[abTest]] readout sliced by
     * activity segment (terciles of per-user event count from the
     * pooled distribution) — an experiment whose average effect is

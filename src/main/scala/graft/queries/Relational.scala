@@ -1180,6 +1180,31 @@ object Relational {
       .orderBy("month")
   }
 
+  /** Growth accounting: monthly revenue split into new-customer vs
+    * repeat-customer revenue (an order is "new" iff it falls in its
+    * customer's FIRST month) — the table that says whether growth is
+    * acquisition or retention. One per-customer min, one fact join on
+    * the customer key, a |months|-sized conditional rollup; the share
+    * divides the already-rounded cell revenues so both engines divide
+    * identical doubles.
+    */
+  def revenueAccounting(orders: DataFrame): DataFrame = {
+    val withMonth = orders.select(col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("o_totalprice"))
+    val firstMonth = withMonth.groupBy("o_custkey")
+      .agg(min("month").as("first_month"))
+    withMonth.join(firstMonth, "o_custkey")
+      .groupBy("month")
+      .agg(
+        round(sum(when(col("month") === col("first_month"), col("o_totalprice"))
+          .otherwise(0.0)), 2).as("revenue_new"),
+        round(sum(when(col("month") =!= col("first_month"), col("o_totalprice"))
+          .otherwise(0.0)), 2).as("revenue_repeat"))
+      .withColumn("share_new",
+        round(col("revenue_new") / (col("revenue_new") + col("revenue_repeat")), 6))
+      .orderBy("month")
+  }
+
   /** Market concentration per region: the Herfindahl–Hirschman index
     * of nation-level revenue shares (Σ shareᵢ² — 1/n for perfectly
     * even markets, 1.0 for a monopoly; the antitrust-standard

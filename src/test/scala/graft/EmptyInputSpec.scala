@@ -267,6 +267,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.rrfFusion(noEmb).count() == 0)
     assert(EventOps.diffInDiff(noEvents).collect().head.getLong(0) == 0L)
     assert(TextAnalysis.rakeKeywords(noDocs).count() == 0)
+    assert(EventOps.cuped(noEvents).collect().head.getLong(0) == 0L)
+    assert(graft.queries.Relational.revenueAccounting(
+      Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+        .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")).count() == 0)
     assert(graft.queries.Relational.customerAcquisition(
       Seq.empty[(Long, Long, java.sql.Timestamp)]
         .toDF("o_orderkey", "o_custkey", "o_orderdate")).count() == 0)

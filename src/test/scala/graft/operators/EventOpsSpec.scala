@@ -1122,6 +1122,36 @@ class EventOpsSpec extends SparkSpec {
     assert(out.getDouble(6) == 15.0, out.toString)
   }
 
+  test("cuped: pre-period imbalance is removed, raw effect was pure confounding") {
+    import spark.implicits._
+    def grp(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    // arm 0 users happen to spend 20 pre AND post, arm 1 spend 10 —
+    // Y = X exactly, no treatment effect: raw effect reads 10
+    // (confounded), θ = 1, CUPED-adjusted effect must be exactly 0
+    val a0 = (1L to 400L).filter(grp(_) == 0L).take(10)
+    val a1 = (1L to 400L).filter(grp(_) == 1L).take(10)
+    val rows =
+      a0.flatMap(u => Seq((u, "2024-01-01 10:00:00", 20.0),
+        (u, "2024-01-09 10:00:00", 20.0))) ++
+      a1.flatMap(u => Seq((u, "2024-01-01 10:00:00", 10.0),
+        (u, "2024-01-09 10:00:00", 10.0)))
+    val events = rows.zipWithIndex.map { case ((u, t, v), i) =>
+      (i.toLong, t, u, "purchase", v) }
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.cuped(events).collect().head
+    assert(out.getLong(0) == 10L && out.getLong(1) == 10L)
+    assert(out.getDouble(2) == 1.0, s"theta ${out.getDouble(2)}")
+    assert(out.getDouble(3) == 10.0, s"raw ${out.getDouble(3)}")
+    assert(out.getDouble(4) == 0.0, s"cuped ${out.getDouble(4)}")
+    assert(out.getDouble(5) == 1.0, s"var_reduction ${out.getDouble(5)}")
+  }
+
   test("abHeterogeneous: the effect surfaces only in the segment carrying it") {
     import spark.implicits._
     def grp(u: Long): Long = {

@@ -454,6 +454,21 @@ class RelationalSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("revenueAccounting: an order is new only in its customer's first month") {
+    val orders = Seq(
+      (1L, 1L, "2024-01-05", 100.0),
+      (2L, 1L, "2024-02-15", 50.0),  // repeat
+      (3L, 2L, "2024-02-20", 200.0)) // new in Feb
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .selectExpr("o_orderkey", "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice")
+    val out = Relational.revenueAccounting(orders).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01", 100.0, 0.0, 1.0),
+      ("2024-02", 200.0, 50.0, 0.8)), out.toSeq.toString)
+  }
+
   test("marketHhi: even duopoly vs monopoly concentration") {
     val region = Seq((0L, "EU"), (1L, "NA")).toDF("r_regionkey", "r_name")
     val nation = Seq((10L, "DE", 0L), (11L, "FR", 0L), (20L, "US", 1L))
