@@ -422,6 +422,8 @@ object SparkEntry {
     "ev_ab_hte" -> ((s, d) => EventOps.abHeterogeneous(Tables.events(s, d))),
     "ev_diff_in_diff" -> ((s, d) => EventOps.diffInDiff(Tables.events(s, d))),
     "ev_cuped" -> ((s, d) => EventOps.cuped(Tables.events(s, d))),
+    "ev_ab_conversion" -> ((s, d) => EventOps.abConversion(Tables.events(s, d))),
+    "sim_cell_purity" -> ((s, d) => Similarity.cellLabelPurity(Tables.embeddings(s, d))),
     "q_revenue_accounting" -> ((s, d) => Relational.revenueAccounting(Tables.orders(s, d))),
     "text_rake_keywords" -> ((s, d) => TextAnalysis.rakeKeywords(Tables.documents(s, d))),
     "sim_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
@@ -4204,6 +4206,54 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // pooled two-proportion z on exact integer counts
+    "ev_ab_conversion" ->
+      """WITH u AS (SELECT user_id,
+        |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |               AS conv
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT conv,
+        |        CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |          AS BIGINT) % 2 AS grp FROM u),
+        |s AS (SELECT count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+        |             count(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+        |             CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |               AS c_a,
+        |             CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |               AS c_b FROM g)
+        |SELECT n_a, n_b, c_a, c_b,
+        |       round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |       round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |       CASE WHEN CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) > 0
+        |             AND CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) < 1 THEN
+        |         round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |           / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+        |             * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |             * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 4)
+        |       END AS z
+        |FROM s""".stripMargin,
+    // seed-centroid assignment (iters=0) + majority label per cell
+    "sim_cell_purity" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cents AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS centroid
+        |          FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, label, cell_id FROM (
+        |    SELECT e.vec_id, e.label, c.cell_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+        |               c.cell_id) AS rn
+        |    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+        |cl AS (SELECT cell_id, label, count(*) AS n FROM assigned GROUP BY 1, 2),
+        |w AS (SELECT cell_id, label, n,
+        |             CAST(sum(n) OVER (PARTITION BY cell_id) AS BIGINT)
+        |               AS n_vectors,
+        |             row_number() OVER (PARTITION BY cell_id
+        |               ORDER BY n DESC, label) AS rn FROM cl)
+        |SELECT cell_id, n_vectors, label AS majority_label,
+        |       round(CAST(n AS DOUBLE) / n_vectors, 6) AS purity
+        |FROM w WHERE rn = 1 ORDER BY cell_id""".stripMargin,
     // θ = cov/var from one raw-sums pass; same splits as ab_test / did
     "ev_cuped" ->
       """WITH e AS (SELECT user_id, event_type, value,

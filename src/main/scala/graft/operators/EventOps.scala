@@ -1999,6 +1999,40 @@ object EventOps {
           .as("did_effect"))
   }
 
+  /** Two-proportion conversion test: did-the-user-ever-purchase rate
+    * per md5 arm with the pooled two-proportion z statistic — the
+    * RATE-metric face of [[abTest]]'s value metric (most experiments
+    * ship on a conversion rate, and the z-test's pooled variance is
+    * the correct null model for it). Every input to the z expression
+    * is an exact integer count, so the statistic is bit-identical
+    * cross-engine before its single rounding; a degenerate pooled
+    * rate (0 or 1) reports null z.
+    *
+    * Shape at 100 TB: one per-user boolean aggregate, one 1-row
+    * conditional rollup — no join, no window.
+    */
+  def abConversion(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(col("conv"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(2L)).as("grp"))
+    val s = perUser.agg(
+      count(when(col("grp") === 0, lit(1))).as("n_a"),
+      count(when(col("grp") === 1, lit(1))).as("n_b"),
+      sum(when(col("grp") === 0, col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(col("grp") === 1, col("conv")).otherwise(0L)).as("c_b"))
+    val pa = col("c_a") / col("n_a")
+    val pb = col("c_b") / col("n_b")
+    val pooled = (col("c_a") + col("c_b")) / (col("n_a") + col("n_b"))
+    s.select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      when(pooled > 0 && pooled < 1,
+        round((pa - pb) / sqrt(pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)).as("z"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust each user's
     * post-period purchase value Y by their PRE-period value X —
     * Y′ = Y − θ·(X − E[X]) with θ = cov(X,Y)/var(X) — and report the

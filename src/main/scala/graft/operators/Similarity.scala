@@ -959,6 +959,34 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** IVF cell label purity: per cell, the share of vectors carrying
+    * the cell's majority label — the external-validity check on the
+    * coarse quantizer ([[ivfCellBalance]] sees size skew,
+    * [[ivfCellCohesion]] sees geometric spread; purity sees whether
+    * cells MEAN anything). Uses the deterministic seed-centroid
+    * assignment (iters=0, same as the oracle-twinned IVF paths); ties
+    * in the majority vote break toward the smaller label id.
+    *
+    * Shape at 100 TB: assignment is the broadcast-16-centroid scoring
+    * pass; everything after runs on the (cells × labels)-sized count
+    * table with cell-partitioned windows.
+    */
+  def cellLabelPurity(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(embeddings, nCells, iters = 0)
+      .select("vec_id", "cell_id")
+      .join(embeddings.select("vec_id", "label"), "vec_id")
+    val byCell = Window.partitionBy("cell_id")
+    assigned.groupBy("cell_id", "label").agg(count(lit(1)).as("n"))
+      .withColumn("n_vectors", sum("n").over(byCell))
+      .withColumn("rn", row_number().over(byCell.orderBy(desc("n"), col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cell_id"), col("n_vectors"),
+        col("label").as("majority_label"),
+        round(col("n") / col("n_vectors"), 6).as("purity"))
+      .orderBy("cell_id")
+  }
+
   /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher 2009): merge
     * the cosine top-`poolK` and inner-product top-`poolK` lists per
     * query by Σ 1/(c + rank) — the standard parameter-free way to

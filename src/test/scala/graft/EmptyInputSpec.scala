@@ -268,6 +268,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.diffInDiff(noEvents).collect().head.getLong(0) == 0L)
     assert(TextAnalysis.rakeKeywords(noDocs).count() == 0)
     assert(EventOps.cuped(noEvents).collect().head.getLong(0) == 0L)
+    assert(EventOps.abConversion(noEvents).collect().head.getLong(0) == 0L)
+    assert(Similarity.cellLabelPurity(noEmb).count() == 0)
     assert(graft.queries.Relational.revenueAccounting(
       Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
         .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")).count() == 0)

@@ -81,6 +81,7 @@ class PlanAuditSpec extends SparkSpec {
     "ev_ab_hte",                 // per-user metric × 1-row broadcast tercile array — map-side binning
     "ev_diff_in_diff",           // event stream × 1-row broadcast split-day scalar; 1-row cell × user frames
     "ev_cuped",                  // event stream × 1-row broadcast split-day scalar — map-side flag
+    "sim_cell_purity",           // corpus × broadcast 16 seed centroids — same bound as sim_cell_balance
     "sim_rrf_fusion",            // two broadcast(nQueries=10) scoring frames, bounded-heap reduced
     "q_gini",                    // per-customer spends × 1-row broadcast threshold array — map-side binning
     "q_weighted_median",         // price-group table × 1-row broadcast threshold array — map-side binning

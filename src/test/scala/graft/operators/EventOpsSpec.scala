@@ -1122,6 +1122,33 @@ class EventOpsSpec extends SparkSpec {
     assert(out.getDouble(6) == 15.0, out.toString)
   }
 
+  test("abConversion: two-proportion z on a planted 0.5-vs-0.25 rate gap") {
+    import spark.implicits._
+    def grp(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val a0 = (1L to 400L).filter(grp(_) == 0L).take(20)
+    val a1 = (1L to 400L).filter(grp(_) == 1L).take(20)
+    val rows =
+      a0.take(10).map(u => (u, "purchase", 1.0)) ++
+      a0.drop(10).map(u => (u, "view", 0.0)) ++
+      a1.take(5).map(u => (u, "purchase", 1.0)) ++
+      a1.drop(5).map(u => (u, "view", 0.0))
+    val events = rows.zipWithIndex.map { case ((u, t, v), i) =>
+      (i.toLong, "2024-01-01 10:00:00", u, t, v) }
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.abConversion(events).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((20L, 20L, 10L, 5L)))
+    assert(out.getDouble(4) == 0.5 && out.getDouble(5) == 0.25)
+    // z = 0.25 / sqrt(0.375·0.625·(1/20+1/20)) ≈ 1.633
+    assert(math.abs(out.getDouble(6) - 1.633) < 1e-3, out.toString)
+  }
+
   test("cuped: pre-period imbalance is removed, raw effect was pure confounding") {
     import spark.implicits._
     def grp(u: Long): Long = {

@@ -566,6 +566,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.take(2).map(_._2).toSet != Set(1L, 2L), out.toSeq.toString)
   }
 
+  test("cellLabelPurity: majority share per seed cell, pure cell scores 1.0") {
+    // centroids = vectors 0 and 1; cell 0 collects {0,2,3} with labels
+    // {0,0,1} → purity 2/3; cell 1 collects {1,4} labels {1,1} → 1.0
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f), 1),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 1),
+      (4L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.cellLabelPurity(e, nCells = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 3L, 0, 0.666667), (1, 2L, 1, 1.0)),
+      out.toSeq.toString)
+  }
+
   test("rrfFusion: rank-only fusion promotes the agreed-upon, hand-checked scores") {
     // cosine ties 1 and 3 at 1.0 (ranks by cid); inner product ranks 2
     // first (norm wins). RRF sums 1/(60+rank) per list:
