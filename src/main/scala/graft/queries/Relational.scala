@@ -1135,8 +1135,15 @@ object Relational {
   def weightedMedianPrice(lineitem: DataFrame, nBuckets: Int = 32): DataFrame = {
     val wp = lineitem.groupBy(col("l_extendedprice").as("price"))
       .agg(sum(col("l_quantity").cast("long")).as("w"))
-    val thr = lineitem.agg(percentile(col("l_extendedprice"),
-      array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)).as("thr"))
+    // sketch thresholds are safe here: the cut points only choose HOW
+    // work is partitioned — the crossing test below is exact integer
+    // math and returns the same price for ANY increasing cut set
+    // (ScaleSmokeSpec proves bucket-count invariance), so the exact
+    // 31-way percentile (a full value buffer per partition, ~7-13 s at
+    // sf0.1) is replaced by a single-pass t-digest (~1 s)
+    val thr = lineitem.agg(approx_percentile(col("l_extendedprice"),
+      array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*),
+      lit(1000)).as("thr"))
     val binned = wp.crossJoin(broadcast(thr))
       .select(col("price"), col("w"),
         size(filter(col("thr"), t => t < col("price"))).as("bucket"))
