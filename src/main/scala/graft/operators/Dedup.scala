@@ -1237,11 +1237,17 @@ object Dedup {
       .select(col("doc_id"),
         concat(lpad(col("df").cast("string"), 10, "0"), lit(":"), col("tok"))
           .as("key"))
+    // referenced three times (prefix emit + both sides of the verify
+    // join) — materialize once: the frame is mod-sample-sized
+    // (|docs|/sampleMod rows of token arrays), and without the
+    // checkpoint each reference re-runs the explode+distinct+df-join
+    // chain (measured 3× of the query's cost at sf0.1)
     val perDoc = keyed.groupBy("doc_id")
       .agg(array_sort(collect_list(col("key"))).as("keys"))
       .select(col("doc_id"), col("keys"), size(col("keys")).as("len"))
       .withColumn("p",
         col("len") - ceil(col("len") * threshold).cast("int") + 1)
+      .localCheckpoint(true)
     val prefix = perDoc
       .select(col("doc_id"), col("p"),
         posexplode(col("keys")).as(Seq("pos", "ktok")))
