@@ -423,6 +423,7 @@ object SparkEntry {
     "ev_diff_in_diff" -> ((s, d) => EventOps.diffInDiff(Tables.events(s, d))),
     "ev_cuped" -> ((s, d) => EventOps.cuped(Tables.events(s, d))),
     "ev_ab_conversion" -> ((s, d) => EventOps.abConversion(Tables.events(s, d))),
+    "ev_power_analysis" -> ((s, d) => EventOps.powerAnalysis(Tables.events(s, d))),
     "sim_cell_purity" -> ((s, d) => Similarity.cellLabelPurity(Tables.embeddings(s, d))),
     "q_revenue_accounting" -> ((s, d) => Relational.revenueAccounting(Tables.orders(s, d))),
     "text_rake_keywords" -> ((s, d) => TextAnalysis.rakeKeywords(Tables.documents(s, d))),
@@ -4206,6 +4207,39 @@ object SparkEntry {
         |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
         |         AS srm_chi2
         |FROM w""".stripMargin,
+    // MDE = 2.801585·SE (α=0.05 two-sided, power 0.8), raw-sums SEs
+    "ev_power_analysis" ->
+      """WITH u AS (SELECT user_id,
+        |             round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |                       ELSE 0.0 END), 6) AS m,
+        |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |               AS conv
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT m, conv,
+        |        CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |          AS BIGINT) % 2 AS grp FROM u),
+        |s AS (SELECT count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+        |             count(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+        |             sum(CASE WHEN grp = 0 THEN m ELSE 0.0 END) AS sx_a,
+        |             sum(CASE WHEN grp = 1 THEN m ELSE 0.0 END) AS sx_b,
+        |             sum(CASE WHEN grp = 0 THEN m * m ELSE 0.0 END) AS sx2_a,
+        |             sum(CASE WHEN grp = 1 THEN m * m ELSE 0.0 END) AS sx2_b,
+        |             CAST(sum(conv) AS BIGINT) AS c FROM g)
+        |SELECT n_a, n_b,
+        |  round((sx_a + sx_b) / (n_a + n_b), 6) AS baseline_value,
+        |  round(CAST(c AS DOUBLE) / (n_a + n_b), 6) AS baseline_rate,
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |    round(2.801585 * sqrt(
+        |      ((sx2_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+        |      + ((sx2_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 6)
+        |  END AS mde_value,
+        |  CASE WHEN CAST(c AS DOUBLE) / (n_a + n_b) > 0
+        |        AND CAST(c AS DOUBLE) / (n_a + n_b) < 1 THEN
+        |    round(2.801585 * sqrt(CAST(c AS DOUBLE) / (n_a + n_b)
+        |      * (1.0 - CAST(c AS DOUBLE) / (n_a + n_b))
+        |      * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6)
+        |  END AS mde_conversion
+        |FROM s""".stripMargin,
     // pooled two-proportion z on exact integer counts
     "ev_ab_conversion" ->
       """WITH u AS (SELECT user_id,

@@ -1999,6 +1999,52 @@ object EventOps {
           .as("did_effect"))
   }
 
+  /** Power analysis: the minimum detectable effect at the CURRENT
+    * arm sizes and variances, for both the purchase-value metric and
+    * the conversion rate — MDE = (z_{α/2} + z_β)·SE with the standard
+    * two-sided α=0.05 / power 0.8 constants (1.959964 + 0.841621),
+    * the number every experiment review asks for before reading any
+    * p-value ("could this test even have seen the effect we care
+    * about?"). SEs come from the same raw-sums identities as
+    * [[abTest]]/[[abConversion]]; degenerate variance reports null.
+    * The z constant ships pre-summed (2.801585) so both engines parse
+    * ONE decimal literal instead of summing two.
+    *
+    * Shape at 100 TB: one per-user aggregate, one 1-row rollup.
+    */
+  def powerAnalysis(events: DataFrame): DataFrame = {
+    val zSum = 2.801585
+    val perUser = events.groupBy("user_id")
+      .agg(round(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0)), 6).as("m"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(col("m"), col("conv"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(2L)).as("grp"))
+    val s = perUser.agg(
+      count(when(col("grp") === 0, lit(1))).as("n_a"),
+      count(when(col("grp") === 1, lit(1))).as("n_b"),
+      sum(when(col("grp") === 0, col("m")).otherwise(0.0)).as("sx_a"),
+      sum(when(col("grp") === 1, col("m")).otherwise(0.0)).as("sx_b"),
+      sum(when(col("grp") === 0, col("m") * col("m")).otherwise(0.0)).as("sx2_a"),
+      sum(when(col("grp") === 1, col("m") * col("m")).otherwise(0.0)).as("sx2_b"),
+      sum("conv").as("c"))
+    val varA = (col("sx2_a") - col("sx_a") * col("sx_a") / col("n_a")) / (col("n_a") - 1)
+    val varB = (col("sx2_b") - col("sx_b") * col("sx_b") / col("n_b")) / (col("n_b") - 1)
+    val p = col("c") / (col("n_a") + col("n_b"))
+    s.select(col("n_a"), col("n_b"),
+      round((col("sx_a") + col("sx_b")) / (col("n_a") + col("n_b")), 6)
+        .as("baseline_value"),
+      round(p, 6).as("baseline_rate"),
+      when(col("n_a") > 1 && col("n_b") > 1,
+        round(lit(zSum) * sqrt(varA / col("n_a") + varB / col("n_b")), 6))
+        .as("mde_value"),
+      when(p > 0 && p < 1,
+        round(lit(zSum) * sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+        .as("mde_conversion"))
+  }
+
   /** Two-proportion conversion test: did-the-user-ever-purchase rate
     * per md5 arm with the pooled two-proportion z statistic — the
     * RATE-metric face of [[abTest]]'s value metric (most experiments

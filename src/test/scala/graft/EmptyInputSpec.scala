@@ -269,6 +269,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.rakeKeywords(noDocs).count() == 0)
     assert(EventOps.cuped(noEvents).collect().head.getLong(0) == 0L)
     assert(EventOps.abConversion(noEvents).collect().head.getLong(0) == 0L)
+    assert(EventOps.powerAnalysis(noEvents).collect().head.getLong(0) == 0L)
     assert(Similarity.cellLabelPurity(noEmb).count() == 0)
     assert(graft.queries.Relational.revenueAccounting(
       Seq.empty[(Long, Long, java.sql.Timestamp, Double)]

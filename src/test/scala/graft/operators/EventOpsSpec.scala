@@ -1149,6 +1149,36 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(out.getDouble(6) - 1.633) < 1e-3, out.toString)
   }
 
+  test("powerAnalysis: MDE matches the scalar formula on the planted-arm fixture") {
+    import spark.implicits._
+    def grp(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val a0 = (1L to 400L).filter(grp(_) == 0L).take(20)
+    val a1 = (1L to 400L).filter(grp(_) == 1L).take(20)
+    val rows =
+      a0.take(10).map(u => (u, "purchase", 1.0)) ++
+      a0.drop(10).map(u => (u, "view", 0.0)) ++
+      a1.take(5).map(u => (u, "purchase", 1.0)) ++
+      a1.drop(5).map(u => (u, "view", 0.0))
+    val events = rows.zipWithIndex.map { case ((u, t, v), i) =>
+      (i.toLong, "2024-01-01 10:00:00", u, t, v) }
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts_str AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    val out = EventOps.powerAnalysis(events).collect().head
+    assert(out.getLong(0) == 20L && out.getLong(1) == 20L)
+    assert(out.getDouble(3) == 0.375) // pooled conversion rate
+    val z = 2.801585
+    val mdeConv = z * math.sqrt(0.375 * 0.625 * (1.0 / 20 + 1.0 / 20))
+    assert(math.abs(out.getDouble(5) - mdeConv) < 1e-6, out.toString)
+    // value metric: m∈{1,0}; var_a = 5/19, var_b = 3.75/19
+    val mdeVal = z * math.sqrt((5.0 / 19) / 20 + (3.75 / 19) / 20)
+    assert(math.abs(out.getDouble(4) - mdeVal) < 1e-6, out.toString)
+  }
+
   test("cuped: pre-period imbalance is removed, raw effect was pure confounding") {
     import spark.implicits._
     def grp(u: Long): Long = {
