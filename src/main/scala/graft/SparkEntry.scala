@@ -431,6 +431,7 @@ object SparkEntry {
     "q_customer_acquisition" -> ((s, d) => Relational.customerAcquisition(Tables.orders(s, d))),
     "q_market_hhi" -> ((s, d) => Relational.marketHhi(Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_single_source_risk" -> ((s, d) => Relational.singleSourceRisk(Tables.lineitem(s, d))),
     "q_price_ols_by_flag" -> ((s, d) => Relational.priceOlsByFlag(Tables.lineitem(s, d))),
     "mm_text_embedding_align" -> ((s, d) =>
       Multimodal.textEmbeddingAlign(Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -4487,6 +4488,18 @@ object SparkEntry {
         |       CAST(sum(n_new) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
         |         PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_customers
         |FROM m ORDER BY month""".stripMargin,
+    // top-supplier share per part, floored into 10 risk buckets
+    "q_single_source_risk" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey, count(*) AS n_ps
+        |            FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT l_partkey, CAST(sum(n_ps) AS BIGINT) AS n_p,
+        |             CAST(max(n_ps) AS BIGINT) AS n_top FROM ps GROUP BY 1),
+        |b AS (SELECT CAST(least(floor(CAST(n_top AS DOUBLE) / n_p * 10), 9)
+        |               AS INTEGER) AS risk_bucket FROM p)
+        |SELECT risk_bucket,
+        |       round(CAST(risk_bucket AS DOUBLE) / 10.0, 1) AS share_lo,
+        |       count(*) AS n_parts
+        |FROM b GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // nation revenue rounded to cents BEFORE shares; HHI = Σ share²
     "q_market_hhi" ->
       """WITH rev AS (SELECT r_name AS region, n_name AS nation,

@@ -1243,6 +1243,34 @@ object Relational {
       .orderBy("region")
   }
 
+  /** Single-source supply risk: per part, the share of its line items
+    * coming from its BIGGEST supplier, rolled into a 10-bucket
+    * histogram — the supply-chain concentration screen ("how much of
+    * the catalog depends on one vendor"), the per-part sibling of
+    * [[marketHhi]]. Share 1.0 (fully single-sourced) folds into the
+    * top bucket via least(). Exact integer counts everywhere; the
+    * share divides two counts, and bucketing floors the same IEEE
+    * double in both engines.
+    *
+    * Shape at 100 TB: one (part, supplier) partial aggregate, a
+    * part-keyed max, and a ≤10-row histogram rollup — no window over
+    * fact rows (max-share-per-part is an aggregate, not a rank).
+    */
+  def singleSourceRisk(lineitem: DataFrame): DataFrame = {
+    val ps = lineitem.groupBy("l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("n_ps"))
+    val perPart = ps.groupBy("l_partkey")
+      .agg(sum("n_ps").as("n_p"), max("n_ps").as("n_top"))
+      .select(least(floor(col("n_top") / col("n_p") * 10), lit(9))
+        .cast("int").as("risk_bucket"))
+    perPart.groupBy("risk_bucket")
+      .agg(count(lit(1)).as("n_parts"))
+      .select(col("risk_bucket"),
+        round(col("risk_bucket") / 10.0, 1).as("share_lo"),
+        col("n_parts"))
+      .orderBy("risk_bucket")
+  }
+
   /** Grouped OLS: per return flag, the closed-form least-squares line
     * price = a + b·quantity over line items — does bulk actually get
     * a discount, and does the relationship differ for returned goods?

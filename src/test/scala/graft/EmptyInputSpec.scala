@@ -270,6 +270,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.cuped(noEvents).collect().head.getLong(0) == 0L)
     assert(EventOps.abConversion(noEvents).collect().head.getLong(0) == 0L)
     assert(EventOps.powerAnalysis(noEvents).collect().head.getLong(0) == 0L)
+    assert(graft.queries.Relational.singleSourceRisk(
+      Seq.empty[(Long, Long)].toDF("l_partkey", "l_suppkey")).count() == 0)
     assert(Similarity.cellLabelPurity(noEmb).count() == 0)
     assert(graft.queries.Relational.revenueAccounting(
       Seq.empty[(Long, Long, java.sql.Timestamp, Double)]

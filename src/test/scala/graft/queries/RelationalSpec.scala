@@ -484,6 +484,17 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq(("EU", 2L, 0.625), ("NA", 1L, 1.0)), out.toSeq.toString)
   }
 
+  test("singleSourceRisk: fully single-sourced part tops out in bucket 9") {
+    val li = Seq(
+      (1L, 10L), (1L, 10L), (1L, 10L),           // part 1: one supplier → 1.0
+      (2L, 10L), (2L, 11L),                       // part 2: 50/50 → bucket 5
+      (3L, 10L), (3L, 10L), (3L, 11L), (3L, 12L)) // part 3: top 2/4 → bucket 5
+      .toDF("l_partkey", "l_suppkey")
+    val out = Relational.singleSourceRisk(li).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq((5, 0.5, 2L), (9, 0.9, 1L)), out.toSeq.toString)
+  }
+
   test("priceOlsByFlag: exact line recovered, degenerate groups report nulls") {
     val li = Seq(
       ("A", 1.0, 10.0), ("A", 2.0, 20.0), ("A", 3.0, 30.0), // y = 10x
