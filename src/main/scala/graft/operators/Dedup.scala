@@ -1296,28 +1296,6 @@ object Dedup {
       .orderBy("qid", "rnk")
   }
 
-  /** IDF-weighted Jaccard near-dup pairs over the informative
-    * vocabulary: tokens with df ≤ `maxDf` carry weight ln(N/df)
-    * (rounded to 6 so both engines sum identical doubles), and pair
-    * similarity is Σ_{A∩B} w / Σ_{A∪B} w — the weighted set measure
-    * (Chum et al. 2008) that plain [[ngramJaccardPairs]] miscounts
-    * when near-dups differ only in boilerplate: shared rare tokens
-    * dominate, shared stopwords barely move the score. The df cap
-    * serves double duty — the standard Σ min(df,maxDf)² pair-count
-    * bound AND the weighted measure's vocabulary (high-df tokens
-    * contribute ≈0 weight anyway, so capping them out changes little
-    * while bounding the join).
-    *
-    * The vocabulary cap is dual: fractional (df·`dfDenom` ≤ N — a
-    * token in more than 1/dfDenom of the corpus is boilerplate at ANY
-    * corpus size, which keeps the measure discriminative whether N is
-    * 500 or 5 billion) and absolute (df ≤ `maxDf` — the Σ df² join
-    * bound that the fractional cap alone would not give at scale).
-    *
-    * Shape at 100 TB: distinct (doc, token) digests shuffle, text
-    * does not; N rides a 1-row broadcast; per-doc weight totals are
-    * one partial agg; the pair join is the df-capped self-join.
-    */
   /** Winnowing fingerprint pairs (Schleimer–Wilkerson–Aiken 2003 —
     * the MOSS algorithm): hash every ordered word `k`-gram, slide a
     * window of `w` hashes, keep each window's minimum — the selection
@@ -1359,6 +1337,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** IDF-weighted Jaccard near-dup pairs over the informative
+    * vocabulary: tokens with df ≤ `maxDf` carry weight ln(N/df)
+    * (rounded to 6 so both engines sum identical doubles), and pair
+    * similarity is Σ_{A∩B} w / Σ_{A∪B} w — the weighted set measure
+    * (Chum et al. 2008) that plain [[ngramJaccardPairs]] miscounts
+    * when near-dups differ only in boilerplate: shared rare tokens
+    * dominate, shared stopwords barely move the score. The df cap
+    * serves double duty — the standard Σ min(df,maxDf)² pair-count
+    * bound AND the weighted measure's vocabulary (high-df tokens
+    * contribute ≈0 weight anyway, so capping them out changes little
+    * while bounding the join).
+    *
+    * The vocabulary cap is dual: fractional (df·`dfDenom` ≤ N — a
+    * token in more than 1/dfDenom of the corpus is boilerplate at ANY
+    * corpus size, which keeps the measure discriminative whether N is
+    * 500 or 5 billion) and absolute (df ≤ `maxDf` — the Σ df² join
+    * bound that the fractional cap alone would not give at scale).
+    *
+    * Shape at 100 TB: distinct (doc, token) digests shuffle, text
+    * does not; N rides a 1-row broadcast; per-doc weight totals are
+    * one partial agg; the pair join is the df-capped self-join.
+    */
   def weightedJaccardPairs(documents: DataFrame, threshold: Double = 0.3,
                            maxDf: Int = 1000, dfDenom: Int = 10): DataFrame = {
     val tok = documents

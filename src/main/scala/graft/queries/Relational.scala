@@ -1131,6 +1131,14 @@ object Relational {
     * groups (~1/nBuckets of distinct prices), where the partitioned
     * in-bucket running sum finishes. Equal prices share a group, so
     * the in-bucket order is total and the crossing price is exact.
+    *
+    * Precondition: positive total weight (Σ l_quantity > 0 per
+    * group). In the degenerate all-zero-weight case the crossing
+    * filter (2·offset < t) matches no bucket and this returns a null
+    * row, while the oracle's `2*cum >= t` form admits every row and
+    * returns the minimum price — impossible on TPC-H data
+    * (l_quantity ≥ 1), so the divergence is documented rather than
+    * guarded.
     */
   def weightedMedianPrice(lineitem: DataFrame, nBuckets: Int = 32): DataFrame = {
     val wp = lineitem.groupBy(col("l_extendedprice").as("price"))

@@ -680,19 +680,6 @@ object EventStreams {
   case class FunnelState(vUs: Long, cUs: Long, pUs: Long)
   case class FunnelHit(user_id: Long, stage: Int, ts_us: Long)
 
-  /** Streaming strict-deadline funnel — the stateful face of
-    * [[graft.operators.EventOps.strictFunnel]]: per user, anchor on
-    * the FIRST view, admit the first click within `stepUs` of it,
-    * then the first purchase within `stepUs` of that click, emitting
-    * a (user, stage, ts) hit row as each stage is first reached.
-    * Processing events in time order makes "first qualifying" equal
-    * the batch min-aggregate, so counting users at stage ≥ s
-    * reproduces the batch funnel exactly. State is three longs per
-    * user — O(users), stream-length-independent (EventTimeTimeout
-    * retires keys in production once the deadline horizon passes).
-    * Time-ordered replay contract as [[transitionEdges]]; the spec
-    * pins stage counts to the oracle-green `ev_strict_funnel` row.
-    */
   case class LabeledVec(label: Int, embedding: Seq[Float])
   case class CentroidState(n: Long, sums: Seq[Double])
   case class LabelCentroid(label: Int, n: Long, centroid: Seq[Double])
@@ -729,6 +716,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming strict-deadline funnel — the stateful face of
+    * [[graft.operators.EventOps.strictFunnel]]: per user, anchor on
+    * the FIRST view, admit the first click within `stepUs` of it,
+    * then the first purchase within `stepUs` of that click, emitting
+    * a (user, stage, ts) hit row as each stage is first reached.
+    * Processing events in time order makes "first qualifying" equal
+    * the batch min-aggregate, so counting users at stage ≥ s
+    * reproduces the batch funnel exactly. State is three longs per
+    * user — O(users), stream-length-independent (EventTimeTimeout
+    * retires keys in production once the deadline horizon passes).
+    * Time-ordered replay contract as [[transitionEdges]]; the spec
+    * pins stage counts to the oracle-green `ev_strict_funnel` row.
+    */
   def strictFunnelHits(events: Dataset[FunnelEvent],
                        stepUs: Long = 3600000000L): Dataset[FunnelHit] = {
     val spark = events.sparkSession
