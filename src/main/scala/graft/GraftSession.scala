@@ -28,6 +28,14 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // The Janino generated-class cache (static conf) defaults to 100
+      // entries; this suite plans 300+ distinct queries per JVM, so at
+      // the default every bench/verify iteration evicts and recompiles
+      // most of the fleet — measured as a UNIFORM ~1.8× warm-cost
+      // inflation across otherwise-untouched queries (round-7 finding).
+      // 4096 comfortably holds every generated class for the full
+      // registry. On a real cluster the same knob applies per executor.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by

@@ -708,8 +708,15 @@ object Dedup {
     * Docs in no pair are singleton groups by definition and excluded,
     * matching [[connectedGroups]]' contract.
     */
-  def clusterStats(documents: DataFrame): DataFrame = {
-    val groups = connectedGroups(minhashNearDupsMd5(documents))
+  def clusterStats(documents: DataFrame): DataFrame =
+    clusterStats(documents, connectedGroups(minhashNearDupsMd5(documents)))
+
+  /** [[clusterStats]] over a pre-materialized `groups` table — the
+    * production entry point: compute the CC closure once per corpus
+    * snapshot, fan every cluster audit out from it
+    * (see [[graft.Materialized]]).
+    */
+  def clusterStats(documents: DataFrame, groups: DataFrame): DataFrame = {
     groups.join(documents.select("doc_id", "n_chars"), Seq("doc_id"))
       .groupBy("group_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -1082,9 +1089,14 @@ object Dedup {
     * group-partitioned window over the (docs-in-clusters)-sized
     * group table.
     */
-  def clusterRepresentatives(documents: DataFrame): DataFrame = {
+  def clusterRepresentatives(documents: DataFrame): DataFrame =
+    clusterRepresentatives(documents, connectedGroups(simhashMd5NearDups(documents)))
+
+  /** [[clusterRepresentatives]] over a pre-materialized `groups`
+    * table (see [[graft.Materialized]] — compute CC once, fan out).
+    */
+  def clusterRepresentatives(documents: DataFrame, groups: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val groups = connectedGroups(simhashMd5NearDups(documents))
     val w = Window.partitionBy("group_id")
       .orderBy(col("n_chars").desc, col("doc_id"))
     groups.join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
@@ -1197,7 +1209,13 @@ object Dedup {
     * in every CC consumer here.
     */
   def clusterSizeHistogram(pairs: DataFrame): DataFrame =
-    connectedGroups(pairs)
+    clusterSizeHistogramOfGroups(connectedGroups(pairs))
+
+  /** [[clusterSizeHistogram]] over a pre-materialized `groups` table
+    * (see [[graft.Materialized]] — compute CC once, fan out).
+    */
+  def clusterSizeHistogramOfGroups(groups: DataFrame): DataFrame =
+    groups
       .groupBy("group_id").agg(count(lit(1)).as("group_size"))
       .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
       .orderBy("group_size")
@@ -1221,8 +1239,11 @@ object Dedup {
     * that bounds pair volume on a heavily-duplicated corpus; set
     * sampleMod = 1 for the full join. Shape at 100 TB: one
     * (doc, token) distinct shuffle, one vocabulary-sized df join,
-    * one prefix-token equi-join; candidates dedupe on the bare ID
-    * pair and the token arrays join back once per surviving pair.
+    * one prefix-token equi-join; candidates pass Bayardo's length
+    * filter (min len ≥ t·max len — exhaustive for Jaccard ≥ t, so
+    * size-mismatched pairs drop before any set arithmetic), dedupe
+    * on the bare ID pair, and the token arrays join back once per
+    * surviving pair.
     */
   def prefixFilterPairs(documents: DataFrame, threshold: Double = 0.6,
                         sampleMod: Int = 5, maxBucket: Int = 1024): DataFrame = {
@@ -1249,20 +1270,28 @@ object Dedup {
         col("len") - ceil(col("len") * threshold).cast("int") + 1)
       .localCheckpoint(true)
     val prefix = perDoc
-      .select(col("doc_id"), col("p"),
+      .select(col("doc_id"), col("p"), col("len"),
         posexplode(col("keys")).as(Seq("pos", "ktok")))
       .filter(col("pos") < col("p"))
-      .select(col("doc_id"), col("ktok"))
+      .select(col("doc_id"), col("ktok"), col("len"))
     val w = Window.partitionBy("ktok").orderBy("doc_id")
     val capped = prefix
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxBucket)
       .drop("_rn")
     // candidates dedupe on the ID PAIR alone; the token arrays join
-    // back once per surviving pair (never ride through the distinct)
-    val cand = capped.select(col("ktok"), col("doc_id").as("doc_a"))
-      .join(capped.select(col("ktok"), col("doc_id").as("doc_b")), Seq("ktok"))
+    // back once per surviving pair (never ride through the distinct).
+    // The length filter (Bayardo et al. 2007 §3.1) prunes BEFORE the
+    // distinct and the verify join: J(A,B) ≥ t ⟹ min(|A|,|B|) ≥
+    // t·max(|A|,|B|), so size-mismatched candidates can never verify —
+    // exhaustive for Jaccard ≥ t, one comparison per candidate. The
+    // 1e-9 slack keeps the prune conservative under FP rounding.
+    val cand = capped.select(col("ktok"), col("doc_id").as("doc_a"), col("len").as("len_a"))
+      .join(capped.select(col("ktok"), col("doc_id").as("doc_b"), col("len").as("len_b")),
+        Seq("ktok"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("len_a"), col("len_b")).cast("double") >=
+        greatest(col("len_a"), col("len_b")).cast("double") * threshold - 1e-9)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     val ka = perDoc.select(col("doc_id").as("doc_a"), col("keys").as("ka"))

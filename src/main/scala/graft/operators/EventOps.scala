@@ -754,6 +754,23 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** EXACT twin of [[distinctUsersSketchRollup]]: the same per-type +
+    * overall distinct-user rollup via `count_distinct` — fully
+    * SQL-expressible, so this is the oracle-green anchor the sketch
+    * variant's tolerance spec measures against. At 100 TB the exact
+    * form pays a distinct-expand shuffle per grouping (users × types
+    * rows cross the wire where the sketch ships KB summaries), which
+    * is exactly the trade the sketch twin documents.
+    */
+  def distinctUsersExactRollup(events: DataFrame): DataFrame = {
+    events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .unionAll(events
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(lit("_all_").as("event_type"), col("n_users")))
+      .orderBy("event_type")
+  }
+
   /** Heavy-hitter users via the [[graft.functions.Aggregators.MisraGries]]
     * bounded summary: one pass, O(capacity) state per partition,
     * partial summaries merged across partitions — the way to ask

@@ -168,21 +168,20 @@ class EventOpsSpec extends SparkSpec {
   }
 
   test("distinctUsersSketchRollup: per-type and unioned estimates track exact") {
-    import org.apache.spark.sql.functions.countDistinct
     val events = graft.Tables.events(spark, sf0001)
     val est = EventOps.distinctUsersSketchRollup(events).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exactPerType = events.groupBy("event_type")
-      .agg(countDistinct("user_id").as("n")).collect()
+    // the oracle-green exact twin (ev_distinct_rollup) is the anchor:
+    // same grouping shape, count_distinct instead of HLL sketches
+    val exact = EventOps.distinctUsersExactRollup(events).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exactAll = events.select(countDistinct("user_id")).collect().head.getLong(0)
-    exactPerType.foreach { case (tp, exact) =>
-      assert(math.abs(est(tp) - exact).toDouble / exact < 0.05,
-        s"$tp: est=${est(tp)} exact=$exact")
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (tp, ex) =>
+      assert(math.abs(est(tp) - ex).toDouble / ex < 0.05,
+        s"$tp: est=${est(tp)} exact=$ex")
     }
-    assert(math.abs(est("_all_") - exactAll).toDouble / exactAll < 0.05)
     // union of per-type sketches can never report fewer than any part
-    assert(est("_all_") >= exactPerType.keys.map(est).max - 1)
+    assert(est("_all_") >= (exact.keySet - "_all_").map(est).max - 1)
   }
 
   test("heavyHitterUsers: exact counts and deterministic order in the exact regime") {
