@@ -2,14 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, materializing each result fully via the noop
-  * sink (so projections/aggregations aren't pruned away the way a
-  * bare count() would allow). Prints ONE JSON line.
+/** Benchmark main: runs SparkEntry queries against SPARK_GRAFT_SF_DIR,
+  * materializing each result fully via the noop sink (so
+  * projections/aggregations aren't pruned away the way a bare count()
+  * would allow). Prints ONE JSON line.
+  *
+  * Round structure (round-9 reorder — the driver kills this process at
+  * a fixed wall deadline, and three rounds running the full-set round
+  * FIRST left `iters_completed: 1` with no warm min/median in any
+  * driver artifact):
+  *   1. warm the HEADLINE keys only (concurrent, sf0.001) — cheap;
+  *   2. run ≥2 timed headline rounds and emit after each — the warm
+  *      min/median artifact is banked within ~2 min no matter what
+  *      happens later;
+  *   3. warm the remaining keys (concurrent, sf0.001);
+  *   4. attempt ONE full-set round if the budget plausibly holds it
+  *      (full per-query detail → /tmp/bench_full.json);
+  *   5. more headline rounds until the time box closes.
   */
 object Bench {
-  /** Representative headline subset: one key per major operator family.
-    * Used both for warmup (below) and for the compact final JSON line.
+  /** Representative headline subset: one key per major operator
+    * family, plus the three standing evidence keys — the slowest
+    * query (`dedup_prefix_pairs`, whose Bayardo length-filter win
+    * needs a warm number), the materialize-once first consumer
+    * (`dedup_cluster_best`, pays the shared simhash-CC build), and a
+    * memo re-user (`dedup_source_matrix`, should be near-free warm).
     */
   val headline: Seq[String] = Seq(
     "bearly_sum_lineitem", "q1_pricing_summary", "q3_top_revenue",
@@ -20,7 +37,8 @@ object Bench {
     "sim_ivf_topk", "sim_cosine_neardup", "sim_semantic_groups",
     "sim_knn_graph", "text_stats", "text_tfidf", "text_lang_id",
     "text_quality_filter", "ev_sessionize", "ev_asof_native",
-    "ev_heavy_hitters", "mm_decode_features")
+    "ev_heavy_hitters", "mm_decode_features",
+    "dedup_prefix_pairs", "dedup_cluster_best", "dedup_source_matrix")
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
@@ -28,31 +46,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm EVERY query once on the smallest SF: warmup exists to trigger
-    // codegen/janino/JIT/classloading, and that fixed cost dominates the
-    // timed rounds when paid cold (r6: headline-only warmup left round 1
-    // at ~210 s cold vs ~85 s warm, so the time-box predictor — which
-    // extrapolates from the COLD round — never started round 2 and no
-    // warm min/median existed in the driver artifact). A full sf0.001
-    // sweep costs ~100 s (measured), buys a ~3× cheaper round 1, and
-    // still leaves budget for ≥2 timed rounds. (r5's mistake was warming
-    // the full fleet TWICE; once is the right trade.)
+    // Warmup exists to trigger codegen/janino/JIT/classloading — that
+    // fixed cost dominates timed rounds when paid cold (r6: ~210 s
+    // cold vs ~85 s warm for the full set). It runs 4 queries
+    // CONCURRENTLY: sf0.001 jobs are tiny (wall time is driver-side
+    // planning/janino, which parallelizes across Spark's FIFO
+    // scheduler) and warmup timings are never reported — only the
+    // codegen/JIT side effect matters.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val qmap: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       SparkEntry.queries
-    // Warmup runs 4 queries CONCURRENTLY: sf0.001 jobs are tiny (most
-    // of their wall time is driver-side planning/janino, which
-    // parallelizes cleanly across Spark's FIFO scheduler), and warmup
-    // timings are never reported — only the codegen/JIT side effect
-    // matters. Measured: sequential warmup grew to ~149 s at 249
-    // queries and started eating the timed rounds' budget.
-    locally {
+    def warm(names: Seq[String]): Unit = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val futs = qmap.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val futs = names.sorted.map { name =>
         scala.concurrent.Future {
-          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          try qmap(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
           }
@@ -62,23 +72,10 @@ object Bench {
         scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
       pool.shutdown()
     }
-    System.err.println(f"[bench] full warmup done at ${(System.nanoTime() - wallStart) / 1e9}%.1f s")
-    // Round structure: ONE full-set round (all 179 queries — complete
-    // per-query coverage), then headline-only rounds (27 keys, ~4×
-    // cheaper) until the time box closes. The full round after a full
-    // sf0.001 warmup is already near-warm; the headline rounds supply
-    // the reproducible warm min/median for exactly the keys the
-    // round-over-round comparison reads. (r6 ran full-set rounds only:
-    // the cold round-1 time fed the predictor, round 2 never started,
-    // and the driver artifact had no warm numbers at all.)
-    //
-    // The whole loop is TIME-BOXED: the driver kills the bench process at
-    // a fixed wall deadline (r5: rc=124, no JSON, parsed null). Two
-    // defenses: (a) a round only STARTS if the previous same-kind round
-    // ×1.2 variance headroom still fits inside 95% of the budget;
-    // (b) the compact JSON line is printed AFTER EVERY ROUND, so even a
-    // mid-round kill leaves the last complete round's parseable line in
-    // the output tail.
+    // The whole loop is TIME-BOXED (r5: rc=124, no JSON, parsed null).
+    // Defenses: rounds only start when predicted to fit, and the
+    // compact JSON line is rewritten AFTER EVERY ROUND so a mid-round
+    // kill leaves the last complete round's parseable line behind.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
     def elapsedS: Double = (System.nanoTime() - wallStart) / 1e9
@@ -111,11 +108,11 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
     // The harness captures only the TAIL of the process output, so a
-    // single JSON line carrying all 179 per-query medians (~4 KB) gets
+    // single JSON line carrying all per-query medians (~4 KB) gets
     // its head truncated and fails to parse (round-4 lesson:
     // BENCH_r04.json "parsed": null). Split the report: full per-query
     // detail (median + min) goes to /tmp/bench_full.json; the line
-    // printed is a compact (<1.5 KB) headline JSON that always fits the
+    // printed is a compact (<2 KB) headline JSON that always fits the
     // tail window intact.
     def emit(last: Boolean): String = {
       val itersCompleted = runs.length
@@ -144,20 +141,46 @@ object Bench {
       json
     }
 
-    var lastFullS = runRound(allNames)
-    System.err.println(f"[bench] full round done at $elapsedS%.1f s (round $lastFullS%.1f s, budget $budgetS%.0f s)")
+    // Phase 1-2: headline warmup + ≥2 timed headline rounds. This is
+    // the part that MUST land — it produces iters_completed ≥ 2 and a
+    // queries_min that differs from queries (real warm evidence) even
+    // if the time box closes during everything after it.
+    warm(headline)
+    System.err.println(f"[bench] headline warmup done at $elapsedS%.1f s")
+    var lastHeadS = runRound(headline)
+    System.err.println(f"[bench] headline round 1 done at $elapsedS%.1f s (round $lastHeadS%.1f s, budget $budgetS%.0f s)")
     emit(last = false)
-    // Estimate the first headline round from the full round's own
-    // headline keys; after that, predict from the previous headline
-    // round. 20% headroom — round-to-round swings of ~1.5× are real
-    // under GC/codegen pressure, and the per-round emit above caps the
-    // damage of an overrun at one lost round.
-    var lastHeadS = runs.head.filter(kv => headSet.contains(kv._1)).map(_._2).sum
     var i = 1
+    while (i < 2 && elapsedS + lastHeadS * 1.2 < budgetS * 0.95) {
+      lastHeadS = runRound(headline)
+      i += 1
+      System.err.println(f"[bench] headline round $i done at $elapsedS%.1f s (round $lastHeadS%.1f s)")
+      emit(last = false)
+    }
+    // Phase 3-4: warm the rest, then ONE full-set round if the budget
+    // plausibly holds it. The estimate scales the last headline round
+    // by key count (headline keys skew expensive, so this
+    // over-predicts — deliberately conservative) but uses slim 1.0×
+    // headroom: a mid-round kill costs nothing (the artifact above is
+    // already banked) while a completed full round buys per-query
+    // coverage for all keys.
+    if (elapsedS < budgetS * 0.6) {
+      warm(allNames.filterNot(headSet.contains))
+      System.err.println(f"[bench] full warmup done at $elapsedS%.1f s")
+      val fullEst = lastHeadS * allNames.length.toDouble / headline.length
+      if (elapsedS + fullEst < budgetS - 10) {
+        val fullS = runRound(allNames)
+        System.err.println(f"[bench] full round done at $elapsedS%.1f s (round $fullS%.1f s)")
+        emit(last = false)
+      } else {
+        System.err.println(f"[bench] skipping full round (est $fullEst%.1f s won't fit at $elapsedS%.1f s)")
+      }
+    }
+    // Phase 5: more headline rounds until the box closes.
     while (i < iters && elapsedS + lastHeadS * 1.2 < budgetS * 0.95) {
       lastHeadS = runRound(headline)
       i += 1
-      System.err.println(f"[bench] headline round $i/$iters done at $elapsedS%.1f s (round $lastHeadS%.1f s, budget $budgetS%.0f s)")
+      System.err.println(f"[bench] headline round $i/$iters done at $elapsedS%.1f s (round $lastHeadS%.1f s)")
       emit(last = false)
     }
     val json = emit(last = true)

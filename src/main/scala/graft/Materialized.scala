@@ -1,6 +1,7 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Process-scoped memo of expensive shared intermediates — the
@@ -21,22 +22,81 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * blocks. On a real cluster the same role is played by a parquet
   * table + `spark.read` — the registry keys would point at the sink.
   *
-  * Keyed by (session identity, data dir, kind) so different scale
-  * factors and test sessions never cross-contaminate; values are
-  * deterministic (every builder here is seed-free md5/sort-based), so
-  * reuse cannot change any oracle row.
+  * Keyed by `spark.sessionUUID` (unique and stable per session — an
+  * identity hash code is neither, and can collide with a dead
+  * session's key after GC), plus data dir and kind, so different
+  * scale factors and test sessions never cross-contaminate; values
+  * are deterministic (every builder here is seed-free md5/sort-based),
+  * so reuse cannot change any oracle row.
+  *
+  * Concurrency: the map holds lazy cells, not built frames. The
+  * mapping function only allocates a cell, so `computeIfAbsent` never
+  * runs a Spark job while holding a bin lock (which would both block
+  * unrelated keys and forbid the nested `of()` calls some builders
+  * make — a recursive map update). Forcing the cell's `lazy val`
+  * synchronizes on the cell alone, so each key still builds exactly
+  * once.
+  *
+  * Lifecycle: entries of a stopped session are useless (their
+  * checkpoint blocks die with the context) — a context-stop listener
+  * evicts them so long-lived multi-session processes don't pin dead
+  * sessions against GC, and a validate-on-hit guard rebuilds rather
+  * than hand out a frame bound to a stopped context.
   */
 object Materialized {
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  private final class Cell(build: () => DataFrame) {
+    lazy val df: DataFrame = build().localCheckpoint(true)
+  }
+
+  private val cache = new ConcurrentHashMap[String, Cell]()
+  private val hooked = ConcurrentHashMap.newKeySet[String]()
 
   def of(spark: SparkSession, dir: String, kind: String)
-        (build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|$kind",
-      _ => build.localCheckpoint(true))
+        (build: => DataFrame): DataFrame = {
+    val uuid = org.apache.spark.sql.GraftSqlShim.sessionUUID(spark)
+    val key = s"$uuid|$dir|$kind"
+    registerEviction(spark, uuid)
+    val cell = cache.computeIfAbsent(key, _ => new Cell(() => build))
+    val df = cell.df
+    if (df.sparkSession.sparkContext.isStopped) {
+      // Stale survivor (eviction raced or listener never fired): drop
+      // this cell and rebuild under the live session. Deterministic
+      // builders make the replacement value-identical.
+      cache.remove(key, cell)
+      cache.computeIfAbsent(key, _ => new Cell(() => build)).df
+    } else df
+  }
 
-  /** Test hygiene: drop every memoized frame (checkpoint blocks are
-    * released with their session; this just clears the references).
+  /** Evict every entry of `uuid` when its context stops. One listener
+    * per (context, session) pair; the `hooked` guard keys on both so a
+    * recreated context gets a fresh hook.
     */
+  private def registerEviction(spark: SparkSession, uuid: String): Unit = {
+    val sc = spark.sparkContext
+    if (hooked.add(s"${sc.applicationId}|$uuid")) {
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+          evict(uuid)
+      })
+    }
+  }
+
+  /** Drop every memoized frame of one session (checkpoint blocks are
+    * released with their context; this clears the references).
+    */
+  def evict(uuid: String): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(s"$uuid|")) it.remove()
+  }
+
+  /** Test hygiene: drop every memoized frame. */
   def clear(): Unit = cache.clear()
+
+  /** Test visibility: number of live entries for a session. */
+  def entriesFor(uuid: String): Int = {
+    var n = 0
+    cache.keySet().forEach(k => if (k.startsWith(s"$uuid|")) n += 1)
+    n
+  }
 }

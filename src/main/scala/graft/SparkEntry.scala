@@ -27,12 +27,16 @@ object SparkEntry {
   // unchanged; the first consumer in a bench round pays the build.
   private def ngramPairsShared(s: SparkSession, d: String): DataFrame =
     Materialized.of(s, d, "pairs_ngram")(Dedup.ngramJaccardPairs(Tables.documents(s, d)))
+  private def simhashPairsShared(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "pairs_simhash_md5")(Dedup.simhashMd5NearDups(Tables.documents(s, d)))
   private def simhashGroupsShared(s: SparkSession, d: String): DataFrame =
-    Materialized.of(s, d, "groups_simhash_md5")(Dedup.connectedGroups(
-      Materialized.of(s, d, "pairs_simhash_md5")(Dedup.simhashMd5NearDups(Tables.documents(s, d)))))
+    Materialized.of(s, d, "groups_simhash_md5")(
+      Dedup.connectedGroups(simhashPairsShared(s, d)))
+  private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "pairs_minhash_md5")(Dedup.minhashNearDupsMd5(Tables.documents(s, d)))
   private def minhashGroupsShared(s: SparkSession, d: String): DataFrame =
-    Materialized.of(s, d, "groups_minhash_md5")(Dedup.connectedGroups(
-      Dedup.minhashNearDupsMd5(Tables.documents(s, d))))
+    Materialized.of(s, d, "groups_minhash_md5")(
+      Dedup.connectedGroups(minhashPairsShared(s, d)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -218,12 +222,20 @@ object SparkEntry {
     "dedup_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxDist = 3)),
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinNearDups(Tables.documents(s, d))),
     "dedup_pipeline" -> ((s, d) => Dedup.pipelineKeepSet(Tables.documents(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramPairsShared(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))),
     "dedup_ngram_containment" -> ((s, d) =>
       Dedup.ngramContainmentPairs(Tables.documents(s, d))),
     // md5-seeded oracle twins of the xxhash64 fast paths (hash-checkable end-to-end)
-    "dedup_minhash_md5" -> ((s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d))),
-    "dedup_minhash_est_error" -> ((s, d) => Dedup.minhashEstErrorMd5(Tables.documents(s, d))),
+    "dedup_minhash_md5" -> ((s, d) =>
+      minhashPairsShared(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))),
+    "dedup_minhash_est_error" -> ((s, d) =>
+      Dedup.minhashEstErrorMd5(Tables.documents(s, d), minhashPairsShared(s, d),
+        shingleK = 5, numHashes = 16)),
     "dedup_cluster_stats" -> ((s, d) =>
       Dedup.clusterStats(Tables.documents(s, d), minhashGroupsShared(s, d))),
     "dedup_impact_by_source" -> ((s, d) => Dedup.impactBySource(Tables.documents(s, d))),
@@ -232,8 +244,11 @@ object SparkEntry {
     "dedup_triangles" -> ((s, d) => operators.Graph.triangleStats(ngramPairsShared(s, d))),
     "dedup_degree_hist" -> ((s, d) => operators.Graph.degreeHistogram(ngramPairsShared(s, d))),
     "dedup_band_histogram" -> ((s, d) => Dedup.minhashBandHistogram(Tables.documents(s, d))),
-    "dedup_source_matrix" -> ((s, d) => Dedup.crossSourceNearDups(Tables.documents(s, d))),
-    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecallAudit(Tables.documents(s, d))),
+    "dedup_source_matrix" -> ((s, d) =>
+      Dedup.crossSourceNearDups(Tables.documents(s, d), minhashPairsShared(s, d))),
+    "dedup_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecallAudit(Tables.documents(s, d), ngramPairsShared(s, d),
+        shingleK = 5, numHashes = 16, bands = 4)),
     "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documents(s, d))),
     "text_jsd_drift" -> ((s, d) => TextAnalysis.jsdSourceDrift(Tables.documents(s, d))),
     "text_length_hist" -> ((s, d) => TextAnalysis.docLengthHistogram(Tables.documents(s, d))),
@@ -264,7 +279,7 @@ object SparkEntry {
     "text_lang_confusion" -> ((s, d) =>
       TextAnalysis.langConfusionMatrix(Tables.documents(s, d))),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(Tables.documents(s, d))),
-    "dedup_split_leakage" -> ((s, d) => Dedup.splitLeakage(Tables.documents(s, d))),
+    "dedup_split_leakage" -> ((s, d) => Dedup.splitLeakageOfPairs(minhashPairsShared(s, d))),
     "ev_error_rate" -> ((s, d) => EventOps.errorRateHourly(Tables.events(s, d))),
     "ev_funnel_by_segment" -> ((s, d) =>
       EventOps.funnelBySegment(Tables.events(s, d), Tables.customer(s, d))),
@@ -287,7 +302,8 @@ object SparkEntry {
     "sim_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(Tables.embeddings(s, d))),
     "text_mix_diversity" -> ((s, d) => TextAnalysis.mixDiversity(Tables.documents(s, d))),
     "dedup_lex_vs_sem" -> ((s, d) =>
-      Dedup.lexicalVsSemantic(Tables.documents(s, d), Tables.embeddings(s, d))),
+      Dedup.lexicalVsSemantic(Tables.documents(s, d), Tables.embeddings(s, d),
+        minhashPairsShared(s, d))),
     "mm_modality_mix" -> ((s, d) => Multimodal.modalityMix(Tables.documents(s, d))),
     "sim_effective_dims" -> ((s, d) => Similarity.effectiveDims(Tables.embeddings(s, d))),
     "ev_wow_growth" -> ((s, d) => EventOps.wowGrowth(Tables.events(s, d))),
@@ -318,7 +334,10 @@ object SparkEntry {
     "sim_radius_search" -> ((s, d) => Similarity.radiusSearch(Tables.embeddings(s, d))),
     "text_stopword_profile" -> ((s, d) => TextAnalysis.stopwordProfile(Tables.documents(s, d))),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5(Tables.documents(s, d))),
-    "dedup_simhash_md5_neardups" -> ((s, d) => Dedup.simhashMd5NearDups(Tables.documents(s, d))),
+    "dedup_simhash_md5_neardups" -> ((s, d) =>
+      simhashPairsShared(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestByFingerprint(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, pmod, lit}

@@ -676,8 +676,19 @@ object Dedup {
     * what LSH surfaced. Pairs sharing no shingle define truth = 0.
     */
   def minhashEstErrorMd5(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 16,
-                         bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDupsMd5(documents, shingleK, numHashes, bands, threshold)
+                         bands: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashEstErrorMd5(documents,
+      minhashNearDupsMd5(documents, shingleK, numHashes, bands, threshold),
+      shingleK, numHashes)
+
+  /** [[minhashEstErrorMd5]] over a pre-materialized candidate-pair
+    * table (the production entry point — see [[graft.Materialized]]):
+    * `pairs` must carry (doc_a, doc_b, est_jaccard) built with the
+    * same `shingleK`/`numHashes` so the exact-Jaccard truth leg
+    * audits the estimator that actually produced them.
+    */
+  def minhashEstErrorMd5(documents: DataFrame, pairs: DataFrame,
+                         shingleK: Int, numHashes: Int): DataFrame = {
     val sets = explodedShingles(documents, shingleK)
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("sh"))
@@ -939,9 +950,19 @@ object Dedup {
     * join and three 1-row aggregates.
     */
   def lshRecallAudit(documents: DataFrame, shingleK: Int = 5, numHashes: Int = 16,
-                     bands: Int = 4): DataFrame = {
-    val truth = ngramJaccardPairs(documents, shingleK)
-      .select(col("doc_a"), col("doc_b"))
+                     bands: Int = 4): DataFrame =
+    lshRecallAudit(documents, ngramJaccardPairs(documents, shingleK),
+      shingleK, numHashes, bands)
+
+  /** [[lshRecallAudit]] with a pre-materialized exact-Jaccard truth
+    * table (the production entry point — see [[graft.Materialized]]):
+    * the candidate leg still runs at threshold 0 (recall needs the
+    * uncut candidate set), but the expensive shingle self-join truth
+    * is reused from the shared pair build.
+    */
+  def lshRecallAudit(documents: DataFrame, truthPairs: DataFrame,
+                     shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    val truth = truthPairs.select(col("doc_a"), col("doc_b"))
     val cand = minhashNearDupsMd5(documents, shingleK, numHashes, bands, threshold = 0.0)
       .select(col("doc_a"), col("doc_b"))
     truth.join(cand.withColumn("found", lit(1L)), Seq("doc_a", "doc_b"), "left")
@@ -962,11 +983,19 @@ object Dedup {
     * is the capped banded LSH join, the split tags are pure modulo
     * arithmetic on the pair ids (no second scan of the corpus).
     */
-  def splitLeakage(documents: DataFrame): DataFrame = {
+  def splitLeakage(documents: DataFrame): DataFrame =
+    splitLeakageOfPairs(minhashNearDupsMd5(documents))
+
+  /** [[splitLeakage]] over a pre-materialized near-dup pair table —
+    * the production entry point (see [[graft.Materialized]]): the
+    * split tags are modulo arithmetic on the pair ids alone, so no
+    * corpus scan happens here at all.
+    */
+  def splitLeakageOfPairs(pairs: DataFrame): DataFrame = {
     def split(c: Column): Column =
       when(pmod(c, lit(10)) < 8, "train")
         .when(pmod(c, lit(10)) === 8, "val").otherwise("test")
-    minhashNearDupsMd5(documents)
+    pairs
       .select(split(col("doc_a")).as("sa"), split(col("doc_b")).as("sb"))
       .select(least(col("sa"), col("sb")).as("split_x"),
         greatest(col("sa"), col("sb")).as("split_y"))
@@ -986,8 +1015,15 @@ object Dedup {
     * two joins against a (doc_id, source) projection — the text
     * itself never moves.
     */
-  def crossSourceNearDups(documents: DataFrame): DataFrame = {
-    val pairs = minhashNearDupsMd5(documents)
+  def crossSourceNearDups(documents: DataFrame): DataFrame =
+    crossSourceNearDups(documents, minhashNearDupsMd5(documents))
+
+  /** [[crossSourceNearDups]] over a pre-materialized near-dup pair
+    * table — the production entry point (see [[graft.Materialized]]):
+    * only the two id→source attach joins and the |sources|²-bounded
+    * rollup run here.
+    */
+  def crossSourceNearDups(documents: DataFrame, pairs: DataFrame): DataFrame = {
     val src = documents.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
@@ -1014,10 +1050,18 @@ object Dedup {
     * on both sides drop (inner joins) — coverage is reported by the
     * row count vs `dedup_minhash_md5`.
     */
-  def lexicalVsSemantic(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+  def lexicalVsSemantic(documents: DataFrame, embeddings: DataFrame): DataFrame =
+    lexicalVsSemantic(documents, embeddings, minhashNearDupsMd5(documents))
+
+  /** [[lexicalVsSemantic]] over a pre-materialized near-dup pair
+    * table — the production entry point (see [[graft.Materialized]]):
+    * only the two id→vector attach joins and the cosine run here.
+    */
+  def lexicalVsSemantic(documents: DataFrame, embeddings: DataFrame,
+                        pairs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(documents.sparkSession)
     val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    minhashNearDupsMd5(documents)
+    pairs
       .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
       .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),

@@ -14,4 +14,12 @@ object GraftSqlShim {
 
   def analyzedPlan(df: Dataset[_]): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** `SparkSession.sessionUUID` is `private[sql]` — unique and stable
+    * per session, unlike an identity hash code (which a new session
+    * can collide with after the old one is GC'd). Used as the memo
+    * cache key in [[graft.Materialized]].
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }

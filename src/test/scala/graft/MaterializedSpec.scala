@@ -1,0 +1,85 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.GraftSqlShim
+
+/** Pins the [[Materialized]] memo contract: build-once per
+  * (session, dir, kind), session isolation via `sessionUUID` keys
+  * (NOT identity hash codes), nested `of()` calls (the simhash
+  * groups builder memoizes its own pair input), and the
+  * stop-session lifecycle — entries of a stopped session are evicted
+  * and a recreated session rebuilds rather than receiving frames
+  * bound to a dead context.
+  */
+class MaterializedSpec extends SparkSpec {
+
+  test("builds once per key and returns the same rows") {
+    val builds = new AtomicInteger(0)
+    def make() = Materialized.of(spark, sf0001, "spec_memo_once") {
+      builds.incrementAndGet()
+      Tables.documents(spark, sf0001).select("doc_id").orderBy("doc_id").limit(5)
+    }
+    val a = make().collect().map(_.getLong(0)).toSeq
+    val b = make().collect().map(_.getLong(0)).toSeq
+    assert(builds.get() === 1, "second of() must hit the memo, not rebuild")
+    assert(a === b)
+  }
+
+  test("nested of() calls (groups-over-pairs) build without recursive-update errors") {
+    // The real registry nests: groups builder forces the pairs memo
+    // inside its own build. Under the old computeIfAbsent-runs-build
+    // design this was a forbidden recursive map update that threw
+    // IllegalStateException when keys shared a hash bin.
+    val builds = new AtomicInteger(0)
+    def pairs = Materialized.of(spark, sf0001, "spec_memo_inner") {
+      builds.incrementAndGet()
+      Tables.documents(spark, sf0001).select("doc_id").limit(3)
+    }
+    val outer = Materialized.of(spark, sf0001, "spec_memo_outer") {
+      pairs.groupBy().count()
+    }
+    assert(outer.collect().head.getLong(0) === 3)
+    assert(builds.get() === 1)
+    // Inner memo is independently visible afterwards.
+    assert(pairs.count() === 3)
+    assert(builds.get() === 1)
+  }
+
+  test("sessions are isolated: a cloned session gets its own entry") {
+    val builds = new AtomicInteger(0)
+    def in(s: org.apache.spark.sql.SparkSession) =
+      Materialized.of(s, sf0001, "spec_memo_session") {
+        builds.incrementAndGet()
+        Tables.documents(s, sf0001).select("doc_id").limit(2)
+      }
+    in(spark).count()
+    val s2 = spark.newSession()
+    assert(GraftSqlShim.sessionUUID(s2) !== GraftSqlShim.sessionUUID(spark))
+    in(s2).count()
+    assert(builds.get() === 2, "distinct sessions must not share memo entries")
+    in(spark).count(); in(s2).count()
+    assert(builds.get() === 2)
+  }
+
+  test("stop/recreate lifecycle: dead-session entries evict, new session rebuilds") {
+    val uuid1 = GraftSqlShim.sessionUUID(spark)
+    Materialized.of(spark, sf0001, "spec_memo_lifecycle") {
+      Tables.documents(spark, sf0001).select("doc_id").limit(4)
+    }.count()
+    assert(Materialized.entriesFor(uuid1) >= 1)
+    spark.stop()
+    // getOrCreate after stop → a brand-new session (and context).
+    val s2 = GraftSession.local("4")
+    val uuid2 = GraftSqlShim.sessionUUID(s2)
+    assert(uuid2 !== uuid1)
+    // The context-stop listener evicted the dead session's entries.
+    assert(Materialized.entriesFor(uuid1) === 0,
+      "stopped session's memo entries must be evicted")
+    // Re-reading the memo under the new session rebuilds and works.
+    val n = Materialized.of(s2, sf0001, "spec_memo_lifecycle") {
+      Tables.documents(s2, sf0001).select("doc_id").limit(4)
+    }.count()
+    assert(n === 4)
+    assert(Materialized.entriesFor(uuid2) >= 1)
+  }
+}
