@@ -36,6 +36,11 @@ object GraftSession {
       // 4096 comfortably holds every generated class for the full
       // registry. On a real cluster the same knob applies per executor.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Recursive CTEs materialize Σ-per-level rows; the walk in
+      // q_recursive_cte emits n·log₂(maxKey) rows, which crosses the
+      // 1M default at sf1 (found by the 10× scale bench). Keep the
+      // safety valve but size it for data-proportional recursion.
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by

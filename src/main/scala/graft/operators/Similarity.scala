@@ -125,21 +125,27 @@ object Similarity {
     * and diversity analysis start from (SemDeDup-style pipelines).
     *
     * Scale: the md5-bucket sample (same primitive as
-    * [[TextAnalysis.hashSample]]) bounds the quadratic term — n²
-    * pairs on samplePct% of the corpus is (pct/100)² of the full
-    * blow-up, and the sample is reproducible on any cluster. One side
-    * is broadcast (the sample fits by construction: it's the
-    * ANN-index build set, tens of MB); scoring is map-only over the
-    * other side and [[topKPerQuery]] reduces each partition to k
-    * candidates per node BEFORE the exchange. For the full-corpus
-    * graph at 100 TB, swap the sample for [[ivfAssign]] cells and run
-    * this per cell (Σ cell² ≪ n²).
+    * [[TextAnalysis.hashSample]]) thins the corpus, and `maxPanel`
+    * makes the audit cost FLAT in corpus size: a percentage sample
+    * alone still grows (pct·n)² — measured as a 55× blow-up on a 10×
+    * corpus — so the sample is capped to a fixed-size md5-ordered
+    * panel (`TakeOrderedAndProject`, a bounded heap, never a global
+    * sort). Audits run on constant-size panels; only the panel
+    * SELECTION scans the corpus. One side is broadcast (the panel
+    * fits by construction); scoring is map-only over the other side
+    * and [[topKPerQuery]] reduces each partition to k candidates per
+    * node BEFORE the exchange. For the full-corpus graph at 100 TB,
+    * swap the panel for [[ivfAssign]] cells and run this per cell
+    * (Σ cell² ≪ n²).
     */
-  def knnGraph(embeddings: DataFrame, k: Int = 5, samplePct: Int = 25): DataFrame = {
+  def knnGraph(embeddings: DataFrame, k: Int = 5, samplePct: Int = 25,
+               maxPanel: Int = 512): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
     val sampled = embeddings
       .filter(pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
         .cast("long"), lit(100L)).cast("int") < samplePct)
+      .withColumn("_h", md5(col("vec_id").cast("string")))
+      .orderBy("_h").limit(maxPanel)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val a = sampled.select(col("vec_id").as("qid"), col("v").as("qv"))
     val b = sampled.select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -929,20 +935,28 @@ object Similarity {
     * RANDOM pair look like", which is what separates a meaningful
     * 0.8 from an ambient one.
     *
-    * Coprime moduli keep the two samples independent; sampled pair
-    * count is n²/(modA·modB) — choose moduli so the smaller sample
-    * broadcasts (it is the build side). Bucketing runs on the
-    * ROUNDED cosine so both engines bucket identical values — an
-    * unrounded value a double-ulp below a bucket edge would
-    * otherwise flip buckets between engines. Map-only scoring after
-    * the broadcast; the histogram agg is ≤ 2·nBins keys.
+    * Coprime moduli keep the two samples independent, and `maxSide`
+    * caps each side to a fixed-size md5-ordered panel — a
+    * percentage-style sample alone still grows n²/(modA·modB) pairs
+    * (measured 14× on a 10× corpus), while capped panels make the
+    * census cost FLAT in corpus size (only panel selection scans the
+    * corpus; `TakeOrderedAndProject` bounded heaps, no global sort).
+    * The smaller side broadcasts (it is the build side). Bucketing
+    * runs on the ROUNDED cosine so both engines bucket identical
+    * values — an unrounded value a double-ulp below a bucket edge
+    * would otherwise flip buckets between engines. Map-only scoring
+    * after the broadcast; the histogram agg is ≤ 2·nBins keys.
     */
   def pairCosineHistogram(embeddings: DataFrame, modA: Int = 37, modB: Int = 41,
-                          nBins: Int = 10): DataFrame = {
+                          nBins: Int = 10, maxSide: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = embeddings.filter(pmod(col("vec_id"), lit(modA)) === 0)
+      .withColumn("_h", md5(col("vec_id").cast("string")))
+      .orderBy("_h").limit(maxSide)
       .select(col("vec_id").as("ida"), asDouble(col("embedding")).as("va"))
     val b = embeddings.filter(pmod(col("vec_id"), lit(modB)) === 0)
+      .withColumn("_h", md5(col("vec_id").cast("string")))
+      .orderBy("_h").limit(maxSide)
       .select(col("vec_id").as("idb"), asDouble(col("embedding")).as("vb"))
     val scored = broadcast(a).join(b, col("ida") =!= col("idb"))
       .select(round(cosine(col("va"), col("vb")), 6).as("cs"))
