@@ -43,14 +43,21 @@ object ScaleData {
       Tables.load(spark, src, name).crossJoin(
         spark.range(reps).toDF("rep"))
     def off(c: String) = (col(c) + col("rep") * Stride).as(c)
-    def write(df: DataFrame, name: String): Unit = {
-      df.drop("rep").write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // fact tables are written as 16 files: the crossJoin inherits the
+    // source scan's partitioning (1-2 files at sf0.1), and a
+    // single-file 10× table serializes every scan-side map stage onto
+    // one or two cores — a layout artifact a real 10× corpus (many
+    // ingest files) doesn't have, which skewed the first scale-curve
+    // measurements of the scan-bound queries by up to ~10×.
+    def write(df: DataFrame, name: String, files: Int = 16): Unit = {
+      df.drop("rep").repartition(files)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaledata] wrote $name")
     }
 
-    // dims: fixed, straight copy
+    // dims: fixed, straight copy, single file
     Seq("region", "nation").foreach { t =>
-      write(Tables.load(spark, src, t), t)
+      write(Tables.load(spark, src, t).withColumn("rep", lit(0)), t, files = 1)
     }
     write(repd("customer").select(off("c_custkey"), col("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"), col("rep")), "customer")
