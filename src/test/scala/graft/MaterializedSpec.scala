@@ -61,6 +61,31 @@ class MaterializedSpec extends SparkSpec {
     assert(builds.get() === 2)
   }
 
+  test("concurrent of() calls for one key build exactly once") {
+    // the registry is exercised concurrently by Bench's warmup pool;
+    // the lazy-cell design must serialize the BUILD per key without
+    // serializing unrelated keys (the old computeIfAbsent-runs-build
+    // design held the map's bin lock for the whole Spark job)
+    val builds = new AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = (1 to 8).map { _ =>
+      scala.concurrent.Future {
+        Materialized.of(spark, sf0001, "spec_memo_concurrent") {
+          builds.incrementAndGet()
+          Tables.documents(spark, sf0001).select("doc_id").limit(6)
+        }.count()
+      }
+    }
+    val counts = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(60, "s"))
+    pool.shutdown()
+    assert(counts.forall(_ == 6L))
+    assert(builds.get() === 1, "8 concurrent readers must share one build")
+  }
+
   test("stop/recreate lifecycle: dead-session entries evict, new session rebuilds") {
     val uuid1 = GraftSqlShim.sessionUUID(spark)
     Materialized.of(spark, sf0001, "spec_memo_lifecycle") {
