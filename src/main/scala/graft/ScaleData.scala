@@ -32,13 +32,15 @@ object ScaleData {
   private val Stride = 1L << 30
 
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val out = args(1)
-    val reps = if (args.length > 2) args(2).toInt else 10
     val spark = GraftSession.configure(SparkSession.builder(),
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 10)
+    spark.stop()
+  }
 
+  def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
     def repd(name: String): DataFrame =
       Tables.load(spark, src, name).crossJoin(
         spark.range(reps).toDF("rep"))
@@ -92,6 +94,5 @@ object ScaleData {
           (pmod(col("vec_id") * 31 + j, lit(7)) - lit(3)).cast("float")))
         .as("embedding"),
       col("label"), col("rep")), "embeddings")
-    spark.stop()
   }
 }
