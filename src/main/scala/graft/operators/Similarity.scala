@@ -631,9 +631,15 @@ object Similarity {
     * composition adds no new shuffle shape.
     */
   def semanticGroups(embeddings: DataFrame, threshold: Double = 0.2): DataFrame =
+    semanticGroupsOfPairs(cosineNearDupPairs(embeddings, threshold))
+
+  /** [[semanticGroups]] over a pre-materialized near-dup pair table —
+    * the production entry point (see [[graft.Materialized]]): only
+    * the CC fixpoint runs here, the LSH join is reused.
+    */
+  def semanticGroupsOfPairs(pairs: DataFrame): DataFrame =
     Dedup.connectedGroups(
-        cosineNearDupPairs(embeddings, threshold)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("group_id"))
       .orderBy("vec_id")
 
@@ -654,11 +660,22 @@ object Similarity {
     */
   def thresholdSweep(embeddings: DataFrame,
                      thresholds: Seq[Double] = Seq(0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
-                       0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9)): DataFrame = {
-    val spark = embeddings.sparkSession
+                       0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9)): DataFrame =
+    thresholdSweepOfPairs(cosineNearDupPairs(embeddings, threshold = thresholds.min),
+      thresholds)
+
+  /** [[thresholdSweep]] over a pre-materialized candidate-pair table
+    * (the production entry point — see [[graft.Materialized]]):
+    * `pairs` must be mined at (or below) `thresholds.min` so the
+    * cumulative counts describe the full candidate set.
+    */
+  def thresholdSweepOfPairs(pairs: DataFrame,
+                            thresholds: Seq[Double] = Seq(0.2, 0.25, 0.3, 0.35, 0.4,
+                              0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85,
+                              0.9)): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
     val grid = thresholds.toDF("threshold")
-    val pairs = cosineNearDupPairs(embeddings, threshold = thresholds.min)
     // inner BNLJ with the GRID as the broadcast build side (pairs
     // stream), then a 15×15 hash join restores zero-count cutoffs —
     // never builds on the pair set.

@@ -11,9 +11,20 @@ import graft.queries.{Relational, TpchShapes}
   * reads — see [[graft.SparkEntry]]).
   */
 private[graft] trait SimilarityRegistry {
+  // Shared hyperplane-LSH cosine pair table (threshold 0.2, the
+  // defaults all three consumers use) — the "materialize pairs once,
+  // fan out" contract ([[graft.Materialized]]): sim_cosine_neardup,
+  // sim_semantic_groups (CC over it), and sim_threshold_sweep
+  // (cumulative counts over it) reuse one checkpointed build.
+  private def cosinePairsShared(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "pairs_cosine_lsh")(
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2,
+        nTables = 4, bitsPerTable = 8))
+
   protected def simQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
-    "sim_semantic_groups" -> ((s, d) => Similarity.semanticGroups(Tables.embeddings(s, d))),
+    "sim_semantic_groups" -> ((s, d) =>
+      Similarity.semanticGroupsOfPairs(cosinePairsShared(s, d))),
     "sim_l2_topk" -> ((s, d) => Similarity.l2TopK(Tables.embeddings(s, d))),
     "sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(Tables.embeddings(s, d))),
     "sim_top_component" -> ((s, d) => Similarity.topComponent(Tables.embeddings(s, d))),
@@ -37,9 +48,11 @@ private[graft] trait SimilarityRegistry {
     "sim_ivf_topk_seed" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), iters = 0)),
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecallReport(Tables.embeddings(s, d))),
     "sim_cosine_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2,
-        nTables = 4, bitsPerTable = 8)),
-    "sim_threshold_sweep" -> ((s, d) => Similarity.thresholdSweep(Tables.embeddings(s, d))),
+      cosinePairsShared(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("vec_a"),
+          org.apache.spark.sql.functions.col("vec_b"))),
+    "sim_threshold_sweep" -> ((s, d) =>
+      Similarity.thresholdSweepOfPairs(cosinePairsShared(s, d))),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     "sim_outliers" -> ((s, d) => Similarity.labelOutliers(Tables.embeddings(s, d))),
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
