@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites must run SEQUENTIALLY in the forked JVM (sbt's default for
+// forked tests, pinned here explicitly): they share one getOrCreate
+// SparkSession, and MaterializedSpec's lifecycle test stops and
+// recreates the context — concurrent suites would see their jobs
+// cancelled mid-flight.
+Test / parallelExecution := false
 run / fork := true
 // Without this, sbt routes the forked process's stdout through its
 // logger and prefixes every line with "[info] " — which broke the

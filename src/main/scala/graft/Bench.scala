@@ -83,15 +83,23 @@ object Bench {
     val headSet = headline.toSet
     val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
 
+    // A FAILED query must not contribute a timing sample: its
+    // time-to-exception (often milliseconds) would read as a massive
+    // "improvement" in the medians and silently pass the drift gate.
+    // Failures are excluded from samples and surfaced in the JSON.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runRound(names: Seq[String]): Double = {
       val r0 = System.nanoTime()
-      runs += names.map { name =>
+      runs += names.flatMap { name =>
         val t0 = System.nanoTime()
-        try qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
       (System.nanoTime() - r0) / 1e9
     }
@@ -116,6 +124,7 @@ object Bench {
     // tail window intact.
     def emit(last: Boolean): String = {
       val itersCompleted = runs.length
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val byName = allNames.map(n => n -> runs.toSeq.flatMap(_.toMap.get(n)))
         .filter(_._2.nonEmpty)
       val med = byName.map { case (n, xs) => n -> median(xs) }
@@ -123,7 +132,7 @@ object Bench {
       val total = med.map(_._2).sum
       val totalMin = mins.map(_._2).sum
       val full =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"total_min":$totalMin%.3f,"sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"total_min":$totalMin%.3f,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_full.json"),
           (full + "\n").getBytes("UTF-8"))
@@ -132,7 +141,7 @@ object Bench {
       val headKvs = med.filter(kv => headSet.contains(kv._1))
       val headMinKvs = headline.flatMap(n => minMap.get(n).map(n -> _))
       val json =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headKvs)},"queries_min":${jsonMap(headMinKvs)},"total_min":$totalMin%.3f,"n_queries":${byName.length},"full":"/tmp/bench_full.json","sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headKvs)},"queries_min":${jsonMap(headMinKvs)},"total_min":$totalMin%.3f,"n_queries":${byName.length},"full":"/tmp/bench_full.json","failed":$failedJson,"sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
           (json + "\n").getBytes("UTF-8"))

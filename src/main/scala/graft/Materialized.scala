@@ -45,8 +45,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialized {
 
-  private final class Cell(build: () => DataFrame) {
-    lazy val df: DataFrame = build().localCheckpoint(true)
+  private final class Cell(@volatile private var build: () => DataFrame) {
+    lazy val df: DataFrame = {
+      val built = build().localCheckpoint(true)
+      build = null // release the builder closure (captured frames/lambdas)
+      built
+    }
   }
 
   private val cache = new ConcurrentHashMap[String, Cell]()
@@ -60,9 +64,12 @@ object Materialized {
     val cell = cache.computeIfAbsent(key, _ => new Cell(() => build))
     val df = cell.df
     if (df.sparkSession.sparkContext.isStopped) {
-      // Stale survivor (eviction raced or listener never fired): drop
-      // this cell and rebuild under the live session. Deterministic
-      // builders make the replacement value-identical.
+      // Defensive: sessionUUID keys make a cross-session stale hit
+      // impossible, so reaching here means the CALLER's own context
+      // stopped after the memo was built. Drop the dead cell so a
+      // later live caller rebuilds cleanly; the rebuild below then
+      // surfaces Spark's own stopped-context error to this caller
+      // instead of handing out a frame whose blocks are gone.
       cache.remove(key, cell)
       cache.computeIfAbsent(key, _ => new Cell(() => build)).df
     } else df
@@ -74,10 +81,13 @@ object Materialized {
     */
   private def registerEviction(spark: SparkSession, uuid: String): Unit = {
     val sc = spark.sparkContext
-    if (hooked.add(s"${sc.applicationId}|$uuid")) {
+    val hookKey = s"${sc.applicationId}|$uuid"
+    if (hooked.add(hookKey)) {
       sc.addSparkListener(new SparkListener {
-        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
           evict(uuid)
+          hooked.remove(hookKey) // keep the guard set bounded too
+        }
       })
     }
   }

@@ -1336,10 +1336,17 @@ object Dedup {
     //     overlap equivalent of J ≥ t. A pair survives iff its
     //     BEST (earliest) shared prefix token passes, which is
     //     exactly per-row filtering followed by the distinct.
-    // Both are exhaustive for Jaccard ≥ t; the 1e-9 slack keeps the
-    // prunes conservative under FP rounding. Measured at sf0.1 the
-    // positional filter halves the join output (3.1M → 1.6M rows)
-    // before the dedupe shuffle.
+    // Both are exhaustive for Jaccard ≥ t ON THE UNCAPPED candidate
+    // set; the 1e-9 slack keeps the prunes conservative under FP
+    // rounding. When the `maxBucket` flood guard truncates a bucket,
+    // candidate GENERATION is already approximate (a pair whose only
+    // shared tokens were cap-dropped is lost — the documented flood
+    // trade, shared with every capped LSH path here), and the
+    // positional bound for a pair surviving only via a LATER shared
+    // token is pessimistic in the same regime. Neither effect can
+    // occur until a bucket exceeds maxBucket (sf0.1 max observed:
+    // 764 of 1024). Measured at sf0.1 the positional filter halves
+    // the join output (3.1M → 1.6M rows) before the dedupe shuffle.
     val cand = capped.select(col("ktok"), col("doc_id").as("doc_a"),
         col("len").as("len_a"), col("pos").as("pos_a"))
       .join(capped.select(col("ktok"), col("doc_id").as("doc_b"),

@@ -658,9 +658,14 @@ object Similarity {
     * 15-group partial aggregate. LEFT join keeps zero-count rows so
     * the curve's tail is explicit.
     */
+  /** One shared default grid: `thresholds.min` is part of the pair-
+    * mining contract below, so the two entry points must not drift.
+    */
+  val defaultSweepGrid: Seq[Double] = Seq(0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
+    0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9)
+
   def thresholdSweep(embeddings: DataFrame,
-                     thresholds: Seq[Double] = Seq(0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
-                       0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9)): DataFrame =
+                     thresholds: Seq[Double] = defaultSweepGrid): DataFrame =
     thresholdSweepOfPairs(cosineNearDupPairs(embeddings, threshold = thresholds.min),
       thresholds)
 
@@ -670,9 +675,7 @@ object Similarity {
     * cumulative counts describe the full candidate set.
     */
   def thresholdSweepOfPairs(pairs: DataFrame,
-                            thresholds: Seq[Double] = Seq(0.2, 0.25, 0.3, 0.35, 0.4,
-                              0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85,
-                              0.9)): DataFrame = {
+                            thresholds: Seq[Double] = defaultSweepGrid): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val grid = thresholds.toDF("threshold")

@@ -628,9 +628,7 @@ private[graft] trait SimilarityRegistry {
         |       round(list_sum(errs) / len(v), 6) AS mean_err
         |FROM err ORDER BY vec_id""".stripMargin,
     // buckets computed on the ROUNDED cosine so both engines bin
-    // identical values (see Similarity.pairCosineHistogram)
-    // buckets computed on the ROUNDED cosine so both engines bin
-    // identical values (see Similarity.pairCosineHistogram)
+    // identical values (see Similarity.pairCosineHistogram);
     // fixed-size md5-ordered side panels (LIMIT 128) mirror
     // pairCosineHistogram's maxSide — census cost flat in corpus size
     "sim_pair_hist" ->
