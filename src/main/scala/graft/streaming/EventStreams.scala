@@ -757,4 +757,75 @@ object EventStreams {
           out.iterator
       }
   }
+
+  case class BucketedVec(table_idx: Int, bucket: Long, vec_id: Long, v: Array[Double])
+  case class SemanticDupFlag(vec_id: Long, table_idx: Int, dup_of: Long, cos_sim: Double)
+
+  /** Streaming SEMANTIC near-dup detection — the ingest-time twin of
+    * the batch [[graft.operators.Similarity.cosineNearDupPairs]] and
+    * the embedding-side sibling of [[streamingNearDupFlags]] (that op
+    * catches lexical copies via SimHash; this one catches paraphrases
+    * via embedding cosine, the online face of SemDeDup-style
+    * curation). Each arriving vector is hyperplane-bucketed map-only
+    * (the same codegen [[graft.functions.HyperplaneSignature]]
+    * expression as the batch op, so stream and batch agree bit-for-
+    * bit on bucket membership) and compared against the KEYED STATE
+    * of vectors previously seen in that (table, bucket): a cosine at
+    * or above `threshold` emits (vec_id, dup_of, cos_sim) immediately.
+    *
+    * State is bounded exactly like the batch bucket cap: each bucket
+    * admits the first `maxBucket` arrivals (= lowest vec_ids under
+    * monotone-id ingest, matching the batch row_number cap), so a
+    * flooded bucket degrades recall, never memory. At 100 TB state
+    * entries would hold int8-quantized vectors (8× smaller, see
+    * [[graft.operators.Similarity.quantizeInt8Report]] for the
+    * measured recall cost) — kept full-precision here so the replay
+    * spec can assert exact agreement with the batch pairs. The cosine
+    * is the same index-ordered accumulation loop as the codegen
+    * expression and rounds exactly like Spark's `round(_, 6)`
+    * (HALF_UP), so emitted scores equal the batch column.
+    */
+  def streamingSemanticDupFlags(vecs: DataFrame, threshold: Double = 0.2,
+                                nTables: Int = 4, bitsPerTable: Int = 8,
+                                maxBucket: Int = 256): Dataset[SemanticDupFlag] = {
+    val spark = vecs.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val bucketed = vecs
+      .select(col("vec_id"), col("v"),
+        posexplode(graft.functions.VectorFunctions.hyperplaneSig(col("v"),
+          nTables, bitsPerTable)).as(Seq("table_idx", "bucket")))
+      .select(col("table_idx"), col("bucket"), col("vec_id"), col("v"))
+      .as[BucketedVec]
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    bucketed
+      .groupByKey(d => (d.table_idx, d.bucket))
+      .flatMapGroupsWithState[Vector[(Long, Array[Double])], SemanticDupFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[BucketedVec],
+         state: GroupState[Vector[(Long, Array[Double])]]) =>
+          var bucket = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[SemanticDupFlag]
+          it.toSeq.sortBy(_.vec_id).foreach { d =>
+            bucket.foreach { case (prevId, prevV) =>
+              if (prevId != d.vec_id) {
+                val cs = cosine(prevV, d.v)
+                if (cs >= threshold)
+                  out += SemanticDupFlag(d.vec_id, d.table_idx, prevId, cs)
+              }
+            }
+            if (bucket.size < maxBucket)
+              bucket = bucket :+ (d.vec_id, d.v)
+          }
+          state.update(bucket)
+          out.result().iterator
+      }
+  }
 }

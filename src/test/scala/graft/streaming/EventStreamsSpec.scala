@@ -562,6 +562,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSemanticDupFlags: replay of the embeddings table equals the batch pairs") {
+    implicit val sq = spark.sqlContext
+    // real corpus vectors, id-ordered ingest split across two batches —
+    // the batch twin caps buckets by lowest vec_id exactly like the
+    // stream's arrival-order admission, so pair sets AND rounded
+    // cosines must agree
+    val rows = graft.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val (batchA, batchB) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.streamingSemanticDupFlags(
+        mem.toDF().toDF("vec_id", "v"))
+      .toDF().writeStream.format("memory").queryName("semdup_test")
+      .outputMode("append").start()
+    def flags() = spark.table("semdup_test").collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getDouble(3))).distinct.toSet
+    try {
+      mem.addData(batchA: _*)
+      q.processAllAvailable()
+      mem.addData(batchB: _*)
+      q.processAllAvailable()
+      val batchPairs = graft.operators.Similarity.cosineNearDupPairs(
+          graft.Tables.embeddings(spark, sf0001), threshold = 0.2,
+          nTables = 4, bitsPerTable = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(flags() == batchPairs,
+        s"stream-only=${(flags() -- batchPairs).take(3)} batch-only=${(batchPairs -- flags()).take(3)}")
+      assert(flags().nonEmpty, "corpus should contain semantic near-dups")
+    } finally q.stop()
+  }
+
   test("streamingHeavyHitters: exact regime matches batch counts across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
