@@ -595,6 +595,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSemanticDupFlags: a flooded bucket stops admitting but keeps flagging") {
+    implicit val sq = spark.sqlContext
+    // four near-identical vectors into one bucket with maxBucket=2:
+    // ids 3 and 4 must still flag against the admitted 1 and 2, but
+    // never against each other (neither was admitted to state)
+    val base = (1 to 64).map(_.toDouble / 8)
+    def jig(i: Int) = base.updated(0, base.head + i * 1e-9)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.streamingSemanticDupFlags(
+        mem.toDF().toDF("vec_id", "v"), maxBucket = 2)
+      .toDF().writeStream.format("memory").queryName("semcap_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, jig(1)), (2L, jig(2)), (3L, jig(3)), (4L, jig(4)))
+      q.processAllAvailable()
+      val pairs = spark.table("semcap_test").collect()
+        .map(r => (r.getLong(2), r.getLong(0))).distinct.toSet
+      assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+        s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streamingHeavyHitters: exact regime matches batch counts across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
