@@ -29,18 +29,31 @@ import org.apache.spark.sql.functions._
   *     per-replica µs jitter to break exact ties.
   */
 object ScaleData {
-  private val Stride = 1L << 30
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.configure(SparkSession.builder(),
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, args(0), args(1),
-      if (args.length > 2) args(2).toInt else 10)
+      if (args.length > 2) args(2).toInt else 10,
+      if (args.length > 3) 1L << args(3).toInt else 1L << 30,
+      if (args.length > 4) args(4) else "etaoinsrhl")
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+  /** `stride` must exceed the LARGEST id in `src` (hopping an
+    * already-strided corpus needs a bigger one — pass strideExp 34+
+    * for a second 10× hop), and a second hop must use a DIFFERENT
+    * `alphabet`: rotations of one alphabet form a cyclic group, so
+    * re-rotating hop-1 text with the same letters collapses the
+    * reps² replica pairs into only |alphabet| distinct bijections and
+    * quadratically inflates cross-replica LSH collisions. Disjoint
+    * alphabets compose to reps² distinct maps.
+    */
+  def generate(spark: SparkSession, src: String, out: String, reps: Int,
+               stride: Long = 1L << 30,
+               alphabet: String = "etaoinsrhl"): Unit = {
+    val Stride = stride
     def repd(name: String): DataFrame =
       Tables.load(spark, src, name).crossJoin(
         spark.range(reps).toDF("rep"))
@@ -80,7 +93,7 @@ object ScaleData {
 
     // per-replica bijective letter rotation: identical intra-replica
     // structure, near-zero cross-replica token overlap
-    val alpha = "etaoinsrhl"
+    val alpha = alphabet
     val textCol = (0 until reps).foldLeft(lit(null).cast("string")) { (acc, i) =>
       val to = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
       when(col("rep") === i, translate(col("text"), alpha, to)).otherwise(acc)

@@ -887,6 +887,14 @@ object Dedup {
     * 32-bit md5 fingerprint — maxDist+1 bands, any pair within
     * maxDist bits agrees on ≥1 band. Uncapped (exactness for the
     * oracle; the capped 64-bit path is the scale story).
+    *
+    * Designed ceiling, measured at the 100× scale decade: 8-bit bands
+    * give only 256 buckets per band, so at ~500k docs buckets reach
+    * ~2k members and the band self-join degenerates toward n²/256
+    * (~8.6 min for the CC family build at sf10, vs 2.5 s for the
+    * capped 64-bit production path whose 16-bit bands keep 65k
+    * buckets). This twin exists for DuckDB checkability at the gate
+    * SFs; production corpora run [[simhashNearDups]].
     */
   def simhashMd5NearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
