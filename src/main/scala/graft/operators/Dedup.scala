@@ -885,18 +885,24 @@ object Dedup {
 
   /** Oracle twin of [[simhashNearDups]]: pigeonhole banding over the
     * 32-bit md5 fingerprint — maxDist+1 bands, any pair within
-    * maxDist bits agrees on ≥1 band. Uncapped (exactness for the
-    * oracle; the capped 64-bit path is the scale story).
+    * maxDist bits agrees on ≥1 band.
     *
-    * Designed ceiling, measured at the 100× scale decade: 8-bit bands
-    * give only 256 buckets per band, so at ~500k docs buckets reach
-    * ~2k members and the band self-join degenerates toward n²/256
-    * (~8.6 min for the CC family build at sf10, vs 2.5 s for the
-    * capped 64-bit production path whose 16-bit bands keep 65k
-    * buckets). This twin exists for DuckDB checkability at the gate
-    * SFs; production corpora run [[simhashNearDups]].
+    * Flood guard: a 32-bit fingerprint with 8-bit bands has only 256
+    * buckets per band, so uncapped the self-join degenerates toward
+    * n²/256 (measured at the 100× decade: ~8.6 min for the CC family
+    * build at 500k docs, vs 2.5 s for the 64-bit production path whose
+    * 16-bit bands keep 65k buckets). `maxBucket` keeps the lowest
+    * `maxBucket` doc_ids per (band_idx, band_bits) bucket before the
+    * self-join — the same deterministic truncation as
+    * [[minhashNearDups]] / [[minhashNearDupsMd5]], mirrored verbatim
+    * in the DuckDB oracle CTE (`row_number() OVER (PARTITION BY
+    * band_idx, band_bits ORDER BY doc_id) <= maxBucket`) so the twin
+    * stays hash-checkable while bounded at Σ min(bucket, cap)².
+    * Production corpora still run [[simhashNearDups]].
     */
-  def simhashMd5NearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashMd5NearDups(documents: DataFrame, maxDist: Int = 3,
+                         maxBucket: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nBands = maxDist + 1
     require(32 % nBands == 0, "maxDist+1 must divide 32")
     val bandBits = 32 / nBands
@@ -906,10 +912,14 @@ object Dedup {
         shiftrightunsigned(col("simhash32"), bIdx * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("band_bits"))
     }
+    val w = Window.partitionBy("band_idx", "band_bits").orderBy("doc_id")
     val banded = sigs.select(col("doc_id"), col("simhash32"),
       explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("simhash32"),
         col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
     val a = banded.select(col("band_idx"), col("band_bits"),
       col("doc_id").as("doc_a"), col("simhash32").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_bits"),

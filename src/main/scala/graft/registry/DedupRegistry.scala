@@ -378,9 +378,13 @@ private[graft] trait DedupRegistry extends RegistryShared {
     */
   private def groupsMd5Ctes: String =
     s"""$simhashMd5Cte,
-       |bands AS (SELECT doc_id, simhash32, CAST(band_idx AS INTEGER) AS band_idx,
+       |bands0 AS (SELECT doc_id, simhash32, CAST(band_idx AS INTEGER) AS band_idx,
        |             (simhash32 >> CAST(band_idx * 8 AS INTEGER)) & 255 AS band_bits
        |      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) bi),
+       |bands AS (SELECT doc_id, simhash32, band_idx, band_bits FROM (
+       |        SELECT bands0.*, row_number() OVER (PARTITION BY band_idx, band_bits
+       |                                            ORDER BY doc_id) AS rn
+       |        FROM bands0) q WHERE rn <= 256),
        |nd AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |       FROM bands x JOIN bands y USING (band_idx, band_bits)
        |       WHERE x.doc_id < y.doc_id AND bit_count(xor(x.simhash32, y.simhash32)) <= 3),
@@ -646,11 +650,17 @@ private[graft] trait DedupRegistry extends RegistryShared {
     "dedup_simhash_md5" ->
       s"""WITH $simhashMd5Cte
          |SELECT doc_id, simhash32 FROM fp ORDER BY doc_id""".stripMargin,
+    // mirrors simhashMd5NearDups' maxBucket=256 flood guard: lowest
+    // 256 doc_ids per (band_idx, band_bits) bucket before the join
     "dedup_simhash_md5_neardups" ->
       s"""WITH $simhashMd5Cte,
-         |b AS (SELECT doc_id, simhash32, CAST(band_idx AS INTEGER) AS band_idx,
+         |b0 AS (SELECT doc_id, simhash32, CAST(band_idx AS INTEGER) AS band_idx,
          |             (simhash32 >> CAST(band_idx * 8 AS INTEGER)) & 255 AS band_bits
-         |      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) bands)
+         |      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) bands),
+         |b AS (SELECT doc_id, simhash32, band_idx, band_bits FROM (
+         |        SELECT b0.*, row_number() OVER (PARTITION BY band_idx, band_bits
+         |                                        ORDER BY doc_id) AS rn
+         |        FROM b0) q WHERE rn <= 256)
          |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
          |       CAST(bit_count(xor(a.simhash32, c.simhash32)) AS INTEGER) AS hamming
          |FROM b a JOIN b c USING (band_idx, band_bits)
