@@ -115,36 +115,6 @@ private[graft] trait DedupRegistry extends RegistryShared {
     * pair oracle and the end-to-end pipeline oracle. Ends with a
     * `pairs` CTE of (doc_a, doc_b, sa, sb).
     */
-  private def minhashPairCtes(src: String): String = {
-    val n = 16; val bands = 4; val rpb = n / bands
-    val minCols = (0 until n).map(i =>
-      s"min((h * ${Dedup.md5A(i)} + ${Dedup.md5B(i)}) % ${Dedup.Md5M}) AS s$i").mkString(",\n               ")
-    val sigList = (0 until n).map(i => s"coalesce(s$i, ${Dedup.Md5M})").mkString("[", ", ", "]")
-    val bandArms = (0 until bands).map { bnd =>
-      val key = (bnd * rpb until (bnd + 1) * rpb).map(i => s"sig[${i + 1}]")
-        .mkString("concat_ws(',', ", ", ", ")")
-      s"SELECT doc_id, sig, $bnd AS band_idx, $key AS band_key FROM sig"
-    }.mkString("\n       UNION ALL\n       ")
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
-       |shl AS (SELECT doc_id,
-       |               list_distinct(CASE WHEN len(ws) >= 5
-       |                 THEN list_transform(range(0, len(ws)-4),
-       |                        i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' '))
-       |                 ELSE [] END) AS shs
-       |        FROM w),
-       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
-       |hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,7)) AS BIGINT) AS h FROM sh),
-       |sig0 AS (SELECT doc_id, $minCols
-       |         FROM hh GROUP BY doc_id),
-       |sig AS (SELECT d.doc_id, $sigList AS sig
-       |        FROM (SELECT doc_id FROM $src) d LEFT JOIN sig0 USING (doc_id)),
-       |b AS ($bandArms),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sig AS sa, c.sig AS sb
-       |          FROM b a JOIN b c USING (band_idx, band_key)
-       |          WHERE a.doc_id < c.doc_id)""".stripMargin
-  }
-
-
   /** Generated oracle for [[graft.operators.Dedup.minhashNearDupsMd5]]:
     * the affine coefficients are embedded as literals so both engines
     * evaluate the identical integer arithmetic.

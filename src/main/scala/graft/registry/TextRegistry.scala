@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Bearly
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{Relational, TpchShapes}
 
 /** text analysis / corpus statistics / curation — the `textQueries`/`textOracles` slice of the driver contract
@@ -12,6 +12,7 @@ import graft.queries.{Relational, TpchShapes}
   */
 private[graft] trait TextRegistry extends RegistryShared {
   protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
     "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documents(s, d))),
     "text_jsd_drift" -> ((s, d) => TextAnalysis.jsdSourceDrift(Tables.documents(s, d))),
     "text_length_hist" -> ((s, d) => TextAnalysis.docLengthHistogram(Tables.documents(s, d))),
@@ -115,7 +116,94 @@ private[graft] trait TextRegistry extends RegistryShared {
       |         FROM documents d LEFT JOIN best b USING (doc_id)
       |         WHERE d.doc_id % 8 = 1)""".stripMargin
 
+  /** Oracle for [[graft.operators.Curation.curatePipeline]]: the full
+    * funnel re-derived as one CTE chain — gopher keep → exact-digest
+    * keep-min → minhash banded pairs (≥ 0.5) → recursive-CTE closure
+    * keep-min → modulo-eval decontamination → language-mix hash
+    * resample → pack / shard layout counts — then one 1-row aggregate
+    * per stage, unioned.
+    */
+  private def curatePipelineOracle: String = {
+    val stop = TextAnalysis.gopherStopwords.map(w => s"'$w'").mkString(", ")
+    val tok = "CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)"
+    s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, source, lang, text FROM documents),
+       |gw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM d0),
+       |gs AS (SELECT doc_id, len(ws) AS n_words,
+       |              CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_len,
+       |              len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+       |              len(list_filter(ws, x -> list_contains([$stop], x))) AS n_stop
+       |       FROM gw),
+       |keep1 AS (SELECT doc_id FROM gs
+       |          WHERE n_words >= 5 AND n_words <= 100000
+       |            AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+       |            AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+       |            AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AND n_stop >= 2),
+       |d1 AS (SELECT d0.* FROM d0 JOIN keep1 USING (doc_id)),
+       |ex AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY md5(text)),
+       |d2 AS (SELECT d1.* FROM d1 JOIN ex USING (doc_id)),
+       |${minhashPairCtes("d2")},
+       |nd AS (SELECT doc_a, doc_b FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 6) AS ej
+       |  FROM pairs) q WHERE ej >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS nb FROM nd UNION SELECT doc_b, doc_a FROM nd),
+       |reach(a, nb) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) seeds
+       |  UNION
+       |  SELECT r.a, e.nb FROM reach r JOIN edges e ON r.nb = e.a),
+       |grp AS (SELECT a AS doc_id, min(nb) AS g FROM reach GROUP BY 1),
+       |drops AS (SELECT doc_id FROM grp WHERE doc_id <> g),
+       |d3 AS (SELECT d2.* FROM d2
+       |       WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d2.doc_id)),
+       |dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d3),
+       |dsh AS (SELECT doc_id,
+       |               list_distinct(CASE WHEN len(ws) >= 8
+       |                 THEN list_transform(range(0, len(ws)-7),
+       |                        i -> array_to_string(ws[CAST(i+1 AS INTEGER):CAST(i+8 AS INTEGER)], ' '))
+       |                 ELSE [] END) AS shs
+       |        FROM dw),
+       |es AS (SELECT DISTINCT unnest(shs) AS sh FROM dsh WHERE doc_id % 50 = 0),
+       |ts AS (SELECT doc_id, unnest(shs) AS sh FROM dsh WHERE doc_id % 50 <> 0),
+       |contam AS (SELECT DISTINCT ts.doc_id FROM ts JOIN es USING (sh)),
+       |d4 AS (SELECT d3.* FROM d3 WHERE doc_id % 50 <> 0
+       |         AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d3.doc_id)),
+       |m AS (SELECT lang, count(*) AS n_docs FROM d4 GROUP BY 1),
+       |t5 AS (SELECT lang, n_docs, sum(n_docs) OVER () AS n_total,
+       |         CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 WHEN 'es' THEN 0.15
+       |                   WHEN 'fr' THEN 0.1 WHEN 'de' THEN 0.05 ELSE 0.0 END AS tgt
+       |       FROM m),
+       |w5 AS (SELECT lang,
+       |         CAST(round(least(round(tgt / (CAST(n_docs AS DOUBLE) / n_total), 6) * 0.5,
+       |                          1.0) * 10000) AS INTEGER) AS cut
+       |       FROM t5),
+       |d5 AS (SELECT d4.* FROM d4 JOIN w5 USING (lang)
+       |       WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+       |                  % 10000 AS INTEGER) < cut),
+       |pc AS (SELECT source, doc_id,
+       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |              sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |                OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM d5),
+       |packs AS (SELECT DISTINCT source,
+       |                 CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id FROM pc),
+       |shards AS (SELECT DISTINCT CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 16
+       |                    AS shard_id FROM d5),
+       |tot5 AS (SELECT count(*) AS n_docs, $tok AS n_tokens FROM d5)
+       |SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
+       |       count(*) AS n_units, count(*) AS n_docs, $tok AS n_tokens FROM d0
+       |UNION ALL SELECT 1, 'quality', count(*), count(*), $tok FROM d1
+       |UNION ALL SELECT 2, 'exact', count(*), count(*), $tok FROM d2
+       |UNION ALL SELECT 3, 'neardup', count(*), count(*), $tok FROM d3
+       |UNION ALL SELECT 4, 'decontam', count(*), count(*), $tok FROM d4
+       |UNION ALL SELECT 5, 'resample', count(*), count(*), $tok FROM d5
+       |UNION ALL SELECT 6, 'pack', (SELECT count(*) FROM packs), n_docs, n_tokens FROM tot5
+       |UNION ALL SELECT 7, 'shard', (SELECT count(*) FROM shards), n_docs, n_tokens FROM tot5
+       |ORDER BY stage_idx""".stripMargin
+  }
+
   protected def textOracles: Map[String, String] = Map(
+    "text_curate_pipeline" -> curatePipelineOracle,
     // relational twin of the mapPartitions language-ID fast path:
     // same trigram profile (train on doc_id%8=0, top-300 per lang by
     // cnt desc/gram asc, weight 301-rank), same argmax tiebreaks

@@ -283,4 +283,11 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(String, Double, Double)]
         .toDF("l_returnflag", "l_quantity", "l_extendedprice")).count() == 0)
   }
+
+  test("curate pipeline: empty corpus → 8-stage funnel of zeros") {
+    val out = graft.operators.Curation.curatePipeline(noDocs)
+      .collect().sortBy(_.getInt(0))
+    assert(out.length == 8)
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L))
+  }
 }

@@ -41,6 +41,7 @@ class PlanAuditSpec extends SparkSpec {
     "ev_hour_of_week",           // 168-row hour table × 1-row broadcast total — share denominator
     "ev_power_users",            // per-user aggregate × 1-row broadcast (p90, total) scalar — map-side filter
     "sim_l2_topk",               // corpus streams × broadcast(nQueries=10 vectors) — same bound as sim_bruteforce_topk
+    "text_curate_pipeline",      // pack/shard 1-row aggregates × broadcast 1-row survivor-totals scalar
     "text_jsd_drift",            // vocabulary table × 1-row corpus total + |sources|-row totals broadcast
     "ev_session_histogram",      // log2-bucket table (≤64 rows) × 1-row broadcast total — share denominator
     "dedup_lsh_recall",          // three 1-row aggregates (truth/found/candidates) meeting in scalar cross joins
@@ -109,7 +110,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_gini",             // bucket-offset cumulative over the nBuckets=32-row table
     "q_weighted_median",  // bucket-offset/total cumulative over the nBuckets=32-row table
     "ev_kaplan_meier",    // risk/survival windows over the |days|-bounded lifetime histogram
-    "q_customer_acquisition" // cumulative over the per-MONTH first-order table
+    "q_customer_acquisition", // cumulative over the per-MONTH first-order table
+    "text_curate_pipeline"   // inherits text_mix_weights' |langs|-row aggregate window
   )
 
   private def windowPartitionSpecs(
