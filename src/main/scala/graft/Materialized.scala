@@ -19,8 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * process-local form of that contract: the first consumer pays the
   * build (an eager `localCheckpoint`, which also cuts the iterative
   * lineage), every later consumer reuses the executor-resident
-  * blocks. On a real cluster the same role is played by a parquet
-  * table + `spark.read` — the registry keys would point at the sink.
+  * blocks. The cluster-scale form is [[asTable]] — write the
+  * intermediate ONCE as a parquet table, serve every consumer
+  * `spark.read` of the sink — which [[of]] routes to automatically
+  * when [[SinkConfKey]] is set; a spec pins sink-backed rows ==
+  * memo-backed rows across the dedup family.
   *
   * Keyed by `spark.sessionUUID` (unique and stable per session — an
   * identity hash code is neither, and can collide with a dead
@@ -56,8 +59,16 @@ object Materialized {
   private val cache = new ConcurrentHashMap[String, Cell]()
   private val hooked = ConcurrentHashMap.newKeySet[String]()
 
+  /** Spark conf key: when set to a base directory, [[of]] routes every
+    * memoized intermediate through [[asTable]] — the production face —
+    * instead of the process-local checkpoint memo.
+    */
+  val SinkConfKey = "spark.graft.materialized.path"
+
   def of(spark: SparkSession, dir: String, kind: String)
         (build: => DataFrame): DataFrame = {
+    val sinkBase = spark.conf.get(SinkConfKey, "")
+    if (sinkBase.nonEmpty) return asTable(spark, dir, kind, sinkBase)(build)
     val uuid = org.apache.spark.sql.GraftSqlShim.sessionUUID(spark)
     val key = s"$uuid|$dir|$kind"
     registerEviction(spark, uuid)
@@ -74,6 +85,57 @@ object Materialized {
       cache.computeIfAbsent(key, _ => new Cell(() => build)).df
     } else df
   }
+
+  /** The memo's PRODUCTION face: materialize the intermediate as a
+    * parquet table under `base` once per corpus snapshot, then serve
+    * every consumer `spark.read.parquet` of the sink. This is the
+    * contract a 100 TB run actually uses — the pair table / CC
+    * closure must survive the session (and be shareable across jobs,
+    * clusters, days), which executor-resident checkpoint blocks
+    * cannot.
+    *
+    * Write-once discipline: the sink is keyed by (kind, data dir), so
+    * one corpus snapshot gets exactly one build; a `_SUCCESS` marker
+    * from ANY prior process (not just this one) skips the write —
+    * builders are deterministic (seed-free md5/sort arithmetic), so a
+    * prior snapshot's table is byte-equivalent to a rebuild. In-
+    * process races collapse onto one lazy cell exactly like the memo
+    * path (allocation under the CHM bin lock, the write under the
+    * cell's own lock). Row ORDER is not part of this contract —
+    * parquet read-back concatenates files in listing order — so
+    * consumers that need an order sort after reading, which every
+    * registry consumer already does.
+    */
+  def asTable(spark: SparkSession, dir: String, kind: String, base: String)
+             (build: => DataFrame): DataFrame = {
+    val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
+    val path = s"${base.stripSuffix("/")}/${kind}__$safeDir"
+    val cell = sinks.computeIfAbsent(path, p => new SinkCell(p, () => build))
+    cell.ensureWritten(spark)
+    spark.read.parquet(path)
+  }
+
+  private val sinks = new ConcurrentHashMap[String, SinkCell]()
+
+  private final class SinkCell(path: String,
+                               @volatile private var build: () => DataFrame) {
+    private var written = false
+    def ensureWritten(spark: SparkSession): Unit = synchronized {
+      if (!written) {
+        val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p))
+          build().write.mode("overwrite").parquet(path)
+        build = null
+        written = true
+      }
+    }
+  }
+
+  /** Test hygiene: forget which sinks were written (the parquet stays
+    * on disk; a later call re-checks `_SUCCESS`).
+    */
+  def clearSinks(): Unit = sinks.clear()
 
   /** Evict every entry of `uuid` when its context stops. One listener
     * per (context, session) pair; the `hooked` guard keys on both so a

@@ -53,6 +53,13 @@ object ScaleData {
   def generate(spark: SparkSession, src: String, out: String, reps: Int,
                stride: Long = 1L << 30,
                alphabet: String = "etaoinsrhl"): Unit = {
+    // replica i's letter map is rotation i % |alphabet|, so reps beyond
+    // the alphabet length would silently repeat bijections and make
+    // replica i and i+|alphabet| EXACT cross-replica duplicates — the
+    // quadratic LSH-bucket inflation this generator exists to avoid
+    require(reps <= alphabet.length,
+      s"reps=$reps exceeds the ${alphabet.length}-letter alphabet: replica text maps " +
+        "would repeat; hop twice with disjoint alphabets instead")
     val Stride = stride
     def repd(name: String): DataFrame =
       Tables.load(spark, src, name).crossJoin(

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.EventOps
+import graft.streaming.EventStreams
+
+/** Measures Structured Streaming STATE-STORE size for the heaviest
+  * streaming twins against their design bounds — the evidence behind
+  * the "state is O(users) / O(open windows) / O(buckets)" claims in
+  * the streaming scaladocs, which plan-shape inspection cannot give
+  * (state lives in the store, not the plan).
+  *
+  * `runMain graft.StreamStateProbe [sfDir] [chunks]`
+  *
+  * Replays the corpus in time-ordered chunks through three twins and
+  * records per-micro-batch `stateOperators` metrics (numRowsTotal,
+  * memoryUsedBytes), then checks each twin's bound:
+  *   - sessionGaps: state rows == distinct users (two longs per key)
+  *   - errorRateHourly: state rows ≤ distinct event hours, with
+  *     watermark eviction keeping the FINAL count at the open tail,
+  *     not the stream's history
+  *   - streamingSemanticDupFlags: state rows ≤ nTables·2^bits bucket
+  *     keys (admission-capped vectors inside each)
+  * Prints one JSON line; exits 1 when a bound is violated.
+  */
+object StreamStateProbe {
+
+  private case class Probe(rows: Seq[Long], mem: Seq[Long])
+
+  private def run[T](spark: SparkSession, name: String, chunks: Int,
+                     data: Seq[T], start: MemoryStream[T] =>
+      org.apache.spark.sql.streaming.DataStreamWriter[_])
+      (implicit enc: org.apache.spark.sql.Encoder[T]): Probe = {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[T]
+    val q = start(mem).queryName(name).start()
+    try {
+      data.grouped(math.max(1, data.length / chunks + 1)).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val progress = q.recentProgress.toSeq
+        .filter(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
+      Probe(progress.map(_.stateOperators.head.numRowsTotal),
+        progress.map(_.stateOperators.head.memoryUsedBytes))
+    } finally q.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val chunks = if (args.length > 1) args(1).toInt else 8
+    val spark = GraftSession.configure(SparkSession.builder(),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val events = Tables.events(spark, sfDir)
+    var failures = List.empty[String]
+    def check(cond: Boolean, msg: => String): Unit =
+      if (!cond) failures ::= msg
+
+    // 1. sessionGaps: keyed state is exactly one entry per user
+    val sessRows = EventOps.withTsUs(events)
+      .select("user_id", "ts_us").as[EventStreams.SessEvent]
+      .collect().sortBy(_.ts_us).toSeq
+    val nUsers = sessRows.map(_.user_id).distinct.size
+    val pSess = run[EventStreams.SessEvent](spark, "probe_sgap", chunks, sessRows,
+      m => EventStreams.sessionGaps(m.toDS()).toDF()
+        .writeStream.format("memory").outputMode("append"))
+    check(pSess.rows.last == nUsers,
+      s"sessionGaps state ${pSess.rows.last} != distinct users $nUsers")
+
+    // 2. errorRateHourly: open tumbling windows, watermark-evicted
+    val erRows = EventOps.withTsTimestamp(events)
+      .select("ts", "event_type").as[(java.sql.Timestamp, String)]
+      .collect().sortBy(_._1.getTime).toSeq
+    val nHours = erRows.map(_._1.getTime / 3600000L).distinct.size
+    val pEr = run[(java.sql.Timestamp, String)](spark, "probe_erate", chunks, erRows,
+      m => EventStreams.errorRateHourly(m.toDF().toDF("ts", "event_type"))
+        .writeStream.format("memory").outputMode("append"))
+    check(pEr.rows.max <= nHours,
+      s"errorRateHourly peak state ${pEr.rows.max} > distinct hours $nHours")
+    check(pEr.rows.last < nHours || nHours <= 3,
+      s"errorRateHourly final state ${pEr.rows.last} shows no watermark eviction over $nHours hours")
+
+    // 3. streamingSemanticDupFlags: ≤ nTables·2^bits bucket keys
+    val (nTables, bits) = (4, 8)
+    val vecRows = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val pSem = run[(Long, Seq[Double])](spark, "probe_semdup", chunks, vecRows,
+      m => EventStreams.streamingSemanticDupFlags(m.toDF().toDF("vec_id", "v"),
+          nTables = nTables, bitsPerTable = bits).toDF()
+        .writeStream.format("memory").outputMode("append"))
+    val bucketBound = nTables.toLong << bits
+    check(pSem.rows.last <= bucketBound,
+      s"semanticDup state ${pSem.rows.last} > bucket-key bound $bucketBound")
+
+    // 3b. the int8-quantized state variant: same bucket-key bound,
+    // materially smaller per-entry payload (the 100 TB form)
+    val pSem8 = run[(Long, Seq[Double])](spark, "probe_semdup8", chunks, vecRows,
+      m => EventStreams.streamingSemanticDupFlagsInt8(m.toDF().toDF("vec_id", "v"),
+          nTables = nTables, bitsPerTable = bits).toDF()
+        .writeStream.format("memory").outputMode("append"))
+    check(pSem8.rows.last <= bucketBound,
+      s"semanticDupInt8 state ${pSem8.rows.last} > bucket-key bound $bucketBound")
+    check(pSem8.mem.max < pSem.mem.max,
+      s"semanticDupInt8 state ${pSem8.mem.max} B not smaller than full ${pSem.mem.max} B")
+
+    val twins = Seq(
+      ("sessionGaps", pSess, s""""bound_users":$nUsers"""),
+      ("errorRateHourly", pEr, s""""bound_hours":$nHours"""),
+      ("semanticDup", pSem, s""""bound_buckets":$bucketBound"""),
+      ("semanticDupInt8", pSem8, s""""bound_buckets":$bucketBound"""))
+    val body = twins.map { case (n, p, bound) =>
+      s""""$n":{"batches":${p.rows.size},"rows_final":${p.rows.last},""" +
+        s""""rows_peak":${p.rows.max},"mem_peak_bytes":${p.mem.max},$bound}"""
+    }.mkString(",")
+    println(s"""{"metric":"stream_state","sf":"$sfDir","chunks":$chunks,$body}""")
+    failures.foreach(f => println(s"BOUND VIOLATED: $f"))
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}

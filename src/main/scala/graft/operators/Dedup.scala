@@ -1306,6 +1306,13 @@ object Dedup {
     * size-mismatched pairs drop before any set arithmetic), dedupe
     * on the bare ID pair, and the token arrays join back once per
     * surviving pair.
+    *
+    * EAGER: ends in `localCheckpoint(true)` (see the inline note on
+    * the sort-sampling re-execution it prevents), so merely
+    * CONSTRUCTING this DataFrame — including explain/plan inspection
+    * — runs the whole query. Right for the bench/verify drivers that
+    * always execute; callers that need plan-only inspection should
+    * stop before the checkpoint.
     */
   def prefixFilterPairs(documents: DataFrame, threshold: Double = 0.6,
                         sampleMod: Int = 5, maxBucket: Int = 1024): DataFrame = {

@@ -780,7 +780,13 @@ object EventStreams {
     * entries would hold int8-quantized vectors (8× smaller, see
     * [[graft.operators.Similarity.quantizeInt8Report]] for the
     * measured recall cost) — kept full-precision here so the replay
-    * spec can assert exact agreement with the batch pairs. The cosine
+    * spec can assert exact agreement with the batch pairs. That exact
+    * agreement holds only under monotone-id ingest AND no bucket
+    * exceeding `maxBucket`: under flood the stream emits (admitted,
+    * non-admitted) pairs that the batch twin — which caps BOTH join
+    * sides — never generates, so the flooded stream flags a strict
+    * SUPERSET of the batch pairs (the flood-cap spec pins exactly
+    * this divergence). The cosine
     * is the same index-ordered accumulation loop as the codegen
     * expression and rounds exactly like Spark's `round(_, 6)`
     * (HALF_UP), so emitted scores equal the batch column.
@@ -823,6 +829,94 @@ object EventStreams {
             }
             if (bucket.size < maxBucket)
               bucket = bucket :+ (d.vec_id, d.v)
+          }
+          state.update(bucket)
+          out.result().iterator
+      }
+  }
+
+  /** Int8-quantized-state variant of [[streamingSemanticDupFlags]] —
+    * the 100 TB form of the keyed state: each stored vector is the
+    * min/range affine quantization of
+    * [[graft.operators.Similarity.quantizeInt8Report]] (sc =
+    * (max−min)/255, level = floor((x−mn)/sc), reconstruct = mn +
+    * level·sc), so a 64-dim float64 entry shrinks from 512 B of
+    * doubles to 64 B of levels + 16 B of (mn, sc) — ~8× less state
+    * per admitted vector, the difference between state that fits the
+    * state store and state that spills at corpus scale.
+    *
+    * Cost: cosines are computed against RECONSTRUCTED vectors, so
+    * emitted scores deviate from the full-precision twin by at most
+    * the reconstruction error the `sim_quantize_int8` report measures
+    * per corpus (bin size sc per element), and pairs whose true cosine
+    * sits within that band of `threshold` can flip in or out. The
+    * replay spec pins both: pair recall/precision against the
+    * full-precision twin and the max cosine deviation against the
+    * report's measured `max_err`. Incoming vectors compare at full
+    * precision — only the STORED side is quantized, halving the error
+    * vs quantizing both sides.
+    */
+  def streamingSemanticDupFlagsInt8(vecs: DataFrame, threshold: Double = 0.2,
+                                    nTables: Int = 4, bitsPerTable: Int = 8,
+                                    maxBucket: Int = 256): Dataset[SemanticDupFlag] = {
+    val spark = vecs.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val bucketed = vecs
+      .select(col("vec_id"), col("v"),
+        posexplode(graft.functions.VectorFunctions.hyperplaneSig(col("v"),
+          nTables, bitsPerTable)).as(Seq("table_idx", "bucket")))
+      .select(col("table_idx"), col("bucket"), col("vec_id"), col("v"))
+      .as[BucketedVec]
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def quantize(v: Array[Double]): (Array[Byte], Double, Double) = {
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      var i = 0
+      while (i < v.length) { if (v(i) < mn) mn = v(i); if (v(i) > mx) mx = v(i); i += 1 }
+      val sc = (mx - mn) / 255.0
+      val q = new Array[Byte](v.length)
+      if (sc > 0) {
+        i = 0
+        while (i < v.length) {
+          q(i) = (math.min(math.floor((v(i) - mn) / sc).toInt, 255) - 128).toByte
+          i += 1
+        }
+      }
+      (q, mn, sc)
+    }
+    def dequantize(q: Array[Byte], mn: Double, sc: Double): Array[Double] = {
+      val v = new Array[Double](q.length)
+      var i = 0
+      while (i < q.length) { v(i) = mn + (q(i) + 128) * sc; i += 1 }
+      v
+    }
+    bucketed
+      .groupByKey(d => (d.table_idx, d.bucket))
+      .flatMapGroupsWithState[Vector[(Long, Array[Byte], Double, Double)], SemanticDupFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[BucketedVec],
+         state: GroupState[Vector[(Long, Array[Byte], Double, Double)]]) =>
+          var bucket = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[SemanticDupFlag]
+          it.toSeq.sortBy(_.vec_id).foreach { d =>
+            bucket.foreach { case (prevId, prevQ, mn, sc) =>
+              if (prevId != d.vec_id) {
+                val cs = cosine(dequantize(prevQ, mn, sc), d.v)
+                if (cs >= threshold)
+                  out += SemanticDupFlag(d.vec_id, d.table_idx, prevId, cs)
+              }
+            }
+            if (bucket.size < maxBucket) {
+              val (q, mn, sc) = quantize(d.v)
+              bucket = bucket :+ ((d.vec_id, q, mn, sc))
+            }
           }
           state.update(bucket)
           out.result().iterator

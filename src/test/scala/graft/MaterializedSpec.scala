@@ -86,6 +86,51 @@ class MaterializedSpec extends SparkSpec {
     assert(builds.get() === 1, "8 concurrent readers must share one build")
   }
 
+  test("production face: asTable writes once, then serves readers from the sink") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val builds = new AtomicInteger(0)
+    def make() = Materialized.asTable(spark, sf0001, "spec_sink_once", base) {
+      builds.incrementAndGet()
+      Tables.documents(spark, sf0001).select("doc_id").orderBy("doc_id").limit(5)
+    }
+    val a = make().collect().map(_.getLong(0)).sorted.toSeq
+    val b = make().collect().map(_.getLong(0)).sorted.toSeq
+    assert(builds.get() === 1, "second asTable() must read the sink, not rebuild")
+    assert(a === b && a.size === 5)
+    // a NEW process (simulated by clearing the in-process sink cells)
+    // sees the _SUCCESS marker and still skips the rebuild
+    Materialized.clearSinks()
+    val c = make().collect().map(_.getLong(0)).sorted.toSeq
+    assert(builds.get() === 1, "a prior snapshot's _SUCCESS must skip the write")
+    assert(c === a)
+  }
+
+  test("production face: sink-backed dedup family rows == memo-backed rows") {
+    // the flag routes every Materialized.of through the parquet sink;
+    // the dedup family keys that fan out from the shared pair/CC
+    // memos must return exactly the same rows either way
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_fam").toString
+    def rows(key: String): Seq[String] =
+      SparkEntry.queries(key)(spark, sf0001).collect().map(_.toString).sorted.toSeq
+    val keys = Seq("dedup_simhash_md5_neardups", "dedup_groups_md5",
+      "dedup_cluster_best", "dedup_cluster_size_hist", "dedup_minhash_md5",
+      "dedup_source_matrix")
+    val memoBacked = keys.map(k => k -> rows(k)).toMap
+    spark.conf.set(Materialized.SinkConfKey, base)
+    try {
+      val sinkBacked = keys.map(k => k -> rows(k)).toMap
+      keys.foreach { k =>
+        assert(sinkBacked(k) === memoBacked(k), s"sink-backed $k diverges from memo-backed")
+      }
+      // the shared pair table materialized as a real parquet sink
+      val fs = new java.io.File(base)
+      assert(fs.listFiles().nonEmpty, "no sink tables written")
+    } finally {
+      spark.conf.unset(Materialized.SinkConfKey)
+      Materialized.clearSinks()
+    }
+  }
+
   test("stop/recreate lifecycle: dead-session entries evict, new session rebuilds") {
     val uuid1 = GraftSqlShim.sessionUUID(spark)
     Materialized.of(spark, sf0001, "spec_memo_lifecycle") {

@@ -595,6 +595,55 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSemanticDupFlagsInt8: pairs within the measured quantization band, smaller state") {
+    implicit val sq = spark.sqlContext
+    // same replay as the full-precision twin; the int8 state stores
+    // reconstructed vectors, so pairs may flip only within the
+    // quantization error band that sim_quantize_int8 measures
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val rows = emb
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val (batchA, batchB) = rows.splitAt(rows.length / 2)
+    def runStream(name: String, mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[EventStreams.SemanticDupFlag]) = {
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = mk(mem.toDF().toDF("vec_id", "v"))
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(batchA: _*); q.processAllAvailable()
+        mem.addData(batchB: _*); q.processAllAvailable()
+        val mem_bytes = q.lastProgress.stateOperators.head.memoryUsedBytes
+        val pairs = spark.table(name).collect()
+          .map(r => ((r.getLong(2), r.getLong(0)), r.getDouble(3))).distinct.toMap
+        (pairs, mem_bytes)
+      } finally q.stop()
+    }
+    val (full, fullBytes) = runStream("semint8_ref",
+      df => EventStreams.streamingSemanticDupFlags(df))
+    val (int8, int8Bytes) = runStream("semint8_test",
+      df => EventStreams.streamingSemanticDupFlagsInt8(df))
+    // pair recall AND precision vs the full-precision twin
+    val shared = full.keySet intersect int8.keySet
+    assert(shared.size >= (full.size * 0.95).toInt, s"recall ${shared.size}/${full.size}")
+    assert(shared.size >= (int8.size * 0.95).toInt, s"precision ${shared.size}/${int8.size}")
+    // cosine deviation bounded by the measured reconstruction error:
+    // |cos(a, b̂) − cos(a, b)| ≤ 2·‖b̂−b‖/‖b‖ ≤ 2·√dim·max_err/min‖v‖
+    val rep = graft.operators.Similarity.quantizeInt8Report(emb)
+      .agg(org.apache.spark.sql.functions.max("max_err"),
+        org.apache.spark.sql.functions.max("dim")).collect().head
+    val (maxErr, dim) = (rep.getDouble(0), rep.getInt(1))
+    val minNorm = rows.map(r => math.sqrt(r._2.map(x => x * x).sum)).min
+    val bound = 2.0 * math.sqrt(dim.toDouble) * maxErr / minNorm
+    val worst = shared.map(k => math.abs(full(k) - int8(k))).foldLeft(0.0)(math.max)
+    assert(worst <= bound, s"cosine deviation $worst exceeds quantization bound $bound")
+    // the whole point: quantized state is materially smaller
+    assert(int8Bytes < fullBytes * 0.55,
+      s"int8 state $int8Bytes B not materially smaller than full $fullBytes B")
+  }
+
   test("streamingSemanticDupFlags: a flooded bucket stops admitting but keeps flagging") {
     implicit val sq = spark.sqlContext
     // four near-identical vectors into one bucket with maxBucket=2:

@@ -1,22 +1,34 @@
 #!/usr/bin/env python3
-"""Round-over-round bench drift gate.
+"""Round-over-round bench drift gate (and scale-decade gate).
 
 Compares two bench artifacts (the compact JSON line Bench.scala emits,
 or the /tmp/bench_full.json per-query form) on their SHARED keys:
 
-    python3 tools/check_drift.py BENCH_LOCAL_r07.json BENCH_LOCAL_r09.json
+    python3 tools/check_drift.py BENCH_LOCAL_r07.json BENCH_LOCAL_r09.json [ratio]
+    python3 tools/check_drift.py --decade BENCH_SCALE_r09.json BENCH_SCALE10_r10.json
 
-Fails loudly (exit 1) when any shared key's warm median grew more than
-RATIO_MAX (default 1.2) versus the baseline, unless the key is under
-the noise floor (NOISE_S, default 0.3 s — sub-300 ms queries swing
-2x from GC/scheduling alone and carry no signal). Improvements and
-new keys are reported but never fail the gate.
+Round mode fails (exit 1) when any shared key's warm median grew more
+than RATIO_MAX (default 1.2) versus the baseline, unless the key is
+under the noise floor (NOISE_S, default 0.3 s — sub-300 ms queries
+swing 2x from GC/scheduling alone and carry no signal). Improvements
+and new keys are reported but never fail the gate.
+
+--decade mode compares a 10x-data artifact against its smaller-SF
+baseline: growth up to DECADE_MAX (12x) per decade is expected
+(linear work + constant overheads); anything above flags a quadratic
+term or a parallelism collapse. The median per-key growth is printed
+— that's the scale-curve headline number.
+
+Both modes also fail when the CURRENT artifact carries a non-empty
+"failed" list (a query that regressed from working to throwing would
+otherwise silently vanish from the shared-key set) and loudly report
+baseline keys missing from the current run.
 """
 import json
 import sys
 
-RATIO_MAX = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
 NOISE_S = 0.3
+DECADE_MAX = 12.0
 
 
 def load(path):
@@ -28,35 +40,63 @@ def load(path):
     return d
 
 
+def queries_of(d):
+    # prefer warm medians when the artifact carries them
+    return d.get("queries_min") or d["queries"]
+
+
 def main():
-    base, cur = load(sys.argv[1]), load(sys.argv[2])
-    bq, cq = base["queries"], cur["queries"]
+    args = [a for a in sys.argv[1:] if a != "--decade"]
+    decade = "--decade" in sys.argv[1:]
+    if len(args) < 2:
+        print("usage: " + __doc__.strip().split("\n\n")[2].strip())
+        return 2
+    ratio_max = float(args[2]) if len(args) > 2 else (DECADE_MAX if decade else 1.2)
+    base, cur = load(args[0]), load(args[1])
+    bq, cq = queries_of(base), queries_of(cur)
     shared = sorted(set(bq) & set(cq))
     if not shared:
         print("DRIFT GATE ERROR: no shared keys between artifacts")
         return 1
-    regressions, improved = [], []
+    failed = cur.get("failed") or []
+    missing = sorted(set(bq) - set(cq) - set(failed))
+    regressions, improved, ratios = [], [], []
     for k in shared:
         b, c = bq[k], cq[k]
         if max(b, c) < NOISE_S:
             continue
         ratio = c / b if b > 0 else float("inf")
-        if ratio > RATIO_MAX and c - b > 0.1:
+        ratios.append((k, ratio))
+        if ratio > ratio_max and c - b > 0.1:
             regressions.append((k, b, c, ratio))
-        elif ratio < 1 / RATIO_MAX:
+        elif not decade and ratio < 1 / ratio_max:
             improved.append((k, b, c, ratio))
     for k, b, c, r in sorted(regressions, key=lambda x: -x[3]):
-        print(f"REGRESSED {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x)")
+        label = "SUPER-LINEAR" if decade else "REGRESSED"
+        print(f"{label} {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x)")
     for k, b, c, r in sorted(improved, key=lambda x: x[3]):
         print(f"improved  {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x)")
+    for k in failed:
+        print(f"FAILED in current run: {k}")
+    for k in missing:
+        print(f"MISSING from current run: {k}")
     tot_b = sum(bq[k] for k in shared)
     tot_c = sum(cq[k] for k in shared)
     print(f"shared keys: {len(shared)}  total {tot_b:.1f}s -> {tot_c:.1f}s "
           f"({tot_c / tot_b:.2f}x)  regressions: {len(regressions)}")
-    if regressions:
-        print(f"DRIFT GATE FAILED: {len(regressions)} key(s) above {RATIO_MAX}x")
+    if decade and ratios:
+        med = sorted(r for _, r in ratios)[len(ratios) // 2]
+        print(f"median per-key growth this decade: {med:.2f}x "
+              f"(gate: {ratio_max:.0f}x)")
+    if regressions or failed:
+        why = []
+        if regressions:
+            why.append(f"{len(regressions)} key(s) above {ratio_max}x")
+        if failed:
+            why.append(f"{len(failed)} key(s) failed in the current run")
+        print(f"DRIFT GATE FAILED: {'; '.join(why)}")
         return 1
-    print("DRIFT GATE OK")
+    print("DRIFT GATE OK" + (f" ({len(missing)} baseline key(s) missing)" if missing else ""))
     return 0
 
 
