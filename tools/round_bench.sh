@@ -23,7 +23,15 @@ SPARK_GRAFT_BENCH_FULL_ITERS="${SPARK_GRAFT_BENCH_FULL_ITERS:-3}" \
 SPARK_GRAFT_BENCH_ITERS="${SPARK_GRAFT_BENCH_ITERS:-5}" \
   sbt -batch "runMain graft.Bench" | tail -20
 
-cp /tmp/bench_full.json "$OUT"
+# bank with the producing commit stamped in, so mid-round vs end-of-round
+# artifacts are never ambiguous about which tree produced them
+python3 - "$OUT" <<'PY'
+import json, subprocess, sys
+d = json.load(open("/tmp/bench_full.json"))
+d["commit"] = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True).stdout.strip()
+json.dump(d, open(sys.argv[1], "w"))
+PY
 echo "banked $OUT"
 
 if [ -n "$BASELINE" ]; then
