@@ -95,6 +95,19 @@ class DriftGateSpec extends AnyFunSuite {
     assert(out.contains("median per-key growth"), out)
   }
 
+  test("--allow waives a named key loudly; unnamed keys still fail") {
+    assume(python, "no host python3")
+    val base = artifact("b5.json", Map("q_traded" -> 1.0, "q_acc" -> 1.0))
+    val cur = artifact("c6.json", Map("q_traded" -> 2.0, "q_acc" -> 1.0))
+    val (okCode, okOut) = run("--allow", "q_traded", base.toString, cur.toString)
+    assert(okCode === 0, okOut)
+    assert(okOut.contains("ALLOWED (documented) q_traded"), okOut)
+    // the waiver is per-key: a second regressed key still fails
+    val cur2 = artifact("c7.json", Map("q_traded" -> 2.0, "q_acc" -> 2.0))
+    val (badCode, badOut) = run("--allow", "q_traded", base.toString, cur2.toString)
+    assert(badCode === 1 && badOut.contains("REGRESSED q_acc"), badOut)
+  }
+
   test("warm medians (queries_min) are preferred over cold queries") {
     assume(python, "no host python3")
     // cold numbers regressed 2x but the warm medians are steady — the

@@ -86,7 +86,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_rrf_fusion",            // two broadcast(nQueries=10) scoring frames, bounded-heap reduced
     "q_gini",                    // per-customer spends × 1-row broadcast threshold array — map-side binning
     "q_weighted_median",         // price-group table × 1-row broadcast threshold array — map-side binning
-    "ev_kaplan_meier"            // per-user span table × 1-row broadcast censor-horizon scalar
+    "ev_kaplan_meier",           // per-user span table × 1-row broadcast censor-horizon scalar
+    "ev_interval_join"           // tagged stream × 1-row broadcast (ts_lo, ts_hi) bounds — chunk-index binning
   )
 
   // Unpartitioned windows whose INPUT is provably tiny (post-aggregate
@@ -111,7 +112,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_weighted_median",  // bucket-offset/total cumulative over the nBuckets=32-row table
     "ev_kaplan_meier",    // risk/survival windows over the |days|-bounded lifetime histogram
     "q_customer_acquisition", // cumulative over the per-MONTH first-order table
-    "text_curate_pipeline"   // inherits text_mix_weights' |langs|-row aggregate window
+    "text_curate_pipeline",  // inherits text_mix_weights' |langs|-row aggregate window
+    "ev_interval_join"       // prefix-sum stitching over the ≤parts(=64)-row per-partition summary
   )
 
   private def windowPartitionSpecs(

@@ -23,6 +23,12 @@ Both modes also fail when the CURRENT artifact carries a non-empty
 "failed" list (a query that regressed from working to throwing would
 otherwise silently vanish from the shared-key set) and loudly report
 baseline keys missing from the current run.
+
+--allow k1,k2 waives named keys: a documented, deliberate trade
+(e.g. a constant-factor cost bought for density-robustness at scale)
+is reported loudly as ALLOWED instead of failing the gate. Waivers
+are per-invocation and explicit — the gate never learns them from
+state, so a waiver can't outlive the round that justified it.
 """
 import json
 import sys
@@ -46,8 +52,22 @@ def queries_of(d):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--decade"]
-    decade = "--decade" in sys.argv[1:]
+    raw = sys.argv[1:]
+    decade = "--decade" in raw
+    allowed = set()
+    args = []
+    i = 0
+    while i < len(raw):
+        if raw[i] == "--decade":
+            pass
+        elif raw[i] == "--allow" and i + 1 < len(raw):
+            allowed.update(raw[i + 1].split(","))
+            i += 1
+        elif raw[i].startswith("--allow="):
+            allowed.update(raw[i].split("=", 1)[1].split(","))
+        else:
+            args.append(raw[i])
+        i += 1
     if len(args) < 2:
         print("usage: " + __doc__.strip().split("\n\n")[2].strip())
         return 2
@@ -60,7 +80,7 @@ def main():
         return 1
     failed = cur.get("failed") or []
     missing = sorted(set(bq) - set(cq) - set(failed))
-    regressions, improved, ratios = [], [], []
+    regressions, waived, improved, ratios = [], [], [], []
     for k in shared:
         b, c = bq[k], cq[k]
         if max(b, c) < NOISE_S:
@@ -68,12 +88,14 @@ def main():
         ratio = c / b if b > 0 else float("inf")
         ratios.append((k, ratio))
         if ratio > ratio_max and c - b > 0.1:
-            regressions.append((k, b, c, ratio))
+            (waived if k in allowed else regressions).append((k, b, c, ratio))
         elif not decade and ratio < 1 / ratio_max:
             improved.append((k, b, c, ratio))
     for k, b, c, r in sorted(regressions, key=lambda x: -x[3]):
         label = "SUPER-LINEAR" if decade else "REGRESSED"
         print(f"{label} {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x)")
+    for k, b, c, r in sorted(waived, key=lambda x: -x[3]):
+        print(f"ALLOWED (documented) {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x)")
     for k, b, c, r in sorted(improved, key=lambda x: x[3]):
         print(f"improved  {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x)")
     for k in failed:
