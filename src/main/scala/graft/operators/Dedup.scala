@@ -271,7 +271,23 @@ object Dedup {
     * oracle, which applies the identical cap — are unchanged.
     */
   def ngramJaccardPairs(documents: DataFrame, shingleK: Int = 5, threshold: Double = 0.2,
-                        maxDf: Int = 1000): DataFrame = {
+                        maxDf: Int = 1000): DataFrame =
+    jaccardFromCounts(ngramPairCounts(documents, shingleK, maxDf), threshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** The pre-threshold candidate table the whole n-gram metric family
+    * shares: (doc_a, doc_b, na, nb, inter) for every pair sharing ≥1
+    * df-capped shingle. ALL the Σ min(df, maxDf)² join work lives
+    * here; Jaccard and containment are then metric-only projections
+    * over the SAME counts — so the registry materializes this frame
+    * once ([[graft.Materialized]]) and both keys (plus the graph
+    * audit family via the Jaccard edges) read it, instead of each
+    * re-running the blocking join. The second-decade bench caught
+    * containment paying the full build that Jaccard had already
+    * memoized (40.5 s vs 0.09 s at sf10) — same work, built twice.
+    */
+  def ngramPairCounts(documents: DataFrame, shingleK: Int = 5,
+                      maxDf: Int = 1000): DataFrame = {
     val exploded = explodedShingles(documents, shingleK)
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("sh"))
@@ -287,12 +303,23 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Jaccard = inter / (|A| ∪ |B|) over [[ngramPairCounts]] rows. */
+  def jaccardFromCounts(counts: DataFrame, threshold: Double = 0.2): DataFrame =
+    counts
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "jaccard")
-      .orderBy("doc_a", "doc_b")
-  }
+
+  /** Broder containment = inter / min(|A|, |B|) over the same counts. */
+  def containmentFromCounts(counts: DataFrame, threshold: Double = 0.6): DataFrame =
+    counts
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "inter", "containment")
 
   /** The complete dedup pipeline in one call — what a corpus-curation
     * job actually runs: exact dedup (drop byte-identical copies, keep
@@ -329,25 +356,9 @@ object Dedup {
     * cap)² candidate work, one grouped count per surviving pair.
     */
   def ngramContainmentPairs(documents: DataFrame, shingleK: Int = 5,
-                            threshold: Double = 0.6, maxDf: Int = 1000): DataFrame = {
-    val exploded = explodedShingles(documents, shingleK)
-      .filter(col("sh").isNotNull)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("sh"))
-    val rare = exploded.groupBy("sh").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf).select("sh")
-    val capped = exploded.join(rare, "sh")
-    val a = capped.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
-    val b = capped.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
-    a.join(b, "sh")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("containment",
-        round(col("inter").cast("double") / least(col("na"), col("nb")), 6))
-      .filter(col("containment") >= threshold)
-      .select("doc_a", "doc_b", "inter", "containment")
+                            threshold: Double = 0.6, maxDf: Int = 1000): DataFrame =
+    containmentFromCounts(ngramPairCounts(documents, shingleK, maxDf), threshold)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Edit-distance near-duplicates: pairs whose (truncated) texts are
     * within `maxDist` Levenshtein edits, blocked on a shared prefix —
