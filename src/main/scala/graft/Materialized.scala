@@ -105,11 +105,25 @@ object Materialized {
     * parquet read-back concatenates files in listing order — so
     * consumers that need an order sort after reading, which every
     * registry consumer already does.
+    *
+    * The sink name is INJECTIVE in (kind, dir): the human-readable
+    * sanitized dir is suffixed with an md5 of the raw dir string, so
+    * two corpora whose paths sanitize identically (`/a/sf10` vs
+    * `/a_sf10`) can never collide onto one sink and silently serve
+    * each other's table. Cross-PROCESS writers are handled by
+    * build-to-temp + rename: the table is written to a sibling temp
+    * dir and only renamed onto the live path after the `_SUCCESS`
+    * marker is re-checked, so a reader never scans a half-written
+    * live path and a concurrent second writer discards its temp
+    * instead of clobbering the winner. The rename itself is atomic on
+    * HDFS/POSIX; on stores without atomic dir rename (raw S3), run
+    * one writer per sink base — the usual object-store table caveat.
     */
   def asTable(spark: SparkSession, dir: String, kind: String, base: String)
              (build: => DataFrame): DataFrame = {
     val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
-    val path = s"${base.stripSuffix("/")}/${kind}__$safeDir"
+    val digest = org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
+    val path = s"${base.stripSuffix("/")}/${kind}__${safeDir}__$digest"
     val cell = sinks.computeIfAbsent(path, p => new SinkCell(p, () => build))
     cell.ensureWritten(spark)
     spark.read.parquet(path)
@@ -122,10 +136,30 @@ object Materialized {
     private var written = false
     def ensureWritten(spark: SparkSession): Unit = synchronized {
       if (!written) {
-        val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p))
-          build().write.mode("overwrite").parquet(path)
+        val dst = new org.apache.hadoop.fs.Path(path)
+        val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            path + ".inprogress-" + java.util.UUID.randomUUID().toString.take(8))
+          build().write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(marker)) {
+            // a concurrent process finished while we built: keep the
+            // winner's live table, discard ours (builders are
+            // deterministic, the tables are equivalent)
+            fs.delete(tmp, true)
+          } else {
+            // a live path without a marker is an abandoned partial
+            // write — remove it so the rename lands on a clean slot
+            if (fs.exists(dst)) fs.delete(dst, true)
+            if (!fs.rename(tmp, dst)) {
+              if (!fs.exists(marker))
+                throw new IllegalStateException(
+                  s"Materialized sink rename failed and no winner exists: $path")
+              fs.delete(tmp, true)
+            }
+          }
+        }
         build = null
         written = true
       }

@@ -80,28 +80,17 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
   }
 
-  /** [[TopKPairs]] with STRING payloads (score desc, string asc) —
-    * the top-k-terms-per-document finisher (`text_tfidf`): the
-    * row_number window form shuffles and sorts every scored
-    * (doc, term) row (measured 29 s of text_tfidf's 32 s at
-    * sf10/11.6M rows), while this buffer combines map-side and ships
-    * k pairs per document. Same total order as the window's
-    * (score desc, term) — terms are unique within a document — so
-    * results are identical; pinned by a differential spec.
-    */
-  class TopKStrings(k: Int)
-      extends Aggregator[(Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
-    private val ord: Ordering[(Double, String)] = Ordering.by(p => (-p._1, p._2))
-    override def zero: Seq[(Double, String)] = Vector.empty
-    override def reduce(b: Seq[(Double, String)], x: (Double, String)): Seq[(Double, String)] =
-      Aggregators.boundedInsert(b, x, k, ord)
-    override def merge(a: Seq[(Double, String)], b: Seq[(Double, String)]): Seq[(Double, String)] =
-      b.foldLeft(a)((acc, x) => Aggregators.boundedInsert(acc, x, k, ord))
-    override def finish(b: Seq[(Double, String)]): Seq[(Double, String)] = b
-    override def bufferEncoder: Encoder[Seq[(Double, String)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, String)]]()
-    override def outputEncoder: Encoder[Seq[(Double, String)]] = bufferEncoder
-  }
+  // NOTE (adjudicated round 11): a TopKStrings sibling of TopKPairs was
+  // prototyped as the text_tfidf finisher and measured SLOWER than the
+  // row_number window it was meant to replace (min 19 s vs 6.8 s at
+  // sf10, fresh plans per rep): with ~23 scored rows per document
+  // scattered across partitions, partial aggregation ships ~1 buffer
+  // per input row — zero shuffle shrink — while paying the
+  // ScalaAggregator object/encoder path per row. TopKPairs survives
+  // because its groups (queries) are FEW and its per-group inputs are
+  // the whole corpus — the shape where a bounded heap actually shrinks
+  // the exchange. Per-doc top-k over wide corpora belongs on the
+  // window; see TextAnalysis.tfidfTopTerms and SCALING.md.
 
   /** Shared bounded-buffer insert (TopKPairs and the streaming top-k
     * state op): `b` is sorted by `ord` (best first) as an invariant;

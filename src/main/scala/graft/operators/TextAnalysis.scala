@@ -708,32 +708,68 @@ object TextAnalysis {
     * vocabulary-sized table; n_docs is a 1-row aggregate cross-joined
     * against the VOCAB table (bounded — the corpus side stays a clean
     * equi join on term with a vocabulary-sized build side). The final
-    * top-k is a bounded-heap [[graft.functions.Aggregators.TopKStrings]]
-    * per doc_id — the row_number-window form shuffled AND sorted every
-    * scored (doc, term) row, 29 s of this query's 32 s at sf10; the
-    * aggregator combines map-side and ships k pairs per document
-    * (identical (score desc, term) total order, window-differential
-    * spec). Scores round to 6 decimals before ranking so float noise
-    * can't flip ranks between engines.
+    * top-k is a row_number window over an explicit-width doc_id
+    * repartition: one exchange of the scored rows, then a per-doc
+    * Tungsten sort of ~|terms-per-doc| rows — fully codegen'd,
+    * spillable, no object aggregation. A bounded-heap UDAF finisher
+    * was measured AGAINST this (sf10, fresh plans per rep): min 19 s
+    * vs the window's 6.8 s — the hoped-for map-side shrink never
+    * happens because a document's ~23 scored rows scatter across
+    * partitions (≤1 row per doc per partition, on a 1000-executor
+    * cluster even thinner), so the UDAF paid the ScalaAggregator
+    * object/encoder path for zero shuffle savings. The result rows
+    * are checkpointed before the final presentation `orderBy` — the
+    * range-partitioner's sampling pass otherwise re-executes the
+    * whole window stage (measured 8 → 45 s at sf10). Scores round to
+    * 6 decimals before ranking so float noise can't flip ranks
+    * between engines.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
-    val toks = alphaTokens(documents)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
-    val idf = df.crossJoin(broadcast(nDocs))
-      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
-    val scored = tf.join(idf, "term")
-      .withColumn("score", round(col("tf") * col("idf"), 6))
     import org.apache.spark.sql.expressions.Window
     val par = documents.sparkSession.sparkContext.defaultParallelism
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    scored
+    tfidfScored(documents)
       .repartition(par, col("doc_id"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+      .localCheckpoint(true)
       .orderBy("doc_id", "rnk")
+  }
+
+  /** The scored (doc_id, term, score) frame behind [[tfidfTopTerms]]
+    * — one definition of the tokenize/tf/idf/round convention, shared
+    * with the differential spec so it compares only the finishers.
+    *
+    * Two measured plan hazards live here (both found adjudicating the
+    * 13.6×/decade flag, sf10 stage profile):
+    *   - `idf` is broadcast EXPLICITLY. It is vocabulary-sized by
+    *     construction, but its size ESTIMATE is aggregate-of-corpus ×
+    *     crossJoin — no smaller than tf's — so the planner, left to
+    *     stats, picked the 11.6M-row tf side as the build relation
+    *     (a driver-side single-threaded HashedRelation over every
+    *     (doc, term) row: 17-50 s of the query at sf10).
+    *   - `tf` is localCheckpoint'd: it feeds BOTH the probe side and
+    *     the df/idf broadcast subtree, and the optimizer rewrites the
+    *     df branch into a distinct-shaped aggregate whose canonical
+    *     form no longer matches the probe's — no exchange reuse — so
+    *     without the checkpoint the 122M-token explode ran twice,
+    *     concurrently, contending for the same cores (two ~6 s stages
+    *     ballooning to ~38 s each under contention).
+    */
+  private[graft] def tfidfScored(documents: DataFrame): DataFrame = {
+    val toks = alphaTokens(documents)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // count(tf) — NOT count(1) — so the df branch still references the
+    // tf column: with count(1) the optimizer prunes tf's aggregate
+    // down to a distinct whose canonical form no longer matches the
+    // probe side's, and exchange reuse dies (see scaladoc above)
+    val df = tf.groupBy("term").agg(count(col("tf")).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
+    tf.join(broadcast(idf), "term")
+      .withColumn("score", round(col("tf") * col("idf"), 6))
   }
 
   /** Domain-mixing weights: given a target language mixture for the

@@ -105,6 +105,37 @@ class MaterializedSpec extends SparkSpec {
     assert(c === a)
   }
 
+  test("production face: sink key is injective — sanitization collisions stay distinct") {
+    // "/…/graft sf10" and "/…/graft_sf10" sanitize to the same safe
+    // name; without the md5 suffix the second corpus would silently
+    // be served the first corpus's materialized table
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_inj").toString
+    val builds = new AtomicInteger(0)
+    def make(dir: String, v: Long) =
+      Materialized.asTable(spark, dir, "spec_sink_inj", base) {
+        builds.incrementAndGet()
+        spark.range(v, v + 1).toDF("v")
+      }
+    val a = make("/corpora/graft sf10", 1L).collect().map(_.getLong(0)).toSeq
+    val b = make("/corpora/graft_sf10", 2L).collect().map(_.getLong(0)).toSeq
+    assert(builds.get() === 2, "distinct dirs must build distinct sinks")
+    assert(a === Seq(1L) && b === Seq(2L),
+      "a sanitization collision must not serve one corpus's table to the other")
+    Materialized.clearSinks()
+  }
+
+  test("production face: no half-written live path — temp dirs never linger") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_tmp").toString
+    Materialized.asTable(spark, sf0001, "spec_sink_tmp", base) {
+      Tables.documents(spark, sf0001).select("doc_id").limit(3)
+    }.count()
+    val entries = new java.io.File(base).listFiles().map(_.getName).toSeq
+    assert(entries.exists(_.startsWith("spec_sink_tmp__")), s"live sink missing: $entries")
+    assert(!entries.exists(_.contains(".inprogress-")),
+      s"in-progress temp dir left behind: $entries")
+    Materialized.clearSinks()
+  }
+
   test("production face: sink-backed dedup family rows == memo-backed rows") {
     // the flag routes every Materialized.of through the parquet sink;
     // the dedup family keys that fan out from the shared pair/CC

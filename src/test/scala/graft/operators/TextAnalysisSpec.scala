@@ -317,6 +317,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count(_._1 == 3L) == 1)
   }
 
+  test("tfidfTopTerms: shipped plan matches an independent naive formulation row-for-row") {
+    // Differential twin: gather every scored (term, score) row per doc
+    // with collect_list, sort each doc's array by (-score, term) —
+    // struct comparison is field-order lexicographic, so ascending on
+    // (ns = -score, term) IS (score desc, term asc) — and slice the
+    // top k. Totally different physical plan (object gather + per-row
+    // array sort vs repartition + window), same semantics; run on real
+    // corpus data and across input partitionings.
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf0001)
+    def naive(docs: org.apache.spark.sql.DataFrame, k: Int) =
+      TextAnalysis.tfidfScored(docs)
+        .groupBy("doc_id")
+        .agg(slice(sort_array(collect_list(struct((-col("score")).as("ns"), col("term")))),
+          1, k).as("tk"))
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "pair")))
+        .select(col("doc_id"), col("pair.term").as("term"), (-col("pair.ns")).as("score"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy("doc_id", "rnk")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSeq
+    val expected = rows(naive(d, 3))
+    assert(expected.nonEmpty)
+    assert(rows(TextAnalysis.tfidfTopTerms(d, k = 3)) === expected)
+    assert(rows(TextAnalysis.tfidfTopTerms(d.repartition(13), k = 3)) === expected)
+  }
+
   test("bm25Search filters to query terms before aggregating and ranks matching docs") {
     val d = Seq(
       (1L, "spark join window spark spark"), // 3×spark + join + window

@@ -46,9 +46,13 @@ def load(path):
     return d
 
 
-def queries_of(d):
-    # prefer warm medians when the artifact carries them
-    return d.get("queries_min") or d["queries"]
+def queries_maps(base, cur):
+    # use warm medians only when BOTH artifacts carry them — comparing
+    # one side's warm medians against the other's cold totals mixes
+    # semantics and can mask (or fabricate) a warm regression
+    if base.get("queries_min") and cur.get("queries_min"):
+        return base["queries_min"], cur["queries_min"]
+    return base["queries"], cur["queries"]
 
 
 def main():
@@ -73,7 +77,7 @@ def main():
         return 2
     ratio_max = float(args[2]) if len(args) > 2 else (DECADE_MAX if decade else 1.2)
     base, cur = load(args[0]), load(args[1])
-    bq, cq = queries_of(base), queries_of(cur)
+    bq, cq = queries_maps(base, cur)
     shared = sorted(set(bq) & set(cq))
     if not shared:
         print("DRIFT GATE ERROR: no shared keys between artifacts")
