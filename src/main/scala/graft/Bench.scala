@@ -19,6 +19,10 @@ import org.apache.spark.sql.SparkSession
   *   4. attempt ONE full-set round if the budget plausibly holds it
   *      (full per-query detail → /tmp/bench_full.json);
   *   5. more headline rounds until the time box closes.
+  *
+  * Heap sizing (`SPARK_DRIVER_MEM`, default 8 g): sufficient for the
+  * sf0.1 driver contract; size scale-decade suites at 24-48 g — the
+  * measured table lives in SCALING.md "Round-11 memory contract".
   */
 object Bench {
   /** Representative headline subset: one key per major operator

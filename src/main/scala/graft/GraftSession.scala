@@ -19,8 +19,15 @@ object GraftSession {
   /** Apply graft's standard config to a builder. On a real cluster the
     * same knobs apply; only `master` and memory sizing change.
     */
-  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
-    b.master(s"local[$cores]")
+  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder = {
+    // Route the Materialized memo through its parquet sink face
+    // (Materialized.asTable) when the env asks for it — lets the
+    // bench/probe mains exercise the production memo path without
+    // code changes: SPARK_GRAFT_MATERIALIZED_PATH=/some/base.
+    val withSink = sys.env.get("SPARK_GRAFT_MATERIALIZED_PATH")
+      .filter(_.nonEmpty)
+      .map(p => b.config(Materialized.SinkConfKey, p)).getOrElse(b)
+    withSink.master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
@@ -68,6 +75,7 @@ object GraftSession {
       .config("spark.driver.host", "127.0.0.1")
       // custom planner strategy (native as-of join) + SQL functions
       .config("spark.sql.extensions", "graft.GraftExtensions")
+  }
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = configure(SparkSession.builder(), cores).getOrCreate()

@@ -5,6 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Debug main: run one named SparkEntry query `reps` times, print row
   * count and per-rep wall time (rep drift exposes JVM-state leaks).
   * `runMain graft.RunQuery <name> [sfDir] [reps]`
+  *
+  * Heap sizing (`SPARK_DRIVER_MEM`, default 8 g — in local mode the
+  * driver IS the executor): the 8 g default covers the verify (sf0.01)
+  * and bench (sf0.1) gates and, post-round-11, every individually
+  * measured sf10 key; run full scale-decade SUITES at 24-48 g for
+  * headroom. Measured table: SCALING.md "Round-11 memory contract".
   */
 object RunQuery {
   def main(args: Array[String]): Unit = {

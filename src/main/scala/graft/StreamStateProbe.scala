@@ -84,35 +84,49 @@ object StreamStateProbe {
     check(pEr.rows.last < nHours || nHours <= 3,
       s"errorRateHourly final state ${pEr.rows.last} shows no watermark eviction over $nHours hours")
 
-    // 3. streamingSemanticDupFlags: ≤ nTables·2^bits bucket keys
+    // 3. semantic dup, full-precision reference: ≤ nTables·2^bits
+    // bucket keys
     val (nTables, bits) = (4, 8)
     val vecRows = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val pSem = run[(Long, Seq[Double])](spark, "probe_semdup", chunks, vecRows,
       m => EventStreams.streamingSemanticDupFlags(m.toDF().toDF("vec_id", "v"),
-          nTables = nTables, bitsPerTable = bits).toDF()
+          nTables = nTables, bitsPerTable = bits, fullPrecisionState = true).toDF()
         .writeStream.format("memory").outputMode("append"))
     val bucketBound = nTables.toLong << bits
     check(pSem.rows.last <= bucketBound,
       s"semanticDup state ${pSem.rows.last} > bucket-key bound $bucketBound")
 
-    // 3b. the int8-quantized state variant: same bucket-key bound,
-    // materially smaller per-entry payload (the 100 TB form)
+    // 3b. the DEFAULT path (int8-quantized state since round 11): same
+    // bucket-key bound, materially smaller per-entry payload, and the
+    // default-on promotion gate — pair recall AND precision ≥ 0.95
+    // against the full-precision reference on this corpus replay
     val pSem8 = run[(Long, Seq[Double])](spark, "probe_semdup8", chunks, vecRows,
-      m => EventStreams.streamingSemanticDupFlagsInt8(m.toDF().toDF("vec_id", "v"),
+      m => EventStreams.streamingSemanticDupFlags(m.toDF().toDF("vec_id", "v"),
           nTables = nTables, bitsPerTable = bits).toDF()
         .writeStream.format("memory").outputMode("append"))
     check(pSem8.rows.last <= bucketBound,
       s"semanticDupInt8 state ${pSem8.rows.last} > bucket-key bound $bucketBound")
     check(pSem8.mem.max < pSem.mem.max,
       s"semanticDupInt8 state ${pSem8.mem.max} B not smaller than full ${pSem.mem.max} B")
+    def pairsOf(table: String): Set[(Long, Long)] =
+      spark.table(table).collect()
+        .map(r => (r.getLong(2), r.getLong(0))).toSet
+    val fullPairs = pairsOf("probe_semdup")
+    val int8Pairs = pairsOf("probe_semdup8")
+    val sharedPairs = fullPairs intersect int8Pairs
+    val recall = if (fullPairs.isEmpty) 1.0 else sharedPairs.size.toDouble / fullPairs.size
+    val precision = if (int8Pairs.isEmpty) 1.0 else sharedPairs.size.toDouble / int8Pairs.size
+    check(recall >= 0.95, f"semanticDupInt8 recall $recall%.4f < 0.95 vs full-precision replay")
+    check(precision >= 0.95, f"semanticDupInt8 precision $precision%.4f < 0.95 vs full-precision replay")
 
     val twins = Seq(
       ("sessionGaps", pSess, s""""bound_users":$nUsers"""),
       ("errorRateHourly", pEr, s""""bound_hours":$nHours"""),
       ("semanticDup", pSem, s""""bound_buckets":$bucketBound"""),
-      ("semanticDupInt8", pSem8, s""""bound_buckets":$bucketBound"""))
+      ("semanticDupInt8", pSem8,
+        f""""bound_buckets":$bucketBound,"recall_vs_full":$recall%.4f,"precision_vs_full":$precision%.4f"""))
     val body = twins.map { case (n, p, bound) =>
       s""""$n":{"batches":${p.rows.size},"rows_final":${p.rows.last},""" +
         s""""rows_peak":${p.rows.max},"mem_peak_bytes":${p.mem.max},$bound}"""

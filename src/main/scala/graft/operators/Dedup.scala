@@ -288,18 +288,30 @@ object Dedup {
     */
   def ngramPairCounts(documents: DataFrame, shingleK: Int = 5,
                       maxDf: Int = 1000): DataFrame = {
-    val exploded = explodedShingles(documents, shingleK)
+    // ONE explicit-width exchange on sh up front; the df cap is a
+    // WINDOW count over that partitioning (not a groupBy + join back
+    // — a pruned-column df exchange can never reuse the probe's), and
+    // the a×b self-join sides are then canonically identical, so the
+    // single exchange is built once and reused. Left to size
+    // estimates, the planner instead broadcast the post-explode frame
+    // (Generate wrecks stats): at sf10 that meant THREE driver-side
+    // single-threaded HashedRelations over 25M string-keyed rows and
+    // the explode computed four times with zero exchange reuse (164 s,
+    // and the documented 8 g-driver GC-locker deaths); this shape does
+    // the same Σ min(df, maxDf)² work in executor-sized memory. The
+    // shuffle_hash hint matters: the satisfied-distribution sides
+    // would otherwise plan as SMJ and re-sort 25M strings.
+    import org.apache.spark.sql.expressions.Window
+    val par = documents.sparkSession.sparkContext.defaultParallelism
+    val capped = explodedShingles(documents, shingleK)
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("sh"))
-    // df per shingle over distinct (doc, shingle) rows; most shingles
-    // are rare, so `rare` is corpus-sized — a shuffle join on sh (not
-    // a broadcast) is the right shape.
-    val rare = exploded.groupBy("sh").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf).select("sh")
-    val capped = exploded.join(rare, "sh")
+      .repartition(par, col("sh"))
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("_df") <= maxDf)
     val a = capped.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
     val b = capped.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
-    a.join(b, "sh")
+    a.join(b.hint("shuffle_hash"), "sh")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))

@@ -776,24 +776,42 @@ object EventStreams {
     * State is bounded exactly like the batch bucket cap: each bucket
     * admits the first `maxBucket` arrivals (= lowest vec_ids under
     * monotone-id ingest, matching the batch row_number cap), so a
-    * flooded bucket degrades recall, never memory. At 100 TB state
-    * entries would hold int8-quantized vectors (8× smaller, see
-    * [[graft.operators.Similarity.quantizeInt8Report]] for the
-    * measured recall cost) — kept full-precision here so the replay
-    * spec can assert exact agreement with the batch pairs. That exact
-    * agreement holds only under monotone-id ingest AND no bucket
-    * exceeding `maxBucket`: under flood the stream emits (admitted,
-    * non-admitted) pairs that the batch twin — which caps BOTH join
-    * sides — never generates, so the flooded stream flags a strict
-    * SUPERSET of the batch pairs (the flood-cap spec pins exactly
-    * this divergence). The cosine
-    * is the same index-ordered accumulation loop as the codegen
-    * expression and rounds exactly like Spark's `round(_, 6)`
-    * (HALF_UP), so emitted scores equal the batch column.
+    * flooded bucket degrades recall, never memory.
+    *
+    * DEFAULT STATE ENCODING IS INT8 (promoted round 11, after a second
+    * sf1 replay confirmed recall/precision ≥ 0.95 against the
+    * full-precision twin — `STREAM_STATE_r11.json`): stored vectors
+    * are affine-quantized, ~8× less state per admitted vector — the
+    * difference between state that fits the store and state that
+    * spills at corpus scale. Pass `fullPrecisionState = true` for
+    * exact batch-score agreement ([[streamingSemanticDupFlagsFull]]):
+    * that exact agreement holds only under monotone-id ingest AND no
+    * bucket exceeding `maxBucket` — under flood the stream emits
+    * (admitted, non-admitted) pairs that the batch twin (which caps
+    * BOTH join sides) never generates, so the flooded stream flags a
+    * strict SUPERSET of the batch pairs (the flood-cap spec pins
+    * exactly this divergence).
     */
   def streamingSemanticDupFlags(vecs: DataFrame, threshold: Double = 0.2,
                                 nTables: Int = 4, bitsPerTable: Int = 8,
-                                maxBucket: Int = 256): Dataset[SemanticDupFlag] = {
+                                maxBucket: Int = 256,
+                                fullPrecisionState: Boolean = false): Dataset[SemanticDupFlag] =
+    if (fullPrecisionState)
+      streamingSemanticDupFlagsFull(vecs, threshold, nTables, bitsPerTable, maxBucket)
+    else
+      streamingSemanticDupFlagsInt8(vecs, threshold, nTables, bitsPerTable, maxBucket)
+
+  /** Full-precision-state form of [[streamingSemanticDupFlags]] — the
+    * spec-reference twin (emitted cosines equal the batch column
+    * bit-for-bit: same index-ordered accumulation loop as the codegen
+    * expression, same HALF_UP `round(_, 6)`). Opt-in via
+    * `fullPrecisionState = true`; the int8 path is the default since
+    * round 11.
+    */
+  private[graft] def streamingSemanticDupFlagsFull(
+      vecs: DataFrame, threshold: Double = 0.2,
+      nTables: Int = 4, bitsPerTable: Int = 8,
+      maxBucket: Int = 256): Dataset[SemanticDupFlag] = {
     val spark = vecs.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
@@ -835,9 +853,9 @@ object EventStreams {
       }
   }
 
-  /** Int8-quantized-state variant of [[streamingSemanticDupFlags]] —
-    * the 100 TB form of the keyed state: each stored vector is the
-    * min/range affine quantization of
+  /** Int8-quantized-state form of [[streamingSemanticDupFlags]] (the
+    * DEFAULT since round 11) — the 100 TB form of the keyed state:
+    * each stored vector is the min/range affine quantization of
     * [[graft.operators.Similarity.quantizeInt8Report]] (sc =
     * (max−min)/255, level = floor((x−mn)/sc), reconstruct = mn +
     * level·sc), so a 64-dim float64 entry shrinks from 512 B of

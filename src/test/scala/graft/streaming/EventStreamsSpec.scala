@@ -575,7 +575,7 @@ class EventStreamsSpec extends SparkSpec {
     val (batchA, batchB) = rows.splitAt(rows.length / 2)
     val mem = MemoryStream[(Long, Seq[Double])]
     val q = EventStreams.streamingSemanticDupFlags(
-        mem.toDF().toDF("vec_id", "v"))
+        mem.toDF().toDF("vec_id", "v"), fullPrecisionState = true)
       .toDF().writeStream.format("memory").queryName("semdup_test")
       .outputMode("append").start()
     def flags() = spark.table("semdup_test").collect()
@@ -622,9 +622,9 @@ class EventStreamsSpec extends SparkSpec {
       } finally q.stop()
     }
     val (full, fullBytes) = runStream("semint8_ref",
-      df => EventStreams.streamingSemanticDupFlags(df))
+      df => EventStreams.streamingSemanticDupFlagsFull(df))
     val (int8, int8Bytes) = runStream("semint8_test",
-      df => EventStreams.streamingSemanticDupFlagsInt8(df))
+      df => EventStreams.streamingSemanticDupFlags(df)) // int8 IS the default
     // pair recall AND precision vs the full-precision twin
     val shared = full.keySet intersect int8.keySet
     assert(shared.size >= (full.size * 0.95).toInt, s"recall ${shared.size}/${full.size}")
