@@ -43,18 +43,15 @@ object GraftSession {
       // 4096 comfortably holds every generated class for the full
       // registry. On a real cluster the same knob applies per executor.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
-      // ObjectHashAggregate (typed Aggregators, collect_*, percentile,
-      // HLL) falls back to SORT-BASED aggregation after this many
-      // groups per partition — default 128, sized for tiny-cardinality
-      // rollups. A bounded-heap top-k per document has millions of
-      // groups with ≤k-pair buffers, so at the default it degenerates
-      // into the very sort-every-row plan it replaces (measured:
-      // text_tfidf 28 s warm at sf10 with the fallback vs 3 s hash).
-      // 256k groups/partition × O(k)-sized buffers stays well inside
-      // executor memory; buffers that are genuinely fat (collect_list
-      // over skewed groups) are bounded upstream by this repo's
-      // cap/panel discipline, not by this count.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // NOTE: spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // stays at its 128-group default ON PURPOSE. Raising it to 256k
+      // for a (since-rejected) UDAF top-k plan measured as a UNIFORM
+      // ~1.1x suite-wide warm regression: every ObjectHashAggregate in
+      // the 314-key suite then builds large object hash maps whose
+      // heap pressure taxes NEIGHBORING keys in the same JVM. No
+      // surviving operator needs hash-mode object aggregation over
+      // many groups (TopKPairs groups = query count; per-doc top-k is
+      // the window plan — SCALING.md round 11).
       // Recursive CTEs materialize Σ-per-level rows; the walk in
       // q_recursive_cte emits n·log₂(maxKey) rows, which crosses the
       // 1M default at sf1 (found by the 10× scale bench). Keep the

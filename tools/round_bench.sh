@@ -34,9 +34,13 @@ json.dump(d, open(sys.argv[1], "w"))
 PY
 echo "banked $OUT"
 
+# DRIFT_ALLOW=key1,key2 waives documented keys (loudly reported as
+# ALLOWED by the gate; per-invocation only, never learned from state)
+ALLOW_ARGS=()
+[ -n "${DRIFT_ALLOW:-}" ] && ALLOW_ARGS=(--allow "$DRIFT_ALLOW")
 if [ -n "$BASELINE" ]; then
   echo "drift gate vs $BASELINE:"
-  python3 tools/check_drift.py "$BASELINE" "$OUT"
+  python3 tools/check_drift.py "${ALLOW_ARGS[@]}" "$BASELINE" "$OUT"
 else
   echo "no baseline artifact found - drift gate skipped (first round?)"
 fi
