@@ -149,6 +149,44 @@ class PlanAuditSpec extends SparkSpec {
       s"the ranking window must consume the topN pre-cut, not the full customer base:\n$plan")
   }
 
+  test("ngramPairCounts plans no broadcast at any scale — co-partitioned shuffle joins only") {
+    // Round-11 regression pin: left to post-Generate size estimates
+    // the planner broadcast the corpus-sized exploded-shingle frame
+    // (three driver-side HashedRelations at sf10 — 164 s and 8 g-heap
+    // deaths). The repartition + shuffle_hash shape must hold
+    // regardless of estimates, so assert it at spec scale.
+    val plan = operators.Dedup.ngramPairCounts(Tables.documents(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"ngramPairCounts must never broadcast (corpus-sized sides):\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected co-partitioned shuffle-hash joins:\n$plan")
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"expected the explicit-width sh repartition (AQE-coalesce-exempt):\n$plan")
+  }
+
+  test("tfidfScored broadcasts the vocabulary side, never the corpus-keyed tf side") {
+    // Round-11 regression pin: idf's size ESTIMATE (aggregate ×
+    // crossJoin) is no smaller than tf's, so without the explicit
+    // broadcast the planner built the HashedRelation from the
+    // 11.6M-row (doc_id, term) side at sf10. A corpus-keyed build
+    // side (output carries doc_id) must never appear under a
+    // broadcast join here.
+    // string-level: AdaptiveSparkPlanExec hides its subtree from
+    // collect(), so inspect each BroadcastExchange's first child line
+    // — the build relation's output — for a corpus key
+    val lines = operators.TextAnalysis.tfidfScored(Tables.documents(spark, sf0001))
+      .queryExecution.executedPlan.toString.split("\n").toSeq
+    val exchangeIdx = lines.zipWithIndex
+      .filter(_._1.contains("BroadcastExchange HashedRelationBroadcastMode")).map(_._2)
+    assert(exchangeIdx.nonEmpty, s"expected the tf ⋈ broadcast(idf) join:\n${lines.mkString("\n")}")
+    exchangeIdx.foreach { i =>
+      val buildHead = lines(i + 1)
+      assert(!buildHead.contains("doc_id#"),
+        s"broadcast build side carries doc_id (corpus-sized relation):\n$buildHead")
+    }
+  }
+
   test("no registered query plans a CartesianProduct or an unbounded nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
