@@ -60,7 +60,13 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val qmap: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       SparkEntry.queries
-    def warm(names: Seq[String]): Unit = {
+    // Warmup phases are also TIMED: the head-warmup vs rest-warmup
+    // wall ratio is the cheapest available proxy for the full-round /
+    // headline-round cost ratio (same key mix, same concurrency
+    // distortion on both sides, so the distortion cancels) — it feeds
+    // the full-round estimator below.
+    def warm(names: Seq[String]): Double = {
+      val t0 = System.nanoTime()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -75,7 +81,25 @@ object Bench {
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
       pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
     }
+    // Sidecar carrying the last COMPLETED full-round wall time for this
+    // exact data dir (key count changes rarely; a round's fixes can
+    // shift the time, so the cap below carries 1.3x slack). This is the
+    // round-11 verdict fix: the naive scale-by-count estimate
+    // over-predicts ~3x (headline keys skew expensive), which starved
+    // the driver artifact of its full round — a MEASURED prior full
+    // round is the best estimate that exists, and the driver box keeps
+    // /tmp across rounds so local round_bench runs seed it.
+    val fullSidecar = java.nio.file.Paths.get("/tmp/bench_lastfull_" +
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        sfDir + "|" + qmap.size).take(12) + ".txt")
+    def readLastFullS: Option[Double] =
+      try Some(new String(java.nio.file.Files.readAllBytes(fullSidecar), "UTF-8").trim.toDouble)
+      catch { case _: Throwable => None }
+    def writeLastFullS(s: Double): Unit =
+      try java.nio.file.Files.write(fullSidecar, f"$s%.1f".getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     // The whole loop is TIME-BOXED (r5: rc=124, no JSON, parsed null).
     // Defenses: rounds only start when predicted to fit, and the
     // compact JSON line is rewritten AFTER EVERY ROUND so a mid-round
@@ -158,7 +182,7 @@ object Bench {
     // the part that MUST land — it produces iters_completed ≥ 2 and a
     // queries_min that differs from queries (real warm evidence) even
     // if the time box closes during everything after it.
-    warm(headline)
+    val headWarmS = warm(headline)
     System.err.println(f"[bench] headline warmup done at $elapsedS%.1f s")
     var lastHeadS = runRound(headline)
     System.err.println(f"[bench] headline round 1 done at $elapsedS%.1f s (round $lastHeadS%.1f s, budget $budgetS%.0f s)")
@@ -171,34 +195,48 @@ object Bench {
       emit(last = false)
     }
     // Phase 3-4: warm the rest, then ONE full-set round if the budget
-    // plausibly holds it. The estimate scales the last headline round
-    // by key count (headline keys skew expensive, so this
-    // over-predicts — deliberately conservative) but uses slim 1.0×
-    // headroom: a mid-round kill costs nothing (the artifact above is
-    // already banked) while a completed full round buys per-query
-    // coverage for all keys.
+    // plausibly holds it. A mid-round kill costs nothing (the artifact
+    // above is already banked and re-emitted after every round) while
+    // a completed full round buys per-query coverage for all keys.
     // SPARK_GRAFT_BENCH_FULL_ITERS (default 1) exists for the local
     // multi-iteration artifact (BENCH_LOCAL_*): with a wide budget it
     // repeats the full-set round so EVERY key gets a warm median, not
     // just the headline subset. The driver's 420 s box fits one.
     val fullIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_ITERS", "1").toInt
-    // The estimator below scales the last HEADLINE round by key count;
-    // headline keys skew expensive, so it over-predicts ~3× (round-11:
-    // 3951 s predicted vs ~1200 s actual at sf10) — right for the
-    // driver's hard 420 s box, wrong for wide-budget local scale runs.
-    // SPARK_GRAFT_BENCH_FORCE_FULL=1 skips the estimate gate (never
-    // set by the driver); the wall budget still bounds phase 5.
+    // Full-round estimate = the MINIMUM of three independent bounds
+    // (round-12 rework; the old naive-only estimate over-predicted ~3×
+    // — headline keys skew expensive — and starved the round-11 driver
+    // artifact of its full round):
+    //   naive:     last headline round × key-count ratio (upper bound);
+    //   warm-ratio: last headline round × (head+rest warmup wall) /
+    //              (head warmup wall) — same key mix and the warmup
+    //              concurrency distortion cancels in the ratio;
+    //   sidecar:   1.3 × the last COMPLETED full-round wall time for
+    //              this data dir, when one exists (the only measured
+    //              number; written after every completed full round).
+    // SPARK_GRAFT_BENCH_FORCE_FULL=1 still skips the gate entirely for
+    // wide-budget local scale runs; the wall budget bounds phase 5.
     val forceFull = sys.env.get("SPARK_GRAFT_BENCH_FORCE_FULL").contains("1")
     if (elapsedS < budgetS * 0.6) {
-      warm(allNames.filterNot(headSet.contains))
+      val restWarmS = warm(allNames.filterNot(headSet.contains))
       System.err.println(f"[bench] full warmup done at $elapsedS%.1f s")
-      var fullEst = lastHeadS * allNames.length.toDouble / headline.length
+      val naiveEst = lastHeadS * allNames.length.toDouble / headline.length
+      val ratioEst =
+        if (headWarmS > 0) lastHeadS * (headWarmS + restWarmS) / headWarmS
+        else naiveEst
+      val sidecarEst = readLastFullS.map(_ * 1.3)
+      var fullEst = (Seq(naiveEst, ratioEst) ++ sidecarEst).min
+      System.err.println(
+        f"[bench] full-round estimates: naive $naiveEst%.1f s, warm-ratio $ratioEst%.1f s" +
+          sidecarEst.map(s => f", sidecar $s%.1f s").getOrElse("") +
+          f" -> using $fullEst%.1f s")
       var j = 0
       while (j < fullIters && (forceFull || elapsedS + fullEst < budgetS - 10)) {
         val fullS = runRound(allNames)
         j += 1
         System.err.println(f"[bench] full round $j/$fullIters done at $elapsedS%.1f s (round $fullS%.1f s)")
         emit(last = false)
+        writeLastFullS(fullS)
         fullEst = fullS * 1.1
       }
       if (j < fullIters)

@@ -112,12 +112,22 @@ object Materialized {
     * `/a_sf10`) can never collide onto one sink and silently serve
     * each other's table. Cross-PROCESS writers are handled by
     * build-to-temp + rename: the table is written to a sibling temp
-    * dir and only renamed onto the live path after the `_SUCCESS`
-    * marker is re-checked, so a reader never scans a half-written
-    * live path and a concurrent second writer discards its temp
-    * instead of clobbering the winner. The rename itself is atomic on
-    * HDFS/POSIX; on stores without atomic dir rename (raw S3), run
-    * one writer per sink base — the usual object-store table caveat.
+    * dir and only renamed onto the live path when the live slot is
+    * empty, so a reader never scans a half-written live path and a
+    * concurrent second writer discards its temp instead of clobbering
+    * the winner. The commit loop re-checks the `_SUCCESS` marker
+    * before every destructive step and never renames onto an existing
+    * dst (Hadoop's local-FS rename nests into an existing dir instead
+    * of failing); a live path WITHOUT a marker is an abandoned partial
+    * write and is removed. Residual caveat: plain FS ops have no
+    * compare-and-swap, so a winner that completes its rename in the
+    * instant between the marker re-check and the abandoned-dir delete
+    * can still be clobbered — that window is one syscall wide and only
+    * reachable when a previous writer CRASHED mid-commit; on stores
+    * without atomic dir rename (raw S3), run one writer per sink base
+    * — the usual object-store table caveat. Crashed writers' stale
+    * `.inprogress-*` temps are garbage-collected best-effort (age
+    * > 1 h) before the next build of the same sink.
     */
   def asTable(spark: SparkSession, dir: String, kind: String, base: String)
              (build: => DataFrame): DataFrame = {
@@ -140,30 +150,84 @@ object Materialized {
         val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
+          gcStaleTemps(fs, dst)
           val tmp = new org.apache.hadoop.fs.Path(
             path + ".inprogress-" + java.util.UUID.randomUUID().toString.take(8))
           build().write.mode("overwrite").parquet(tmp.toString)
-          if (fs.exists(marker)) {
-            // a concurrent process finished while we built: keep the
-            // winner's live table, discard ours (builders are
-            // deterministic, the tables are equivalent)
-            fs.delete(tmp, true)
-          } else {
-            // a live path without a marker is an abandoned partial
-            // write — remove it so the rename lands on a clean slot
-            if (fs.exists(dst)) fs.delete(dst, true)
-            if (!fs.rename(tmp, dst)) {
-              if (!fs.exists(marker))
-                throw new IllegalStateException(
-                  s"Materialized sink rename failed and no winner exists: $path")
-              fs.delete(tmp, true)
-            }
-          }
+          commit(fs, tmp, dst, marker)
         }
         build = null
         written = true
       }
     }
+
+    /** Publish `tmp` onto `dst`. Invariants (the round-12 TOCTOU fix —
+      * the old shape could delete a winner's LIVE table between its
+      * marker re-check and the rename):
+      *   - the marker is re-checked before EVERY destructive step; a
+      *     marker means a winner finished — discard tmp, never touch dst;
+      *   - rename is only attempted when dst is ABSENT (Hadoop local-FS
+      *     rename onto an existing dir nests src inside it and reports
+      *     success — renaming blind would corrupt the live table);
+      *   - dst-present-without-marker (a crashed writer's partial
+      *     rename target) is deleted, then the loop re-checks the
+      *     marker before retrying, so a winner landing mid-loop is
+      *     honored on the next pass.
+      * Three passes bound the retries; losing three straight races to
+      * concurrent committers of the SAME deterministic table is not a
+      * live configuration (one writer per sink base is the documented
+      * deployment), so past that we fail loudly rather than spin.
+      */
+    private def commit(fs: org.apache.hadoop.fs.FileSystem,
+                       tmp: org.apache.hadoop.fs.Path,
+                       dst: org.apache.hadoop.fs.Path,
+                       marker: org.apache.hadoop.fs.Path): Unit = {
+      var attempts = 0
+      while (attempts < 3) {
+        attempts += 1
+        if (fs.exists(marker)) {
+          // a concurrent process finished (possibly while we built):
+          // keep the winner's live table, discard ours — builders are
+          // deterministic, the tables are byte-equivalent
+          fs.delete(tmp, true)
+          return
+        }
+        if (!fs.exists(dst)) {
+          if (fs.rename(tmp, dst)) return
+          // dst appeared between the check and the rename — loop to
+          // re-examine (marker first: a finished winner wins)
+        } else {
+          // dst without a marker is an abandoned partial write from a
+          // crashed writer — remove it; the next pass re-checks the
+          // marker before renaming (see scaladoc for the one-syscall
+          // residual window this leaves on CAS-free stores)
+          fs.delete(dst, true)
+        }
+      }
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"Materialized sink commit lost 3 races (concurrent writers on one sink base?): $path")
+    }
+
+    /** Best-effort GC of `.inprogress-*` siblings left by crashed
+      * writers: only temps of THIS sink, only when older than 1 h (a
+      * live concurrent writer's temp is at most minutes old while it
+      * builds). Failures are swallowed — GC must never fail a build.
+      */
+    private def gcStaleTemps(fs: org.apache.hadoop.fs.FileSystem,
+                             dst: org.apache.hadoop.fs.Path): Unit =
+      try {
+        val parent = dst.getParent
+        if (parent != null && fs.exists(parent)) {
+          val prefix = dst.getName + ".inprogress-"
+          val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+          fs.listStatus(parent).foreach { st =>
+            if (st.getPath.getName.startsWith(prefix) &&
+                st.getModificationTime < cutoff)
+              try fs.delete(st.getPath, true) catch { case _: Throwable => () }
+          }
+        }
+      } catch { case _: Throwable => () }
   }
 
   /** Test hygiene: forget which sinks were written (the parquet stays

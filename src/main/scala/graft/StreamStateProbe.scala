@@ -13,15 +13,24 @@ import graft.streaming.EventStreams
   *
   * `runMain graft.StreamStateProbe [sfDir] [chunks]`
   *
-  * Replays the corpus in time-ordered chunks through three twins and
-  * records per-micro-batch `stateOperators` metrics (numRowsTotal,
-  * memoryUsedBytes), then checks each twin's bound:
+  * Replays the corpus in time-ordered chunks through every stateful
+  * twin family and records per-micro-batch `stateOperators` metrics
+  * (numRowsTotal, memoryUsedBytes), then checks each twin's bound:
   *   - sessionGaps: state rows == distinct users (two longs per key)
   *   - errorRateHourly: state rows ≤ distinct event hours, with
   *     watermark eviction keeping the FINAL count at the open tail,
   *     not the stream's history
   *   - streamingSemanticDupFlags: state rows ≤ nTables·2^bits bucket
   *     keys (admission-capped vectors inside each)
+  *   - perUserQuota: state rows == distinct users (ONE counter per
+  *     key regardless of traffic — transformWithState ValueState)
+  *   - transitionEdges: state rows == distinct users (one last-event
+  *     row per key)
+  *   - streamingAttribution: state rows == distinct users (two-field
+  *     last-touch state)
+  *   - strictFunnelHits: state rows == distinct users (three longs)
+  *   - runningLabelCentroids: state rows == distinct labels (one
+  *     (count, sum-vector) per label — label-cardinality, not corpus)
   * Prints one JSON line; exits 1 when a bound is violated.
   */
 object StreamStateProbe {
@@ -121,12 +130,74 @@ object StreamStateProbe {
     check(recall >= 0.95, f"semanticDupInt8 recall $recall%.4f < 0.95 vs full-precision replay")
     check(precision >= 0.95, f"semanticDupInt8 precision $precision%.4f < 0.95 vs full-precision replay")
 
+    // 4. perUserQuota (transformWithState): ONE ValueState counter per
+    // user — state is O(users) regardless of per-user traffic
+    val quotaRows = EventOps.withTsUs(events)
+      .select("user_id", "ts_us", "event_id")
+      .collect().sortBy(r => (r.getLong(1), r.getLong(2)))
+      .map(r => EventStreams.QuotaEvent(r.getLong(0), r.getLong(2))).toSeq
+    val pQuota = run[EventStreams.QuotaEvent](spark, "probe_quota", chunks, quotaRows,
+      m => EventStreams.perUserQuota(m.toDS()).toDF()
+        .writeStream.format("memory").outputMode("append"))
+    check(pQuota.rows.last == nUsers,
+      s"perUserQuota state ${pQuota.rows.last} != distinct users $nUsers")
+
+    // 5. transitionEdges: one last-event row per user
+    val seqRows = EventOps.withTsUs(events)
+      .select("user_id", "ts_us", "event_id", "event_type")
+      .as[EventStreams.SeqEvent]
+      .collect().sortBy(e => (e.ts_us, e.event_id)).toSeq
+    val pTrans = run[EventStreams.SeqEvent](spark, "probe_trans", chunks, seqRows,
+      m => EventStreams.transitionEdges(m.toDS()).toDF()
+        .writeStream.format("memory").outputMode("append"))
+    check(pTrans.rows.last == nUsers,
+      s"transitionEdges state ${pTrans.rows.last} != distinct users $nUsers")
+
+    // 6. streamingAttribution: two-field last-touch state per user
+    val attrRows = EventOps.withTsUs(events)
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+      .as[EventStreams.AttrEvent]
+      .collect().sortBy(e => (e.ts_us, e.event_id)).toSeq
+    val pAttr = run[EventStreams.AttrEvent](spark, "probe_attr", chunks, attrRows,
+      m => EventStreams.streamingAttribution(m.toDS()).toDF()
+        .writeStream.format("memory").outputMode("append"))
+    check(pAttr.rows.last == nUsers,
+      s"streamingAttribution state ${pAttr.rows.last} != distinct users $nUsers")
+
+    // 7. strictFunnelHits: three longs per user
+    val funRows = EventOps.withTsUs(events)
+      .select("user_id", "ts_us", "event_type")
+      .as[EventStreams.FunnelEvent]
+      .collect().sortBy(_.ts_us).toSeq
+    val pFun = run[EventStreams.FunnelEvent](spark, "probe_funnel", chunks, funRows,
+      m => EventStreams.strictFunnelHits(m.toDS()).toDF()
+        .writeStream.format("memory").outputMode("append"))
+    check(pFun.rows.last == nUsers,
+      s"strictFunnelHits state ${pFun.rows.last} != distinct users $nUsers")
+
+    // 8. runningLabelCentroids: one (count, sum-vector) per LABEL —
+    // state scales with label cardinality, never the corpus
+    val labVecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("label", "embedding")
+      .as[EventStreams.LabeledVec].collect().toSeq
+    val nLabels = labVecs.map(_.label).distinct.size
+    val pCent = run[EventStreams.LabeledVec](spark, "probe_centroid", chunks, labVecs,
+      m => EventStreams.runningLabelCentroids(m.toDS()).toDF()
+        .writeStream.format("memory").outputMode("update"))
+    check(pCent.rows.last == nLabels,
+      s"runningLabelCentroids state ${pCent.rows.last} != distinct labels $nLabels")
+
     val twins = Seq(
       ("sessionGaps", pSess, s""""bound_users":$nUsers"""),
       ("errorRateHourly", pEr, s""""bound_hours":$nHours"""),
       ("semanticDup", pSem, s""""bound_buckets":$bucketBound"""),
       ("semanticDupInt8", pSem8,
-        f""""bound_buckets":$bucketBound,"recall_vs_full":$recall%.4f,"precision_vs_full":$precision%.4f"""))
+        f""""bound_buckets":$bucketBound,"recall_vs_full":$recall%.4f,"precision_vs_full":$precision%.4f"""),
+      ("perUserQuota", pQuota, s""""bound_users":$nUsers"""),
+      ("transitionEdges", pTrans, s""""bound_users":$nUsers"""),
+      ("streamingAttribution", pAttr, s""""bound_users":$nUsers"""),
+      ("strictFunnelHits", pFun, s""""bound_users":$nUsers"""),
+      ("runningLabelCentroids", pCent, s""""bound_labels":$nLabels"""))
     val body = twins.map { case (n, p, bound) =>
       s""""$n":{"batches":${p.rows.size},"rows_final":${p.rows.last},""" +
         s""""rows_peak":${p.rows.max},"mem_peak_bytes":${p.mem.max},$bound}"""

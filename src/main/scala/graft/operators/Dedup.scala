@@ -1338,7 +1338,45 @@ object Dedup {
     * stop before the checkpoint.
     */
   def prefixFilterPairs(documents: DataFrame, threshold: Double = 0.6,
-                        sampleMod: Int = 5, maxBucket: Int = 1024): DataFrame = {
+                        sampleMod: Int = 5, maxBucket: Int = 1024): DataFrame =
+    prefixFilterScored(documents, threshold, sampleMod, maxBucket)
+      // verify is a single shuffle-free stage (checkpointed cand +
+      // two broadcast joins), so the final sort's range-partitioning
+      // SAMPLING pass would re-run the whole stage — measured as a
+      // clean 2× on the end-to-end query. Materialize once, sort the
+      // in-memory blocks.
+      .localCheckpoint(true)
+      .orderBy("doc_a", "doc_b")
+
+  /** Count-only audit twin of [[prefixFilterPairs]]: the same
+    * candidate generation and exact-Jaccard verification, finished as
+    * per-band pair COUNTS (0.05-wide similarity bands) instead of the
+    * pair list. On this corpus the pair list itself is the cost floor
+    * — 57% of in-replica pairs genuinely match at J ≥ 0.6 (28.4M
+    * result rows at sf10), so the emitting key's warm time measures
+    * output volume, not plan quality. This twin decouples the
+    * plan-health audit from that floor: all the compute (prefix
+    * explode, candidate join, length/positional prunes, verify
+    * intersection) still runs, but the band aggregate collapses the
+    * result map-side and skips the checkpoint + full-width sort —
+    * the number it reports moves only when the PLAN regresses.
+    * Banding is integer arithmetic on the round-6 jaccard
+    * (`round(j·1e6) div 50000`), identical in both engines, so band
+    * edges cannot flip on float noise.
+    */
+  def prefixFilterPairBands(documents: DataFrame, threshold: Double = 0.6,
+                            sampleMod: Int = 5, maxBucket: Int = 1024): DataFrame =
+    prefixFilterScored(documents, threshold, sampleMod, maxBucket)
+      .withColumn("j_band", expr("cast(round(jaccard * 1e6) as bigint) div 50000"))
+      .groupBy("j_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_j"),
+        max(col("jaccard")).as("max_j"))
+      .orderBy("j_band")
+
+  private[graft] def prefixFilterScored(
+      documents: DataFrame, threshold: Double,
+      sampleMod: Int, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents.filter(pmod(col("doc_id"), lit(sampleMod.toLong)) === 0)
     val toks = docs
@@ -1425,13 +1463,6 @@ object Dedup {
           (size(col("ka")) + size(col("kb")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      // verify is a single shuffle-free stage (checkpointed cand +
-      // two broadcast joins), so the final sort's range-partitioning
-      // SAMPLING pass would re-run the whole stage — measured as a
-      // clean 2× on the end-to-end query. Materialize once, sort the
-      // in-memory blocks.
-      .localCheckpoint(true)
-      .orderBy("doc_a", "doc_b")
   }
 
   def simhashHammingTopK(documents: DataFrame, k: Int = 5,

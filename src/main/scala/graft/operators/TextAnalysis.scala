@@ -718,10 +718,20 @@ object TextAnalysis {
     * partitions (≤1 row per doc per partition, on a 1000-executor
     * cluster even thinner), so the UDAF paid the ScalaAggregator
     * object/encoder path for zero shuffle savings. The result rows
-    * are checkpointed before the final presentation `orderBy` — the
-    * range-partitioner's sampling pass otherwise re-executes the
-    * whole window stage (measured 8 → 45 s at sf10). Scores round to
-    * 6 decimals before ranking so float noise can't flip ranks
+    * are LAZILY localCheckpoint'd before the final presentation
+    * `orderBy` — the range-partitioner's sampling pass otherwise
+    * re-executes the whole window stage (measured 8 → 45 s at sf10);
+    * lazy (not eager) so merely CONSTRUCTING this frame (plan audits,
+    * explain) runs nothing — the first action materializes the
+    * blocks, and the sort's sampling pass then reads them instead of
+    * recomputing. Checkpoint blocks live in NON-RELIABLE executor
+    * storage: on a real cluster, losing an executor after
+    * materialization loses those partitions unrecoverably (the
+    * lineage is truncated) and downstream actions fail — acceptable
+    * for a presentation sort inside one job; a 100 TB pipeline that
+    * needs restartability materializes through the
+    * [[graft.Materialized]] parquet sink face instead. Scores round
+    * to 6 decimals before ranking so float noise can't flip ranks
     * between engines.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
@@ -733,7 +743,7 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("score"), col("rnk"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
       .orderBy("doc_id", "rnk")
   }
 
@@ -749,13 +759,18 @@ object TextAnalysis {
     *     stats, picked the 11.6M-row tf side as the build relation
     *     (a driver-side single-threaded HashedRelation over every
     *     (doc, term) row: 17-50 s of the query at sf10).
-    *   - `tf` is localCheckpoint'd: it feeds BOTH the probe side and
-    *     the df/idf broadcast subtree, and the optimizer rewrites the
-    *     df branch into a distinct-shaped aggregate whose canonical
-    *     form no longer matches the probe's — no exchange reuse — so
-    *     without the checkpoint the 122M-token explode ran twice,
-    *     concurrently, contending for the same cores (two ~6 s stages
-    *     ballooning to ~38 s each under contention).
+    *   - the df aggregate counts `col("tf")`, NOT `lit(1)`: `tf`
+    *     feeds BOTH the probe side and the df/idf broadcast subtree,
+    *     and with `count(1)` the optimizer prunes the df branch down
+    *     to a distinct-shaped aggregate whose canonical form no
+    *     longer matches the probe's — exchange reuse dies and the
+    *     122M-token explode runs twice, concurrently, contending for
+    *     the same cores (two ~6 s stages ballooning to ~38 s each).
+    *     Referencing the payload column keeps the two subtrees'
+    *     canonical forms equal. This trick is OPTIMIZER-VERSION-
+    *     SENSITIVE (it relies on how Spark 4.1 canonicalizes
+    *     aggregate children); the differential spec and the sf10
+    *     bench are the regression tripwires if an upgrade breaks it.
     */
   private[graft] def tfidfScored(documents: DataFrame): DataFrame = {
     val toks = alphaTokens(documents)

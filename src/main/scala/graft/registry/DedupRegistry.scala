@@ -111,6 +111,7 @@ private[graft] trait DedupRegistry extends RegistryShared {
     "dedup_decon_neardup" -> ((s, d) => Dedup.decontaminateNearDup(Tables.documents(s, d))),
     "dedup_est_jaccard_hist" -> ((s, d) => Dedup.estJaccardHistogram(Tables.documents(s, d))),
     "dedup_prefix_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
+    "dedup_prefix_pair_bands" -> ((s, d) => Dedup.prefixFilterPairBands(Tables.documents(s, d))),
     "dedup_cluster_size_hist" -> ((s, d) =>
       Dedup.clusterSizeHistogramOfGroups(simhashGroupsShared(s, d))),
     "dedup_assortativity" -> ((s, d) => operators.Graph.assortativity(ngramPairsShared(s, d))),
@@ -124,6 +125,41 @@ private[graft] trait DedupRegistry extends RegistryShared {
     * pair oracle and the end-to-end pipeline oracle. Ends with a
     * `pairs` CTE of (doc_a, doc_b, sa, sb).
     */
+  /** Shared CTE chain of the prefix-filter (AllPairs/PPJoin) oracles —
+    * tokenize → document frequencies → zero-padded rarity keys →
+    * per-doc sorted key arrays → prefixes → candidate pairs (length
+    * filter) → exact-Jaccard verify. Ends with a `verified` CTE of
+    * (doc_a, doc_b, jaccard) at J ≥ 0.6 round-6; the pair key and the
+    * bands twin both finish from it.
+    */
+  private def prefixPairsCtes: String =
+    """t AS (SELECT DISTINCT doc_id, x AS tok
+      |      FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) d,
+      |           unnest(string_split(lower(text), ' ')) AS u(x)
+      |      WHERE length(x) > 0),
+      |df AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+      |k AS (SELECT doc_id, lpad(CAST(df AS VARCHAR), 10, '0') || ':' || tok AS key
+      |      FROM t JOIN df USING (tok)),
+      |pd AS (SELECT doc_id, list_sort(list(key)) AS keys FROM k GROUP BY 1),
+      |pl AS (SELECT doc_id, keys, len(keys) AS len,
+      |              CAST(len(keys) AS INTEGER)
+      |                - CAST(ceil(len(keys) * 0.6) AS INTEGER) + 1 AS p
+      |       FROM pd),
+      |pref AS (SELECT doc_id, len, unnest(keys[1:p]) AS ktok FROM pl),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM pref a JOIN pref b USING (ktok)
+      |         WHERE a.doc_id < b.doc_id
+      |           AND least(a.len, b.len) >= greatest(a.len, b.len) * 0.6 - 1e-9),
+      |j AS (SELECT doc_a, doc_b,
+      |             len(list_intersect(pa.keys, pb.keys)) AS inter,
+      |             len(pa.keys) AS la, len(pb.keys) AS lb
+      |      FROM cand JOIN pd pa ON cand.doc_a = pa.doc_id
+      |                JOIN pd pb ON cand.doc_b = pb.doc_id),
+      |verified AS (SELECT doc_a, doc_b,
+      |                    round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+      |             FROM j
+      |             WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.6)""".stripMargin
+
   /** Generated oracle for [[graft.operators.Dedup.minhashNearDupsMd5]]:
     * the affine coefficients are embedded as literals so both engines
     * evaluate the identical integer arithmetic.
@@ -743,32 +779,16 @@ private[graft] trait DedupRegistry extends RegistryShared {
     // prefix filtering (Bayardo 2007): rarity order is the identical
     // zero-padded (df, token) string key in both engines
     "dedup_prefix_pairs" ->
-      """WITH t AS (SELECT DISTINCT doc_id, x AS tok
-        |           FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) d,
-        |                unnest(string_split(lower(text), ' ')) AS u(x)
-        |           WHERE length(x) > 0),
-        |df AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
-        |k AS (SELECT doc_id, lpad(CAST(df AS VARCHAR), 10, '0') || ':' || tok AS key
-        |      FROM t JOIN df USING (tok)),
-        |pd AS (SELECT doc_id, list_sort(list(key)) AS keys FROM k GROUP BY 1),
-        |pl AS (SELECT doc_id, keys, len(keys) AS len,
-        |              CAST(len(keys) AS INTEGER)
-        |                - CAST(ceil(len(keys) * 0.6) AS INTEGER) + 1 AS p
-        |       FROM pd),
-        |pref AS (SELECT doc_id, len, unnest(keys[1:p]) AS ktok FROM pl),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM pref a JOIN pref b USING (ktok)
-        |         WHERE a.doc_id < b.doc_id
-        |           AND least(a.len, b.len) >= greatest(a.len, b.len) * 0.6 - 1e-9),
-        |j AS (SELECT doc_a, doc_b,
-        |             len(list_intersect(pa.keys, pb.keys)) AS inter,
-        |             len(pa.keys) AS la, len(pb.keys) AS lb
-        |      FROM cand JOIN pd pa ON cand.doc_a = pa.doc_id
-        |                JOIN pd pb ON cand.doc_b = pb.doc_id)
-        |SELECT doc_a, doc_b,
-        |       round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
-        |FROM j WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.6
+      s"""WITH $prefixPairsCtes
+        |SELECT doc_a, doc_b, jaccard FROM verified
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // count-only twin: integer band arithmetic on the round-6 jaccard
+    // (round(j*1e6) // 50000) so band edges cannot flip on float noise
+    "dedup_prefix_pair_bands" ->
+      s"""WITH $prefixPairsCtes
+        |SELECT CAST(round(jaccard * 1e6) AS BIGINT) // 50000 AS j_band,
+        |       count(*) AS n_pairs, min(jaccard) AS min_j, max(jaccard) AS max_j
+        |FROM verified GROUP BY 1 ORDER BY 1""".stripMargin,
     // prefix sums run in the identical ordered frame in both engines,
     // so the unrounded argmax agrees bit-for-bit
     "dedup_cluster_size_hist" ->

@@ -520,6 +520,29 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("prefixFilterPairBands: band counts partition the pair list exactly") {
+    val d = docs((0L to 19L).map { i =>
+      i -> ((0 to 5).map(j => s"w${(i + j) % 12}").mkString(" "))
+    }: _*)
+    val pairs = Dedup.prefixFilterPairs(d, threshold = 0.5, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bands = Dedup.prefixFilterPairBands(d, threshold = 0.5, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // same integer band arithmetic as the operator: round(j*1e6) / 50000
+    val expected = pairs.groupBy(p => math.round(p._3 * 1e6) / 50000)
+    assert(bands.map(_._2).sum == pairs.length.toLong)       // counts partition the list
+    assert(bands.map(_._1).toSet == expected.keySet)          // same occupied bands
+    bands.foreach { case (band, n, minJ, maxJ) =>
+      val grp = expected(band)
+      assert(n == grp.length.toLong, s"band $band")
+      assert(minJ == grp.map(_._3).min && maxJ == grp.map(_._3).max, s"band $band")
+    }
+    // bands are 0.05-wide: every member's jaccard lands inside its band
+    bands.foreach { case (band, _, minJ, maxJ) =>
+      assert(minJ >= band * 0.05 - 1e-9 && maxJ < (band + 1) * 0.05 + 1e-9, s"band $band")
+    }
+  }
+
   test("simhashHammingTopK: self excluded, identical fingerprint ranks first") {
     val d = docs(
       0L -> "alpha beta gamma delta",

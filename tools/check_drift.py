@@ -26,9 +26,13 @@ baseline keys missing from the current run.
 
 --allow k1,k2 waives named keys: a documented, deliberate trade
 (e.g. a constant-factor cost bought for density-robustness at scale)
-is reported loudly as ALLOWED instead of failing the gate. Waivers
-are per-invocation and explicit — the gate never learns them from
-state, so a waiver can't outlive the round that justified it.
+is reported loudly as ALLOWED instead of failing the gate. Each entry
+may carry a reason after '=' (--allow "k1=scale-fix cost,k2=variance;
+worktree-bisected" — entries split on ',', so use ';' inside a
+reason); the reason is echoed on the ALLOWED line so the adjudication
+travels IN the gate output, not in side prose. --allow repeats.
+Waivers are per-invocation and explicit — the gate never learns them
+from state, so a waiver can't outlive the round that justified it.
 """
 import json
 import sys
@@ -52,23 +56,41 @@ def queries_maps(base, cur):
     # semantics and can mask (or fabricate) a warm regression
     if base.get("queries_min") and cur.get("queries_min"):
         return base["queries_min"], cur["queries_min"]
+    # guarded fallback: an artifact that carries NEITHER map (or only
+    # queries_min on one side) must die with a gate error, not a raw
+    # KeyError traceback — same contract as the no-shared-keys check
+    if not (base.get("queries") and cur.get("queries")):
+        print("DRIFT GATE ERROR: artifact lacks a comparable queries map "
+              "(need 'queries' in both, or 'queries_min' in both)")
+        sys.exit(2)
     return base["queries"], cur["queries"]
+
+
+def parse_allow(spec, allowed):
+    # entries split on ','; each is `key` or `key=reason` (use ';'
+    # inside a reason — commas end the entry)
+    for ent in spec.split(","):
+        ent = ent.strip()
+        if not ent:
+            continue
+        key, _, reason = ent.partition("=")
+        allowed[key.strip()] = reason.strip()
 
 
 def main():
     raw = sys.argv[1:]
     decade = "--decade" in raw
-    allowed = set()
+    allowed = {}
     args = []
     i = 0
     while i < len(raw):
         if raw[i] == "--decade":
             pass
         elif raw[i] == "--allow" and i + 1 < len(raw):
-            allowed.update(raw[i + 1].split(","))
+            parse_allow(raw[i + 1], allowed)
             i += 1
         elif raw[i].startswith("--allow="):
-            allowed.update(raw[i].split("=", 1)[1].split(","))
+            parse_allow(raw[i].split("=", 1)[1], allowed)
         else:
             args.append(raw[i])
         i += 1
@@ -99,7 +121,8 @@ def main():
         label = "SUPER-LINEAR" if decade else "REGRESSED"
         print(f"{label} {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x)")
     for k, b, c, r in sorted(waived, key=lambda x: -x[3]):
-        print(f"ALLOWED (documented) {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x)")
+        why = f" [{allowed[k]}]" if allowed.get(k) else ""
+        print(f"ALLOWED (documented) {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x){why}")
     for k, b, c, r in sorted(improved, key=lambda x: x[3]):
         print(f"improved  {k}: {b:.3f}s -> {c:.3f}s ({r:.2f}x)")
     for k in failed:
