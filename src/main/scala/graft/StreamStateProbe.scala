@@ -131,14 +131,27 @@ object StreamStateProbe {
     check(precision >= 0.95, f"semanticDupInt8 precision $precision%.4f < 0.95 vs full-precision replay")
 
     // 4. perUserQuota (transformWithState): ONE ValueState counter per
-    // user — state is O(users) regardless of per-user traffic
+    // user — state is O(users) regardless of per-user traffic.
+    // transformWithState requires the RocksDB provider (column
+    // families); scope it to THIS query so the other twins keep the
+    // default HDFSBacked store and their memory numbers stay
+    // comparable with prior rounds' artifacts.
     val quotaRows = EventOps.withTsUs(events)
       .select("user_id", "ts_us", "event_id")
       .collect().sortBy(r => (r.getLong(1), r.getLong(2)))
       .map(r => EventStreams.QuotaEvent(r.getLong(0), r.getLong(2))).toSeq
-    val pQuota = run[EventStreams.QuotaEvent](spark, "probe_quota", chunks, quotaRows,
-      m => EventStreams.perUserQuota(m.toDS()).toDF()
-        .writeStream.format("memory").outputMode("append"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val pQuota =
+      try run[EventStreams.QuotaEvent](spark, "probe_quota", chunks, quotaRows,
+        m => EventStreams.perUserQuota(m.toDS()).toDF()
+          .writeStream.format("memory").outputMode("append"))
+      finally priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     check(pQuota.rows.last == nUsers,
       s"perUserQuota state ${pQuota.rows.last} != distinct users $nUsers")
 
