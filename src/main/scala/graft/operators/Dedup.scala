@@ -630,8 +630,8 @@ object Dedup {
     * md5-twin LSH op ([[minhashNearDupsMd5]] self-join,
     * [[decontaminateNearDup]] train×eval join).
     */
-  private def md5BandedSignatures(documents: DataFrame, shingleK: Int,
-                                  numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def md5BandedSignatures(documents: DataFrame, shingleK: Int,
+                                         numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(numHashes <= md5A.length, s"at most ${md5A.length} hash functions")
     val rowsPerBand = numHashes / bands

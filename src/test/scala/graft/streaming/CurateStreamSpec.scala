@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Replay pin for [[CurateStream]]: the sf0.001 documents table is
+  * ingested in three monotone-doc_id micro-batches; the sink's
+  * survivor set must equal the BATCH pipeline's post-near-dup
+  * survivors (stage 3 of [[Curation.curatePipeline]], which is
+  * oracle-green via `text_curate_pipeline`), and the streamed shard
+  * manifest must equal the batch manifest of those survivors. The
+  * testdata's near-dup components are clique-shaped (near-copies), so
+  * the pin is EXACT equality — the documented future-link superset
+  * caveat never fires here.
+  */
+class CurateStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expectedSurvivors(docs: DataFrame): DataFrame = {
+    // stage-for-stage the document half of Curation.curatePipeline
+    val d0 = docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val keep1 = TextAnalysis.gopherRules(d0).filter(col("keep")).select("doc_id")
+    val d1 = d0.join(keep1, Seq("doc_id"), "left_semi")
+    val keep2 = Dedup.exact(d1).select(col("keep_id").as("doc_id"))
+    val d2 = d0.join(keep2, Seq("doc_id"), "left_semi")
+    val drops3 = Dedup.connectedGroups(
+        Dedup.minhashNearDupsMd5(d2).select("doc_a", "doc_b"))
+      .filter(col("doc_id") =!= col("group_id")).select("doc_id")
+    d2.join(drops3, Seq("doc_id"), "left_anti")
+  }
+
+  test("streamed curation sink equals the batch funnel's survivor set and manifest") {
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("curate_stream_").toString
+
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "lang", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(docs.length > 30, s"need a real corpus, got ${docs.length} docs")
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    assert(chunks.length == 3)
+
+    val mem = MemoryStream[(Long, String, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "source", "lang", "text")
+    val q = CurateStream.curateToSink(stream, outDir)
+    try {
+      chunks.foreach { c =>
+        mem.addData(c: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batchDf = Tables.documents(spark, sf0001)
+    val expected = expectedSurvivors(batchDf)
+    val expIds = expected.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotIds = CurateStream.sinkDocs(spark, outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expIds,
+      s"streamed ${gotIds.size} vs batch ${expIds.size}; " +
+        s"stream-only=${(gotIds -- expIds).take(5)} batch-only=${(expIds -- gotIds).take(5)}")
+
+    // survivors must be a strict subset of the corpus (the funnel dropped rows)
+    assert(gotIds.size < docs.length)
+
+    // manifest: nShards-row delta sum == batch arithmetic over survivors
+    val streamed = CurateStream.sinkManifest(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batchMan = CurateStream.manifestOf(expected)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batchMan)
+    assert(streamed.map(_._2).sum == expIds.size.toLong)
+
+    // idempotent replay: re-running a middle batch's foreachBatch body
+    // overwrites its own batch_id dirs — sink totals are unchanged
+    val replayBatch = chunks(1).toSeq.toDF("doc_id", "source", "lang", "text")
+    CurateStream.curateBatch(replayBatch, 1L, outDir, 5, 16, 4, 0.5, 16)
+    val afterReplay = CurateStream.sinkDocs(spark, outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterReplay == expIds)
+  }
+}
