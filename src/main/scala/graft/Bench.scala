@@ -225,7 +225,16 @@ object Bench {
         if (headWarmS > 0) lastHeadS * (headWarmS + restWarmS) / headWarmS
         else naiveEst
       val sidecarEst = readLastFullS.map(_ * 1.3)
-      var fullEst = (Seq(naiveEst, ratioEst) ++ sidecarEst).min
+      // A MEASURED prior full round beats both models when one exists:
+      // r12 observed the warm-ratio model under-predicting 2.5× (65.9 s
+      // predicted, 169.5 s actual — warmup walls are janino-bound, not
+      // data-bound), and an under-estimate near the budget edge starts
+      // a full round that gets killed mid-flight. With no sidecar the
+      // min of the two models still errs toward starting (the whole
+      // point of the r12 fix — the naive bound alone over-predicted 3×
+      // and starved driver artifacts), and emit-after-every-round means
+      // a mid-round kill costs only that round.
+      var fullEst = sidecarEst.getOrElse(math.min(naiveEst, ratioEst))
       System.err.println(
         f"[bench] full-round estimates: naive $naiveEst%.1f s, warm-ratio $ratioEst%.1f s" +
           sidecarEst.map(s => f", sidecar $s%.1f s").getOrElse("") +

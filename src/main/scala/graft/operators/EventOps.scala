@@ -180,10 +180,15 @@ object EventOps {
     val b = e.filter(col("event_type") === typeB).select(col("ts_us").as("b_us"))
     // tie 0 probe: cum there = #{b < a−tol}; tie 2: cum = #{b ≤ a+tol};
     // tie 3 anchor: prev/next B read there. One exploded A leg, not
-    // three unions — a single pass over the A side. localCheckpoint
-    // (EAGER — see dedup_prefix_pairs' note): this small tagged frame
-    // (|B| + 3|A| ids) is read by three consumers (bounds, running
-    // window, chunk summaries); one materialization, one events scan.
+    // three unions — a single pass over the A side. NO checkpoint (the
+    // round-11 shape eagerly localCheckpoint'd this frame for its
+    // consumers): holding |B| + 3|A| rows in executor block storage
+    // made the key's in-suite time hostage to whatever the 314 other
+    // queries left in the storage pool — measured 38 s in-suite at sf1
+    // vs 1.3-2 s isolated, while the stateless recompute is two cheap
+    // scans of one filtered parquet column. Chunk bounds now come from
+    // the EVENTS table directly (below), so nothing here needs a
+    // materialization barrier.
     val stream = b
       .select(col("b_us").as("ts"), lit(1).as("tie"), lit(1L).as("is_b"),
         lit(null).cast("long").as("a_id"), lit(null).cast("long").as("a_us"))
@@ -195,7 +200,6 @@ object EventOps {
           col("a_id"), col("a_us"))
         .select(col("p.ts").as("ts"), col("p.tie").as("tie"), lit(0L).as("is_b"),
           col("a_id"), col("a_us")))
-      .localCheckpoint(true)
     // pid = value-computed uniform time chunk, NOT spark_partition_id
     // over repartitionByRange: the range partitioner re-SAMPLES bounds
     // on every re-execution, and this frame has two consumers — the
@@ -203,8 +207,14 @@ object EventOps {
     // local pass didn't use (measured as negative n_nearby at sf0.1).
     // A deterministic column is identical on every replay, needs no
     // checkpoint barrier, and costs no sampling job. (ts - lo) spans
-    // the corpus in µs, so ×parts stays far below 2^63.
-    val bounds = stream.agg(min("ts").as("ts_lo"), max("ts").as("ts_hi"))
+    // the corpus in µs, so ×parts stays far below 2^63. Bounds are
+    // computed on the A/B EVENT timestamps widened by ±tol — a
+    // superset of every stream ts (probes sit at a_us ± tol), and
+    // uniform chunking only needs a covering range, not a tight one —
+    // so the stream frame itself has exactly its two window consumers
+    // and no third bounds scan.
+    val bounds = e.filter(col("event_type").isin(typeA, typeB))
+      .agg((min("ts_us") - tol).as("ts_lo"), (max("ts_us") + tol).as("ts_hi"))
     val parted = stream.crossJoin(broadcast(bounds))
       .withColumn("pid", expr(s"((ts - ts_lo) * $parts) div (ts_hi - ts_lo + 1)"))
       .drop("ts_lo", "ts_hi")
