@@ -6,6 +6,17 @@ import org.apache.spark.sql.SparkSession
   * count and per-rep wall time (rep drift exposes JVM-state leaks).
   * `runMain graft.RunQuery <name> [sfDir] [reps]`
   *
+  * ACTION PARITY: the default action is the same noop-sink write
+  * Bench times — `count()` (the pre-round-12 default, kept via
+  * `SPARK_GRAFT_RUNQUERY_ACTION=count`) lets the optimizer DELETE the
+  * final presentation sort and every column the count doesn't need
+  * (`EliminateSorts` + pruning through the last aggregate), which
+  * round 12 measured as a 30× blind spot: ev_interval_join
+  * "reproduced" at 1.2 s under count() while the bench's noop write
+  * of the same query ran 36 s (the range sort's sampling pass
+  * re-executing the window pipeline). Adjudicating a bench number
+  * with a count() is comparing different plans.
+  *
   * Heap sizing (`SPARK_DRIVER_MEM`, default 8 g — in local mode the
   * driver IS the executor): the 8 g default covers the verify (sf0.01)
   * and bench (sf0.1) gates and, post-round-11, every individually
@@ -21,9 +32,16 @@ object RunQuery {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    val useCount = sys.env.get("SPARK_GRAFT_RUNQUERY_ACTION").contains("count")
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n =
+        if (useCount) df.count()
+        else {
+          df.write.format("noop").mode("overwrite").save()
+          -1L
+        }
       println(f"[runquery] $name rep=$r rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()

@@ -220,12 +220,24 @@ object EventOps {
       .drop("ts_lo", "ts_hi")
     val wRun = Window.partitionBy("pid").orderBy("ts", "tie")
     val wUpTo = wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAfter = wRun.rowsBetween(1, Window.unboundedFollowing)
+    // next_l = first non-null B strictly AFTER the current row. NOT
+    // `first(...).over(rowsBetween(1, unboundedFollowing))`: Spark's
+    // unbounded-FOLLOWING frame re-evaluates its aggregate from the
+    // current row to the partition end FOR EVERY ROW — O(rows²) per
+    // chunk, invisible at sf0.1 and measured as the dominant cost at
+    // sf1 (27 s of a 28 s materialization; count()-based probes had
+    // hidden it by pruning the window columns entirely). The same
+    // value over the REVERSED order is "last non-null B strictly
+    // before current", an unbounded-PRECEDING frame that Spark
+    // maintains incrementally — O(rows) per chunk after its sort.
+    val wRevBefore = Window.partitionBy("pid")
+      .orderBy(col("ts").desc, col("tie").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val bTs = when(col("is_b") === 1L, col("ts"))
     val local = parted
       .withColumn("cum_l", sum("is_b").over(wUpTo))
       .withColumn("prev_l", last(bTs, ignoreNulls = true).over(wUpTo))
-      .withColumn("next_l", first(bTs, ignoreNulls = true).over(wAfter))
+      .withColumn("next_l", last(bTs, ignoreNulls = true).over(wRevBefore))
     // per-partition summaries: ≤ `parts` rows, so the unpartitioned
     // windows below run over a provably tiny frame (PlanAuditSpec
     // allowlists this key with that proof)
@@ -244,6 +256,13 @@ object EventOps {
         (col("cum_l") + col("off")).as("cum"),
         coalesce(col("prev_l"), col("carry_prev")).as("prev_b"),
         coalesce(col("next_l"), col("carry_next")).as("next_b"))
+    // lazy checkpoint of the |A|-row RESULT before the presentation
+    // sort (the text_tfidf idiom): the range partitioner's sampling
+    // pass otherwise re-executes the whole window pipeline — and this
+    // frame is three narrow columns per A event, so the blocks are
+    // KBs-to-MBs where checkpointing the 4M-row probe stream (the
+    // round-11 shape) was the in-suite storage hazard this operator
+    // just shed.
     g.groupBy("a_id", "a_us")
       .agg(
         (max(when(col("tie") === 2, col("cum"))) -
@@ -253,6 +272,7 @@ object EventOps {
       .select(col("a_id"), col("n_nearby"),
         when(col("n_nearby") > 0,
           least(col("a_us") - col("prev_b"), col("next_b") - col("a_us"))).as("min_delta_us"))
+      .localCheckpoint(false)
       .orderBy("a_id")
   }
 
