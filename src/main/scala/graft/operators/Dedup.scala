@@ -712,21 +712,29 @@ object Dedup {
     */
   def minhashEstErrorMd5(documents: DataFrame, pairs: DataFrame,
                          shingleK: Int, numHashes: Int): DataFrame = {
+    // Every join side here is CORPUS-scaled (the candidate-pair table,
+    // its distinct doc ids, and the shingle-exploded truth legs), so
+    // every join is hinted shuffle_hash — left to size estimates the
+    // planner broadcast the post-aggregate pairs table (estimates
+    // through aggregates are fiction, the ngramPairCounts lesson) and
+    // the round-12 sf10 heap-floor probe caught it as the suite's ONE
+    // 8 g failure: a driver-side build of millions of pair rows.
+    // Executor-sized hash builds pass at the default heap.
     val sets = explodedShingles(documents, shingleK)
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("sh"))
     val docsIn = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val sub = sets.join(docsIn, Seq("doc_id"))
+    val sub = sets.join(docsIn.hint("shuffle_hash"), Seq("doc_id"))
     val a = sub.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
     val b = sub.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
-    val truth = pairs.select("doc_a", "doc_b")
-      .join(a, Seq("doc_a")).join(b, Seq("doc_b", "sh"))
+    val truth = pairs.select("doc_a", "doc_b").hint("shuffle_hash")
+      .join(a, Seq("doc_a")).join(b.hint("shuffle_hash"), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
           .as("true_jaccard"))
-    pairs.join(truth, Seq("doc_a", "doc_b"), "left")
+    pairs.join(truth.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         coalesce(col("true_jaccard"), lit(0.0)).as("true_jaccard"))
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("true_jaccard")), 6))

@@ -165,6 +165,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the explicit-width sh repartition (AQE-coalesce-exempt):\n$plan")
   }
 
+  test("minhashEstErrorMd5 plans no broadcast at any scale — every join side is corpus-sized") {
+    // Round-12 regression pin: the sf10 heap-floor probe's one 8 g
+    // failure was the planner broadcasting the post-aggregate
+    // candidate-pair table into the exploded-shingle truth leg (a
+    // driver-side build of millions of pair rows). The shuffle_hash
+    // hints must hold regardless of estimates.
+    // production shape: the registry feeds the MEMOIZED pairs table
+    // (Materialized.of → checkpointed frame), mirrored here with a
+    // localCheckpoint — the inline-pairs overload's band self-join is
+    // a different subtree with its own (AQE-governed) broadcast story
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = operators.Dedup.minhashNearDupsMd5(docs).localCheckpoint(true)
+    val plan = operators.Dedup.minhashEstErrorMd5(docs, pairs, 5, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"minhashEstErrorMd5 must never broadcast (corpus-sized sides):\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected shuffle-hash truth joins:\n$plan")
+  }
+
   test("tfidfScored broadcasts the vocabulary side, never the corpus-keyed tf side") {
     // Round-11 regression pin: idf's size ESTIMATE (aggregate ×
     // crossJoin) is no smaller than tf's, so without the explicit
