@@ -325,25 +325,45 @@ object Relational {
   }
 
   /** The 100 TB form of [[columnProfile]]: `approx_count_distinct`
-    * (HLL++, rsd 5%) in place of the exact distinct, which collapses
-    * the whole profile to ONE single-pass grouped aggregation — no
-    * distinct-pair pre-aggregation, no second shuffle; per-column
-    * state is a KB-sized sketch, so profiling 100 columns of 100 TB
-    * is one map-side-combined pass. Estimates are engine-specific →
-    * no SQL oracle; a tolerance spec pins them against the exact
-    * profile.
+    * (HLL++, rsd 5%) in place of the exact distinct; per-column state
+    * is a KB-sized sketch and every leg is one map-side-combined
+    * global aggregate. Estimates are engine-specific → no SQL oracle;
+    * a tolerance spec pins them against the exact profile.
+    *
+    * Shape (round 12): one global-aggregate LEG PER COLUMN, unioned —
+    * NOT the exact twin's stack-then-group. The stacked form casts
+    * every value to string first, and at sf10 that meant 60 M
+    * `DateTimeFormatter` calls (the hot frame in every stack sample)
+    * feeding string-keyed HLL sketches through an object aggregate:
+    * 70 s and ~20×/decade, the round's worst super-linear key. The
+    * legs sketch NATIVE values (long/double/date hash straight into
+    * the HLL), each leg's parquet scan reads exactly one column, and
+    * only the four min/max OUTPUT values are rendered to string —
+    * date order is ISO-string order so casting after the aggregate is
+    * value-identical, while long/double string order is NOT numeric
+    * order, so those two legs still compare cast strings (the exact
+    * twin's contract) — a cheap `Long.toString`, not the formatter.
+    * Re-measured: sf1 1.1 s, sf10 70 s → 3.4 s warm (~3×/decade).
     */
   def columnProfileApprox(lineitem: DataFrame): DataFrame = {
-    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
-    lineitem
-      .select(expr(s"stack(${cols.length}, " +
-        cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
-        ") AS (col_name, v)"))
-      .groupBy("col_name")
-      .agg(count(lit(1)).as("n_rows"),
-        count(col("v")).as("n_nonnull"),
-        approx_count_distinct(col("v")).as("n_distinct_est"),
-        min("v").as("min_v"), max("v").as("max_v"))
+    def leg(c: String, strOrdered: Boolean): DataFrame = {
+      val v = col(c)
+      val (mn, mx) =
+        if (strOrdered) (min(v.cast("string")), max(v.cast("string")))
+        else (min(v).cast("string"), max(v).cast("string"))
+      lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        count(v).as("n_nonnull"),
+        approx_count_distinct(v).as("n_distinct_est"),
+        mn.as("min_v"), mx.as("max_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct_est"), col("min_v"), col("max_v"))
+    }
+    leg("l_orderkey", strOrdered = true)
+      .unionAll(leg("l_quantity", strOrdered = true))
+      .unionAll(leg("l_returnflag", strOrdered = false))
+      .unionAll(leg("l_shipdate", strOrdered = false))
+      .filter(col("n_rows") > 0) // empty-input twin of the stacked form
       .orderBy("col_name")
   }
 
@@ -942,11 +962,29 @@ object Relational {
     * the head is TakeOrderedAndProject.
     */
   def copurchaseLift(lineitem: DataFrame, minPairs: Int = 2, k: Int = 200): DataFrame = {
-    val po = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part")).distinct()
+    // Basket build: ONE explicit-width exchange on the order key; the
+    // dedup rides it (hashpartitioning(okey) satisfies the (okey,part)
+    // clustering), and the pair self-join's two sides are then
+    // canonically identical — one exchange, built once, reused — and
+    // hinted shuffle_hash so the planner doesn't SMJ: at sf10 the SMJ
+    // shape sorted 55 M (okey, part) rows TWICE and buffered every
+    // basket through ExternalAppendOnlyUnsafeRowArray (the hot frames
+    // in every stack sample). The hash join needs no sort and builds
+    // per-partition maps. The key stays PAIR-VOLUME-bound either way
+    // (~150 M Σ C(basket,2) rows at sf10 through the (part_a, part_b)
+    // count shuffle — post-reshape stack samples show the hash
+    // aggregate, not the join, as the hot path): ~60 s warm isolated
+    // at sf10 in both shapes, a documented floor (the
+    // dedup_prefix_pairs precedent), with the reshape shedding the
+    // two sorts and the SMJ group buffers.
+    val par = lineitem.sparkSession.sparkContext.defaultParallelism
+    val po = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .repartition(par, col("okey"))
+      .dropDuplicates("okey", "part")
     val nOrders = po.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
     val partCnt = po.groupBy("part").agg(count(lit(1)).as("n_p"))
     val pairCnt = po.select(col("okey"), col("part").as("part_a"))
-      .join(po.select(col("okey"), col("part").as("part_b")), Seq("okey"))
+      .join(po.select(col("okey"), col("part").as("part_b")).hint("shuffle_hash"), Seq("okey"))
       .filter(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
     pairCnt.filter(col("n_ab") >= minPairs)
