@@ -36,13 +36,13 @@ object RunQuery {
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      val n =
-        if (useCount) df.count()
+      val rows =
+        if (useCount) df.count().toString
         else {
           df.write.format("noop").mode("overwrite").save()
-          -1L
+          "n/a" // noop action never counts; a -1 sentinel reads as a row count
         }
-      println(f"[runquery] $name rep=$r rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      println(f"[runquery] $name rep=$r rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }

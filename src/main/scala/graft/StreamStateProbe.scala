@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import graft.operators.EventOps
 import graft.streaming.EventStreams
 
@@ -31,6 +32,20 @@ import graft.streaming.EventStreams
   *   - strictFunnelHits: state rows == distinct users (three longs)
   *   - runningLabelCentroids: state rows == distinct labels (one
   *     (count, sum-vector) per label — label-cardinality, not corpus)
+  *   - hourlyCounts: state rows ≤ distinct (hour, type) groups,
+  *     watermark-evicted
+  *   - dedupEvents: state rows ≤ distinct ids, watermark-evicted
+  *   - newVsReturningFlags / runningUserTotalsTws: state rows ==
+  *     distinct users
+  *   - streamingTopKByType: state rows == distinct types (k-pair
+  *     heap per type)
+  *   - streamingNearDupFlags: state rows == observed band buckets
+  *     (batch-computed exact expectation; capped content inside)
+  *   - streamingHeavyHitters: ONE global summary row (O(capacity))
+  *   - curateToSink: ZERO state-store rows — corpus-growing dedup
+  *     state lives in the parquet sink; digest rows equal the
+  *     batch-computed expectation, band rows = 4×digests, one
+  *     batch_id dir per micro-batch (the partition-prune unit)
   * Prints one JSON line; exits 1 when a bound is violated.
   */
 object StreamStateProbe {
@@ -200,6 +215,170 @@ object StreamStateProbe {
     check(pCent.rows.last == nLabels,
       s"runningLabelCentroids state ${pCent.rows.last} != distinct labels $nLabels")
 
+    // 9. hourlyCounts: open (window, type) groups, watermark-evicted
+    val hcRows = EventOps.withTsTimestamp(events)
+      .select("ts", "event_type", "value")
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect().sortBy(_._1.getTime).toSeq
+    val nHourTypes = hcRows.map(r => (r._1.getTime / 3600000L, r._2)).distinct.size
+    val pHc = run[(java.sql.Timestamp, String, Double)](spark, "probe_hourly", chunks, hcRows,
+      m => EventStreams.hourlyCounts(m.toDF().toDF("ts", "event_type", "value"))
+        .writeStream.format("memory").outputMode("append"))
+    check(pHc.rows.max <= nHourTypes,
+      s"hourlyCounts peak state ${pHc.rows.max} > distinct (hour,type) $nHourTypes")
+    check(pHc.rows.last < nHourTypes || nHourTypes <= 6,
+      s"hourlyCounts final state ${pHc.rows.last} shows no watermark eviction over $nHourTypes groups")
+
+    // 10. dedupEvents (dropDuplicatesWithinWatermark): one row per id
+    // inside the watermark horizon, evicted as the watermark passes
+    val ddRows = EventOps.withTsTimestamp(events)
+      .select("ts", "event_id").as[(java.sql.Timestamp, Long)]
+      .collect().sortBy(_._1.getTime).toSeq
+    val nIds = ddRows.map(_._2).distinct.size
+    val pDd = run[(java.sql.Timestamp, Long)](spark, "probe_dedup", chunks, ddRows,
+      m => EventStreams.dedupEvents(m.toDF().toDF("ts", "event_id"))
+        .writeStream.format("memory").outputMode("append"))
+    check(pDd.rows.max <= nIds,
+      s"dedupEvents peak state ${pDd.rows.max} > distinct ids $nIds")
+    check(pDd.rows.last < nIds || nIds <= 100,
+      s"dedupEvents final state ${pDd.rows.last} shows no watermark eviction of $nIds ids")
+
+    // 11. newVsReturningFlags: first-day + seen-days per user —
+    // state keys are exactly the distinct users
+    val udRows = EventOps.withTsUs(events)
+      .selectExpr("user_id", "ts_us div 86400000000 as day")
+      .as[EventStreams.UserDay]
+      .collect().sortBy(_.day).toSeq
+    val pNvr = run[EventStreams.UserDay](spark, "probe_nvr", chunks, udRows,
+      m => EventStreams.newVsReturningFlags(m.toDS()).toDF()
+        .writeStream.format("memory").outputMode("append"))
+    check(pNvr.rows.last == nUsers,
+      s"newVsReturningFlags state ${pNvr.rows.last} != distinct users $nUsers")
+
+    // 12. runningUserTotalsTws (transformWithState): ONE (count, sum)
+    // ValueState per user — RocksDB provider scoped as for quota
+    val utRows = EventOps.withTsUs(events)
+      .select("user_id", "event_type", "value", "ts_us")
+      .collect().sortBy(_.getLong(3))
+      .map(r => EventStreams.UserEvent(r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val pTot =
+      try run[EventStreams.UserEvent](spark, "probe_tot", chunks, utRows,
+        m => EventStreams.runningUserTotalsTws(m.toDS()).toDF()
+          .writeStream.format("memory").outputMode("update"))
+      finally priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    check(pTot.rows.last == nUsers,
+      s"runningUserTotalsTws state ${pTot.rows.last} != distinct users $nUsers")
+
+    // 13. streamingTopKByType: k-pair bounded heap per event type —
+    // state keys are the distinct types, independent of stream length
+    val seRows = EventOps.withTsUs(events)
+      .select("event_type", "event_id", "value", "ts_us")
+      .collect().sortBy(_.getLong(3))
+      .map(r => EventStreams.ScoredEvent(r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val nTypes = seRows.map(_.event_type).distinct.size
+    val pTopk = run[EventStreams.ScoredEvent](spark, "probe_topk", chunks, seRows,
+      m => EventStreams.streamingTopKByType(m.toDS()).toDF()
+        .writeStream.format("memory").outputMode("update"))
+    check(pTopk.rows.last == nTypes,
+      s"streamingTopKByType state ${pTopk.rows.last} != distinct types $nTypes")
+
+    // 14. streamingNearDupFlags: state keys are the OBSERVED
+    // (band_idx, band_bits) buckets (capped content inside each) —
+    // the exact key count is computable in batch from the same
+    // banding expressions, so the bound is an equality, not a ≤
+    val docsDf = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "lang", "text")
+    val docRows = docsDf
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val nBuckets = {
+      val bandBits = 16
+      val bandStructs = (0 until 4).map { bIdx =>
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit(bIdx).as("band_idx"),
+          org.apache.spark.sql.functions.shiftrightunsigned(col("fp"), bIdx * bandBits)
+            .bitwiseAND(org.apache.spark.sql.functions.lit((1L << bandBits) - 1))
+            .as("band_bits"))
+      }
+      docsDf.select(graft.functions.VectorFunctions.simhash64(col("text")).as("fp"))
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array(bandStructs: _*)).as("band"))
+        .select("band.band_idx", "band.band_bits").distinct().count()
+    }
+    val pNd = run[(Long, String, String, String)](spark, "probe_neardup", chunks, docRows,
+      m => EventStreams.streamingNearDupFlags(
+          m.toDF().toDF("doc_id", "source", "lang", "text")).toDF()
+        .writeStream.format("memory").outputMode("append"))
+    check(pNd.rows.last == nBuckets,
+      s"streamingNearDupFlags state ${pNd.rows.last} != observed band buckets $nBuckets")
+
+    // 15. streamingHeavyHitters: ONE Misra-Gries summary row (global
+    // key), O(capacity) entries inside — state never scales with
+    // traffic or key cardinality
+    val uidRows = EventOps.withTsUs(events)
+      .select("user_id", "ts_us").collect().sortBy(_.getLong(1))
+      .map(_.getLong(0)).toSeq
+    val pHh = run[Long](spark, "probe_hh", chunks, uidRows,
+      m => EventStreams.streamingHeavyHitters(m.toDS()).toDF()
+        .writeStream.format("memory").outputMode("update"))
+    check(pHh.rows.last == 1,
+      s"streamingHeavyHitters state ${pHh.rows.last} != 1 global summary row")
+
+    // 16. curateToSink: the ingest-to-sink funnel keeps NO state-store
+    // state at all — corpus-growing dedup state lives in the parquet
+    // sink (_state/digests, _state/bands), partitioned by batch_id so
+    // per-batch reads prune to prior batches' directories. Bounds:
+    //   - stateOperators empty in every progress row;
+    //   - sink digest rows == distinct md5 over quality-passing docs
+    //     (batch-computed expectation — exact, replay-order-free);
+    //   - band rows == bands(4) × digest rows (signatures of exactly
+    //     the fresh-digest docs);
+    //   - one batch_id directory per micro-batch (the partition-prune
+    //     unit the batch_id < batchId state filter relies on).
+    val curDir = java.nio.file.Files.createTempDirectory("probe_curate").toString
+    val (curBatches, curStoreRows) = {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val memC = MemoryStream[(Long, String, String, String)]
+      val qc = graft.streaming.CurateStream.curateToSink(
+        memC.toDF().toDF("doc_id", "source", "lang", "text"), curDir)
+      try {
+        docRows.grouped(math.max(1, docRows.length / chunks + 1)).foreach { chunk =>
+          memC.addData(chunk: _*)
+          qc.processAllAvailable()
+        }
+        val prog = qc.recentProgress.toSeq.filter(_.numInputRows > 0)
+        (prog.size, prog.map(p => p.stateOperators.map(_.numRowsTotal).sum).sum)
+      } finally qc.stop()
+    }
+    check(curStoreRows == 0,
+      s"curateToSink keeps $curStoreRows state-store rows — state must live in the sink")
+    val curDig = spark.read.parquet(s"$curDir/_state/digests").count()
+    val curBands = spark.read.parquet(s"$curDir/_state/bands").count()
+    val curDocs = graft.streaming.CurateStream.sinkDocs(spark, curDir).count()
+    val expDig = {
+      val d0 = docsDf
+      val keep = graft.operators.TextAnalysis.gopherRules(d0)
+        .filter(col("keep")).select("doc_id")
+      d0.join(keep, Seq("doc_id"), "left_semi")
+        .select(org.apache.spark.sql.functions.md5(col("text"))).distinct().count()
+    }
+    check(curDig == expDig,
+      s"curateToSink sink digests $curDig != batch-expected distinct digests $expDig")
+    check(curBands == 4 * curDig,
+      s"curateToSink band rows $curBands != 4 x digest rows $curDig")
+    check(curDocs <= curDig,
+      s"curateToSink accepted docs $curDocs > admitted digests $curDig")
+    val curDirs = Option(new java.io.File(s"$curDir/_state/digests").listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    check(curDirs == curBatches,
+      s"curateToSink digest state has $curDirs batch_id dirs != $curBatches batches")
+
     val twins = Seq(
       ("sessionGaps", pSess, s""""bound_users":$nUsers"""),
       ("errorRateHourly", pEr, s""""bound_hours":$nHours"""),
@@ -210,12 +389,23 @@ object StreamStateProbe {
       ("transitionEdges", pTrans, s""""bound_users":$nUsers"""),
       ("streamingAttribution", pAttr, s""""bound_users":$nUsers"""),
       ("strictFunnelHits", pFun, s""""bound_users":$nUsers"""),
-      ("runningLabelCentroids", pCent, s""""bound_labels":$nLabels"""))
+      ("runningLabelCentroids", pCent, s""""bound_labels":$nLabels"""),
+      ("hourlyCounts", pHc, s""""bound_hour_types":$nHourTypes"""),
+      ("dedupEvents", pDd, s""""bound_ids":$nIds"""),
+      ("newVsReturningFlags", pNvr, s""""bound_users":$nUsers"""),
+      ("runningUserTotalsTws", pTot, s""""bound_users":$nUsers"""),
+      ("streamingTopKByType", pTopk, s""""bound_types":$nTypes"""),
+      ("streamingNearDupFlags", pNd, s""""bound_buckets":$nBuckets"""),
+      ("streamingHeavyHitters", pHh, """"bound_summaries":1"""))
     val body = twins.map { case (n, p, bound) =>
       s""""$n":{"batches":${p.rows.size},"rows_final":${p.rows.last},""" +
         s""""rows_peak":${p.rows.max},"mem_peak_bytes":${p.mem.max},$bound}"""
     }.mkString(",")
-    println(s"""{"metric":"stream_state","sf":"$sfDir","chunks":$chunks,$body}""")
+    val curBody =
+      s""""curateToSink":{"batches":$curBatches,"state_store_rows":$curStoreRows,""" +
+        s""""sink_digest_rows":$curDig,"expected_digest_rows":$expDig,""" +
+        s""""sink_band_rows":$curBands,"sink_docs":$curDocs,"batch_dirs":$curDirs}"""
+    println(s"""{"metric":"stream_state","sf":"$sfDir","chunks":$chunks,$body,$curBody}""")
     failures.foreach(f => println(s"BOUND VIOLATED: $f"))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

@@ -1338,43 +1338,50 @@ object Dedup {
     * on the bare ID pair, and the token arrays join back once per
     * surviving pair.
     *
-    * EAGER: ends in `localCheckpoint(true)` (see the inline note on
-    * the sort-sampling re-execution it prevents), so merely
-    * CONSTRUCTING this DataFrame — including explain/plan inspection
-    * — runs the whole query. Right for the bench/verify drivers that
-    * always execute; callers that need plan-only inspection should
-    * stop before the checkpoint.
+    * Checkpoints LAZILY before the presentation sort (the range-
+    * partitioner's sampling pass would otherwise re-run the whole
+    * verify stage — measured as a clean 2×); lazy, not eager, so
+    * merely CONSTRUCTING this frame (plan audits, explain) runs
+    * nothing — the first action materializes the blocks and the
+    * sort's sampling pass reads them.
+    *
+    * The registry serves this key and its bands twin from ONE
+    * [[graft.Materialized]] memo of [[prefixFilterScored]] — the
+    * dedup-family "materialize pairs once, fan out" contract — so the
+    * expensive candidate+verify chain builds once per (session, dir).
     */
   def prefixFilterPairs(documents: DataFrame, threshold: Double = 0.6,
                         sampleMod: Int = 5, maxBucket: Int = 1024): DataFrame =
     prefixFilterScored(documents, threshold, sampleMod, maxBucket)
-      // verify is a single shuffle-free stage (checkpointed cand +
-      // two broadcast joins), so the final sort's range-partitioning
-      // SAMPLING pass would re-run the whole stage — measured as a
-      // clean 2× on the end-to-end query. Materialize once, sort the
-      // in-memory blocks.
-      .localCheckpoint(true)
+      .localCheckpoint(false)
       .orderBy("doc_a", "doc_b")
 
-  /** Count-only audit twin of [[prefixFilterPairs]]: the same
-    * candidate generation and exact-Jaccard verification, finished as
-    * per-band pair COUNTS (0.05-wide similarity bands) instead of the
-    * pair list. On this corpus the pair list itself is the cost floor
-    * — 57% of in-replica pairs genuinely match at J ≥ 0.6 (28.4M
-    * result rows at sf10), so the emitting key's warm time measures
-    * output volume, not plan quality. This twin decouples the
-    * plan-health audit from that floor: all the compute (prefix
-    * explode, candidate join, length/positional prunes, verify
-    * intersection) still runs, but the band aggregate collapses the
-    * result map-side and skips the checkpoint + full-width sort —
-    * the number it reports moves only when the PLAN regresses.
-    * Banding is integer arithmetic on the round-6 jaccard
+  /** Count-only audit twin of [[prefixFilterPairs]]: the same scored
+    * pair table, finished as per-band pair COUNTS (0.05-wide
+    * similarity bands) instead of the pair list. On this corpus the
+    * pair list itself is the cost floor — 57% of in-replica pairs
+    * genuinely match at J ≥ 0.6 (28.4M result rows at sf10), so the
+    * emitting key's warm time measures output volume, not plan
+    * quality. The twin decouples the plan-health audit from that
+    * floor by BOTH skipping the full-width presentation sort AND
+    * (in the registry) reading the shared [[graft.Materialized]]
+    * memo of the scored table instead of rebuilding candidate
+    * generation — the ≤17-row rollup costs one memo scan, so the
+    * number it reports moves only when the memo build's PLAN
+    * regresses. Banding is integer arithmetic on the round-6 jaccard
     * (`round(j·1e6) div 50000`), identical in both engines, so band
     * edges cannot flip on float noise.
     */
   def prefixFilterPairBands(documents: DataFrame, threshold: Double = 0.6,
                             sampleMod: Int = 5, maxBucket: Int = 1024): DataFrame =
-    prefixFilterScored(documents, threshold, sampleMod, maxBucket)
+    prefixBandsOf(prefixFilterScored(documents, threshold, sampleMod, maxBucket))
+
+  /** The ≤17-row band rollup of [[prefixFilterPairBands]] over an
+    * already-built scored pair table — the piece the registry runs
+    * against the shared memo.
+    */
+  private[graft] def prefixBandsOf(scored: DataFrame): DataFrame =
+    scored
       .withColumn("j_band", expr("cast(round(jaccard * 1e6) as bigint) div 50000"))
       .groupBy("j_band")
       .agg(count(lit(1)).as("n_pairs"),
@@ -1400,13 +1407,17 @@ object Dedup {
     // join) — materialize once: the frame is mod-sample-sized
     // (|docs|/sampleMod rows of token arrays), and without the
     // checkpoint each reference re-runs the explode+distinct+df-join
-    // chain (measured 3× of the query's cost at sf0.1)
+    // chain (measured 3× of the query's cost at sf0.1). LAZY: blocks
+    // persist at the first action's first compute and the other two
+    // references read them; an eager checkpoint here would run the
+    // chain at DataFrame-CONSTRUCTION time, charging plan-only
+    // consumers (explain, plan audits) full execution.
     val perDoc = keyed.groupBy("doc_id")
       .agg(array_sort(collect_list(col("key"))).as("keys"))
       .select(col("doc_id"), col("keys"), size(col("keys")).as("len"))
       .withColumn("p",
         col("len") - ceil(col("len") * threshold).cast("int") + 1)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val prefix = perDoc
       .select(col("doc_id"), col("p"), col("len"),
         posexplode(col("keys")).as(Seq("pos", "ktok")))

@@ -284,7 +284,17 @@ object TextAnalysis {
     * cross-joined against the CONTEXT table (bounded); scoring joins
     * stream the corpus against vocabulary-sized build sides.
     */
-  def bigramLogProb(documents: DataFrame): DataFrame = {
+  def bigramLogProb(documents: DataFrame): DataFrame =
+    bigramLogProbScores(documents).orderBy("doc_id")
+
+  /** The unordered per-doc score frame behind [[bigramLogProb]] —
+    * the bigram-LM build (extraction + both count shuffles + scoring
+    * joins) in one place, so the registry can memoize it through
+    * [[graft.Materialized]] and serve BOTH the per-doc key and the
+    * per-source rollup ([[pplBySourceOf]]) from one build (round-12
+    * finding: each key rebuilding the LM cost ~43 s at sf10, twice).
+    */
+  private[graft] def bigramLogProbScores(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), split(col("text"), " ", -1).as("ws0"))
       .select(col("doc_id"), filter(col("ws0"), w => length(w) > 0).as("ws"))
@@ -302,7 +312,6 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(round(avg(log((col("cb") + 1) / (col("cu") + col("v")))), 6).as("avg_logp"),
         count(lit(1)).as("n_bigrams"))
-      .orderBy("doc_id")
   }
 
   /** Corpus word frequencies: explode (generator surface) + count +
@@ -534,7 +543,15 @@ object TextAnalysis {
     * (doc_id → source) and a |sources|-row aggregate.
     */
   def pplBySource(documents: DataFrame): DataFrame =
-    bigramLogProb(documents)
+    pplBySourceOf(bigramLogProbScores(documents), documents)
+
+  /** The rollup of [[pplBySource]] over an already-built per-doc
+    * score frame — what the registry runs against the shared
+    * [[graft.Materialized]] memo so the bigram LM builds once.
+    */
+  private[graft] def pplBySourceOf(scores: DataFrame,
+                                   documents: DataFrame): DataFrame =
+    scores
       .join(documents.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

@@ -470,29 +470,111 @@ object Relational {
     stored.unionByName(upserts).unionByName(inserts).orderBy("key")
   }
 
-  /** Distribution-rank window breadth — ntile / percent_rank /
-    * cume_dist over one window spec, then a per-bucket profile: the
-    * "quality deciles" shape used to bucket a corpus by a score
-    * before proportional sampling.
+  /** Distribution-rank profile (ntile / percent_rank / cume_dist
+    * semantics) WITHOUT the per-priority window: the "quality
+    * quartiles" shape used to bucket a corpus by a score before
+    * proportional sampling.
     *
-    * One shuffle on the partition key; all three rank functions share
-    * a single Window (one sort). The tie-break on o_orderkey makes
-    * bucket assignment deterministic, so the profile hash-matches any
-    * engine with standard ntile remainder semantics.
+    * The obvious plan — one window partitioned by `o_orderpriority`
+    * (5 values) — has a 5-task parallelism ceiling: at 100 TB five
+    * tasks each sort billions of rows no matter how many cores exist
+    * (measured 17.6 s at sf10). This is the scale-safe exact
+    * order-statistics plan instead (TeraSort-style splitters + exact
+    * boundary location), exploiting that with the unique
+    * (o_totalprice, o_orderkey) tie-break every rank statistic here
+    * is pure arithmetic in n once the three quartile-BOUNDARY rows
+    * are known: ntile(4) bucket q ends at row r_max(q) = q·⌊n/4⌋ +
+    * min(q, n mod 4), percent_rank = (r−1)/(n−1), cume_dist = r/n.
+    *
+    *  1. per-priority approx splitters (accuracy only affects
+    *     balance, never correctness) freeze to the driver — a
+    *     bounded |priorities|×127-double collect, like the k-means
+    *     centroid collects — and every row bins map-side against the
+    *     broadcast array;
+    *  2. exact (priority, bin) counts collect (≤ |priorities|×128
+    *     rows); driver cumsum locates, for each boundary rank
+    *     r_max(q), its bin and local rank;
+    *  3. row_number runs ONLY inside the ≤15 boundary bins (~n/128
+    *     rows each — parallelism follows bins, not priorities) to
+    *     extract the exact boundary (price, key) pairs;
+    *  4. every row computes its quartile as 1 + |boundaries strictly
+    *     below (price, key)| against the ≤3-element broadcast array —
+    *     map-side, then one 20-row aggregate; max_pr/max_cd come from
+    *     the r_max arithmetic, bit-identical to the window's
+    *     (same IEEE operands).
+    *
+    * Construction runs the two bounded collects up front (a
+    * driver-coordinated two-phase selection — the model-apply
+    * pattern); splitters are frozen before reuse so both passes bin
+    * identically even though approx_percentile's merge order is not
+    * deterministic. Exactness never depends on the sketch: any
+    * splitter set yields the same boundaries.
     */
   def priceQuartileProfile(orders: DataFrame): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    orders
-      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
-      .groupBy("o_orderpriority", "quartile")
-      .agg(
-        count(lit(1)).as("n_orders"),
-        round(avg("o_totalprice"), 2).as("avg_price"),
-        round(max("pr"), 6).as("max_pr"),
-        round(max("cd"), 6).as("max_cd"))
+    val spark = orders.sparkSession
+    val nBins = 128
+    val rows = orders.select(col("o_orderpriority").as("pri"),
+      col("o_orderkey").as("okey"), col("o_totalprice").as("price"))
+    val splitters = rows.groupBy("pri")
+      .agg(approx_percentile(col("price"),
+        array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*),
+        lit(10000)).as("thr"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1)))
+      .toSeq
+    val splDf = spark.createDataFrame(splitters).toDF("pri", "thr")
+    def binned = rows.join(broadcast(splDf), Seq("pri"))
+      .withColumn("b", size(filter(col("thr"), t => t < col("price"))))
+      .drop("thr")
+    val cnts = binned.groupBy("pri", "b").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // driver arithmetic over the bounded count table: per priority,
+    // n → the three r_max boundary ranks → (bin, local rank) targets
+    val priTotals = cnts.groupBy(_._1).map { case (pri, rs) =>
+      (pri, rs.map(_._3).sum)
+    }.toSeq
+    val targets = cnts.groupBy(_._1).toSeq.flatMap { case (pri, rs) =>
+      val byBin = rs.map(t => (t._2, t._3)).sortBy(_._1)
+      val n = byBin.map(_._2).sum
+      val base = n / 4
+      val rem = n % 4
+      (1 to 3).map(q => q * base + math.min(q.toLong, rem)).filter(_ >= 1L)
+        .map { k =>
+          var off = 0L; var bin = -1; var loc = 0L
+          byBin.foreach { case (b, c) =>
+            if (bin < 0) { if (k <= off + c) { bin = b; loc = k - off } else off += c }
+          }
+          (pri, bin, loc)
+        }
+    }
+    val tDf = spark.createDataFrame(targets).toDF("pri", "b", "l")
+    val nDf = spark.createDataFrame(priTotals).toDF("pri", "n")
+    val w = Window.partitionBy("pri", "b").orderBy("price", "okey")
+    val bounds = binned
+      .join(broadcast(tDf.select("pri", "b").distinct()), Seq("pri", "b"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(tDf), Seq("pri", "b"))
+      .filter(col("rn") === col("l"))
+      .select(col("pri"), col("price").as("bp"), col("okey").as("bk"))
+    val bArr = bounds.groupBy("pri")
+      .agg(collect_list(struct(col("bp"), col("bk"))).as("bs"))
+    binned.join(broadcast(bArr), Seq("pri"))
+      .withColumn("quartile", (lit(1) + size(filter(col("bs"), s =>
+        (s.getField("bp") < col("price")) ||
+          (s.getField("bp") === col("price") && s.getField("bk") < col("okey")))))
+        .cast("long"))
+      .groupBy("pri", "quartile")
+      .agg(count(lit(1)).as("n_orders"), round(avg("price"), 2).as("avg_price"))
+      .join(broadcast(nDf), Seq("pri"))
+      .withColumn("r_max",
+        col("quartile") * expr("n div 4") + least(col("quartile"), col("n") % 4))
+      .select(col("pri").as("o_orderpriority"), col("quartile"),
+        col("n_orders"), col("avg_price"),
+        round(when(col("n") === 1, lit(0.0)).otherwise(
+          (col("r_max") - 1).cast("double") / (col("n") - 1).cast("double")), 6)
+          .as("max_pr"),
+        round(col("r_max").cast("double") / col("n").cast("double"), 6).as("max_cd"))
       .orderBy("o_orderpriority", "quartile")
   }
 

@@ -37,6 +37,16 @@ private[graft] trait DedupRegistry extends RegistryShared {
   private def minhashGroupsShared(s: SparkSession, d: String): DataFrame =
     Materialized.of(s, d, "groups_minhash_md5")(
       Dedup.connectedGroups(minhashPairsShared(s, d)))
+  // the PPJoin scored pair table is the memo unit for BOTH prefix
+  // keys: on this corpus the verified pair list is the compute floor
+  // (57% of in-replica candidates genuinely match at J ≥ 0.6), so the
+  // bands twin must NOT rebuild candidate generation — it reads the
+  // memo and pays only a ≤17-row rollup scan (round-12 finding: the
+  // rebuild made the count-only twin the suite's slowest key at sf10)
+  private def prefixScoredShared(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "pairs_prefix")(
+      Dedup.prefixFilterScored(Tables.documents(s, d),
+        threshold = 0.6, sampleMod = 5, maxBucket = 1024))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   protected def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -110,8 +120,14 @@ private[graft] trait DedupRegistry extends RegistryShared {
       simhashGroupsShared(s, d).orderBy(org.apache.spark.sql.functions.col("doc_id"))),
     "dedup_decon_neardup" -> ((s, d) => Dedup.decontaminateNearDup(Tables.documents(s, d))),
     "dedup_est_jaccard_hist" -> ((s, d) => Dedup.estJaccardHistogram(Tables.documents(s, d))),
-    "dedup_prefix_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
-    "dedup_prefix_pair_bands" -> ((s, d) => Dedup.prefixFilterPairBands(Tables.documents(s, d))),
+    "dedup_prefix_pairs" -> ((s, d) =>
+      // memo blocks are already materialized (Materialized eagerly
+      // checkpoints), so the presentation sort's sampling pass reads
+      // them — no extra checkpoint layer needed here
+      prefixScoredShared(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))),
+    "dedup_prefix_pair_bands" -> ((s, d) => Dedup.prefixBandsOf(prefixScoredShared(s, d))),
     "dedup_cluster_size_hist" -> ((s, d) =>
       Dedup.clusterSizeHistogramOfGroups(simhashGroupsShared(s, d))),
     "dedup_assortativity" -> ((s, d) => operators.Graph.assortativity(ngramPairsShared(s, d))),

@@ -11,6 +11,15 @@ import graft.queries.{Relational, TpchShapes}
   * reads — see [[graft.SparkEntry]]).
   */
 private[graft] trait TextRegistry extends RegistryShared {
+  // the per-doc bigram-LM score frame is the memo unit shared by the
+  // per-doc key and the per-source rollup (the dedup-family
+  // "materialize once, fan out" contract — see [[graft.Materialized]]):
+  // each key rebuilding the two bigram-vocabulary shuffles cost ~43 s
+  // at sf10, twice per suite (round-12 finding)
+  private def bigramScoresShared(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "bigram_doc_logprob")(
+      TextAnalysis.bigramLogProbScores(Tables.documents(s, d)))
+
   protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
     "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documents(s, d))),
@@ -44,7 +53,8 @@ private[graft] trait TextRegistry extends RegistryShared {
     "text_heavy_tokens" -> ((s, d) => TextAnalysis.heavyHitterTokens(Tables.documents(s, d))),
     "text_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(Tables.documents(s, d))),
     "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d))),
-    "text_ppl_by_source" -> ((s, d) => TextAnalysis.pplBySource(Tables.documents(s, d))),
+    "text_ppl_by_source" -> ((s, d) =>
+      TextAnalysis.pplBySourceOf(bigramScoresShared(s, d), Tables.documents(s, d))),
     "text_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d))),
     "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
@@ -61,7 +71,9 @@ private[graft] trait TextRegistry extends RegistryShared {
     "text_group_sample" -> ((s, d) => TextAnalysis.groupSample(Tables.documents(s, d))),
     "text_mix_resample" -> ((s, d) => TextAnalysis.mixResample(Tables.documents(s, d))),
     "text_mix_weights" -> ((s, d) => TextAnalysis.mixWeights(Tables.documents(s, d))),
-    "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d))),
+    "text_bigram_logprob" -> ((s, d) =>
+      bigramScoresShared(s, d).orderBy(
+        org.apache.spark.sql.functions.col("doc_id"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "text_stratified_sample" -> ((s, d) =>

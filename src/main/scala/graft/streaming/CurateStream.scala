@@ -100,17 +100,23 @@ object CurateStream {
     * PARTITION column, so it prunes directories, not rows.
     */
   private def readStateOr(spark: SparkSession, path: String, batchId: Long,
-                          schema: StructType): DataFrame =
-    try {
-      val df = spark.read.schema(
-        schema.add(StructField("batch_id", LongType))).parquet(path)
-      df.filter(col("batch_id") < batchId)
+                          schema: StructType): DataFrame = {
+    // "no state yet" is decided by an explicit existence check, NOT by
+    // catching AnalysisException: a catch-all there turns schema drift
+    // or a corrupted state table into a silently-empty state frame —
+    // dedup disabled, duplicates admitted, no error anywhere. Missing
+    // path → empty frame (the only legitimate first-batch case); any
+    // other analysis error propagates and fails the batch loudly.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(
+          schema.add(StructField("batch_id", LongType))).parquet(path)
+        .filter(col("batch_id") < batchId)
         .select(schema.fieldNames.map(col).toSeq: _*)
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schema)
-    }
+  }
 
   /** Shard id for a text row — the content-addressed assignment of
     * `curatePipeline` stage 7 / [[graft.operators.Multimodal.shardManifest]]:
@@ -127,9 +133,19 @@ object CurateStream {
     */
   def curateToSink(docs: DataFrame, outDir: String,
                    shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.5, nShards: Int = 16): StreamingQuery =
+                   threshold: Double = 0.5, nShards: Int = 16,
+                   checkpointDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
+      // DURABLE checkpoint, co-located with the sink by default: with
+      // a temp checkpoint a restarted stream resets batchId to 0, so
+      // readStateOr's batch_id<batchId prune hides ALL prior state
+      // (duplicates re-admitted) and the batch_id=0 docs/state/
+      // manifest dirs are overwritten (silent loss). The per-batch
+      // idempotent-overwrite contract only gives exactly-once when
+      // batch ids are durable across restarts.
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$outDir/_checkpoint"))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         curateBatch(batch, batchId, outDir, shingleK, numHashes, bands,
           threshold, nShards)

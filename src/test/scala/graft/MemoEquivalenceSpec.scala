@@ -33,6 +33,14 @@ class MemoEquivalenceSpec extends SparkSpec {
     check("dedup_groups_md5",
       operators.Dedup.connectedGroups(operators.Dedup.simhashMd5NearDups(docs))
         .orderBy("doc_id"))
+    check("dedup_prefix_pairs", operators.Dedup.prefixFilterPairs(docs))
+    check("dedup_prefix_pair_bands", operators.Dedup.prefixFilterPairBands(docs))
+  }
+
+  test("text family memo paths equal their direct computations") {
+    val docs = Tables.documents(spark, sf0001)
+    check("text_bigram_logprob", operators.TextAnalysis.bigramLogProb(docs))
+    check("text_ppl_by_source", operators.TextAnalysis.pplBySource(docs))
   }
 
   test("similarity family memo paths equal their direct computations") {

@@ -149,6 +149,20 @@ class PlanAuditSpec extends SparkSpec {
       s"the ranking window must consume the topN pre-cut, not the full customer base:\n$plan")
   }
 
+  test("q_rank_profile windows only inside (priority, bin) boundary buckets — never per-priority") {
+    // Round-13 reshape pin: a window partitioned by o_orderpriority
+    // alone has a 5-task parallelism ceiling (17.6 s at sf10; fatal at
+    // 100 TB). The splitter-binning plan may window ONLY on the
+    // two-key (pri, bin) spec, whose input is the ≤15 boundary
+    // buckets (~n/128 rows each).
+    val specs = windowPartitionSpecs(
+      SparkEntry.queries("q_rank_profile")(spark, sf0001)
+        .queryExecution.executedPlan)
+    assert(specs.nonEmpty, "expected the boundary-bucket row_number window")
+    assert(specs.forall(_ == 2),
+      s"q_rank_profile must never window on fewer than (pri, bin) keys: $specs")
+  }
+
   test("ngramPairCounts plans no broadcast at any scale — co-partitioned shuffle joins only") {
     // Round-11 regression pin: left to post-Generate size estimates
     // the planner broadcast the corpus-sized exploded-shingle frame
