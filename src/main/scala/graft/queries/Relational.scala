@@ -486,17 +486,18 @@ object Relational {
     * are known: ntile(4) bucket q ends at row r_max(q) = q·⌊n/4⌋ +
     * min(q, n mod 4), percent_rank = (r−1)/(n−1), cume_dist = r/n.
     *
-    *  1. per-priority approx splitters (accuracy only affects
-    *     balance, never correctness) freeze to the driver — a
-    *     bounded |priorities|×127-double collect, like the k-means
-    *     centroid collects — and every row bins map-side against the
-    *     broadcast array;
-    *  2. exact (priority, bin) counts collect (≤ |priorities|×128
+    *  1. per-priority (min, max, n) collects (one bounded agg row per
+    *     priority); every row then bins itself with `width_bucket` —
+    *     pure codegen'd arithmetic against the broadcast bounds, no
+    *     sketch, no per-row array walk;
+    *  2. exact (priority, bin) counts collect (≤ |priorities|×1026
     *     rows); driver cumsum locates, for each boundary rank
     *     r_max(q), its bin and local rank;
-    *  3. row_number runs ONLY inside the ≤15 boundary bins (~n/128
-    *     rows each — parallelism follows bins, not priorities) to
-    *     extract the exact boundary (price, key) pairs;
+    *  3. row_number runs ONLY inside the ≤15 boundary bins (~n/1024
+    *     rows each on anything near-uniform — parallelism follows
+    *     bins, not priorities; a value-skewed bin degrades that one
+    *     bin's sort, never correctness) to extract the exact boundary
+    *     (price, key) pairs;
     *  4. every row computes its quartile as 1 + |boundaries strictly
     *     below (price, key)| against the ≤3-element broadcast array —
     *     map-side, then one 20-row aggregate; max_pr/max_cd come from
@@ -505,35 +506,31 @@ object Relational {
     *
     * Construction runs the two bounded collects up front (a
     * driver-coordinated two-phase selection — the model-apply
-    * pattern); splitters are frozen before reuse so both passes bin
-    * identically even though approx_percentile's merge order is not
-    * deterministic. Exactness never depends on the sketch: any
-    * splitter set yields the same boundaries.
+    * pattern). Bin bounds are EXACT min/max, so every pass bins
+    * identically by construction, and exactness never depends on bin
+    * balance: any bin layout yields the same boundary rows.
     */
   def priceQuartileProfile(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
-    val nBins = 128
+    val nBins = 1024
     val rows = orders.select(col("o_orderpriority").as("pri"),
       col("o_orderkey").as("okey"), col("o_totalprice").as("price"))
-    val splitters = rows.groupBy("pri")
-      .agg(approx_percentile(col("price"),
-        array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*),
-        lit(10000)).as("thr"))
+    val stats = rows.groupBy("pri")
+      .agg(min("price").as("mn"), max("price").as("mx"), count(lit(1)).as("n"))
       .collect()
-      .map(r => (r.getString(0), r.getSeq[Double](1)))
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
       .toSeq
-    val splDf = spark.createDataFrame(splitters).toDF("pri", "thr")
-    def binned = rows.join(broadcast(splDf), Seq("pri"))
-      .withColumn("b", size(filter(col("thr"), t => t < col("price"))))
-      .drop("thr")
+    val statsDf = spark.createDataFrame(stats).toDF("pri", "mn", "mx", "n")
+    def binned = rows.join(broadcast(statsDf.select("pri", "mn", "mx")), Seq("pri"))
+      .withColumn("b", when(col("mn") === col("mx"), lit(1L))
+        .otherwise(width_bucket(col("price"), col("mn"), col("mx"), lit(nBins))))
+      .drop("mn", "mx")
     val cnts = binned.groupBy("pri", "b").agg(count(lit(1)).as("c"))
       .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     // driver arithmetic over the bounded count table: per priority,
     // n → the three r_max boundary ranks → (bin, local rank) targets
-    val priTotals = cnts.groupBy(_._1).map { case (pri, rs) =>
-      (pri, rs.map(_._3).sum)
-    }.toSeq
+    val priTotals = stats.map(t => (t._1, t._4))
     val targets = cnts.groupBy(_._1).toSeq.flatMap { case (pri, rs) =>
       val byBin = rs.map(t => (t._2, t._3)).sortBy(_._1)
       val n = byBin.map(_._2).sum
@@ -541,7 +538,7 @@ object Relational {
       val rem = n % 4
       (1 to 3).map(q => q * base + math.min(q.toLong, rem)).filter(_ >= 1L)
         .map { k =>
-          var off = 0L; var bin = -1; var loc = 0L
+          var off = 0L; var bin = -1L; var loc = 0L
           byBin.foreach { case (b, c) =>
             if (bin < 0) { if (k <= off + c) { bin = b; loc = k - off } else off += c }
           }

@@ -154,7 +154,7 @@ class PlanAuditSpec extends SparkSpec {
     // alone has a 5-task parallelism ceiling (17.6 s at sf10; fatal at
     // 100 TB). The splitter-binning plan may window ONLY on the
     // two-key (pri, bin) spec, whose input is the ≤15 boundary
-    // buckets (~n/128 rows each).
+    // buckets (~n/32 rows each).
     val specs = windowPartitionSpecs(
       SparkEntry.queries("q_rank_profile")(spark, sf0001)
         .queryExecution.executedPlan)
