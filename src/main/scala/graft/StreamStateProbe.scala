@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws, lit}
 import graft.operators.EventOps
 import graft.streaming.EventStreams
 
@@ -46,6 +46,10 @@ import graft.streaming.EventStreams
   *     state lives in the parquet sink; digest rows equal the
   *     batch-computed expectation, band rows = 4×digests, one
   *     batch_id dir per micro-batch (the partition-prune unit)
+  *   - groupsToSink: ZERO state-store rows — the doc→root changelog
+  *     lives in the parquet sink; final mapping equals batch
+  *     connectedGroups exactly, per-doc rows ≤ batches (roots change
+  *     at most once per batch)
   * Prints one JSON line; exits 1 when a bound is violated.
   */
 object StreamStateProbe {
@@ -379,6 +383,60 @@ object StreamStateProbe {
     check(curDirs == curBatches,
       s"curateToSink digest state has $curDirs batch_id dirs != $curBatches batches")
 
+    // 17. groupsToSink (incremental CC): like curateToSink, ZERO
+    // state-store rows — the doc→root changelog lives in the parquet
+    // sink, partitioned by batch_id. Bounds:
+    //   - stateOperators empty in every progress row;
+    //   - final sinkGroups mapping EQUALS batch connectedGroups over
+    //     all pairs (confluence — no arrival-order caveat);
+    //   - per-doc changelog rows ≤ batches (a doc writes only when
+    //     its root CHANGES, and a root changes at most once per
+    //     batch — the union-by-min rewrite amortization, observed);
+    //   - one batch_id directory per micro-batch.
+    val grpDir = java.nio.file.Files.createTempDirectory("probe_groups").toString
+    val grpPairsDf = graft.operators.Dedup.minhashNearDupsMd5(docsDf)
+      .select("doc_a", "doc_b")
+    val grpPairs = grpPairsDf
+      .orderBy(org.apache.spark.sql.functions.md5(
+        concat_ws(":", col("doc_a"), col("doc_b"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (grpBatches, grpStoreRows) = {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val memG = MemoryStream[(Long, Long)]
+      val qg = graft.streaming.GroupStream.groupsToSink(
+        memG.toDF().toDF("doc_a", "doc_b"), grpDir)
+      try {
+        grpPairs.grouped(math.max(1, grpPairs.length / chunks + 1)).foreach { chunk =>
+          memG.addData(chunk: _*)
+          qg.processAllAvailable()
+        }
+        val prog = qg.recentProgress.toSeq.filter(_.numInputRows > 0)
+        (prog.size, prog.map(p => p.stateOperators.map(_.numRowsTotal).sum).sum)
+      } finally qg.stop()
+    }
+    check(grpStoreRows == 0,
+      s"groupsToSink keeps $grpStoreRows state-store rows — state must live in the sink")
+    val grpGot = graft.streaming.GroupStream.sinkGroups(spark, grpDir)
+    val grpExp = graft.operators.Dedup.connectedGroups(grpPairsDf)
+    // set equality needs BOTH checks: distinct-union == expected rows
+    // (no wrong rows) AND equal cardinality (no missing rows)
+    val grpDiff = (grpGot.unionByName(grpExp).distinct().count() - grpExp.count()) +
+      math.abs(grpGot.count() - grpExp.count())
+    check(grpDiff == 0,
+      s"groupsToSink mapping diverges from batch connectedGroups by $grpDiff rows")
+    val grpLog = spark.read.parquet(s"$grpDir/_state/roots")
+    val grpLogRows = grpLog.count()
+    val grpDocs = grpLog.select("doc_id").distinct().count()
+    val grpMaxPerDoc = grpLog.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .agg(org.apache.spark.sql.functions.max("c")).collect().head.getLong(0)
+    check(grpMaxPerDoc <= grpBatches,
+      s"groupsToSink: a doc wrote $grpMaxPerDoc changelog rows > $grpBatches batches")
+    val grpDirs = Option(new java.io.File(s"$grpDir/_state/roots").listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    check(grpDirs == grpBatches,
+      s"groupsToSink changelog has $grpDirs batch_id dirs != $grpBatches batches")
+
     val twins = Seq(
       ("sessionGaps", pSess, s""""bound_users":$nUsers"""),
       ("errorRateHourly", pEr, s""""bound_hours":$nHours"""),
@@ -405,7 +463,12 @@ object StreamStateProbe {
       s""""curateToSink":{"batches":$curBatches,"state_store_rows":$curStoreRows,""" +
         s""""sink_digest_rows":$curDig,"expected_digest_rows":$expDig,""" +
         s""""sink_band_rows":$curBands,"sink_docs":$curDocs,"batch_dirs":$curDirs}"""
-    println(s"""{"metric":"stream_state","sf":"$sfDir","chunks":$chunks,$body,$curBody}""")
+    val grpBody =
+      s""""groupsToSink":{"batches":$grpBatches,"state_store_rows":$grpStoreRows,""" +
+        s""""changelog_rows":$grpLogRows,"distinct_docs":$grpDocs,""" +
+        s""""max_rows_per_doc":$grpMaxPerDoc,"batch_dirs":$grpDirs,""" +
+        s""""mapping_diff_vs_batch_cc":$grpDiff}"""
+    println(s"""{"metric":"stream_state","sf":"$sfDir","chunks":$chunks,$body,$curBody,$grpBody}""")
     failures.foreach(f => println(s"BOUND VIOLATED: $f"))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Replay pin for [[GroupStream]]: the sf0.001 corpus's near-dup
+  * candidate pairs (the oracle-green `dedup_groups_md5` input) are
+  * ingested in three micro-batches and the sink's doc→group mapping
+  * must equal [[Dedup.connectedGroups]] over ALL pairs — exactly,
+  * with no ordering caveat: union-find is confluent, so the pin holds
+  * for ANY chunking. The spec deliberately feeds a NON-monotone
+  * arrival order (pairs shuffled by md5 of the pair) to exercise
+  * cross-batch merges: a component whose members span chunks must be
+  * stitched by the root-remap rewrite, not by lucky ordering.
+  */
+class GroupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed incremental CC equals batch connectedGroups for any arrival order") {
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("group_stream_").toString
+
+    val pairsDf = Dedup.minhashNearDupsMd5(Tables.documents(spark, sf0001))
+      .select("doc_a", "doc_b")
+    val pairs = pairsDf
+      .orderBy(md5(concat_ws(":", col("doc_a"), col("doc_b"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length > 10, s"need real pairs, got ${pairs.length}")
+    val chunks = pairs.grouped((pairs.length + 2) / 3).toSeq
+    assert(chunks.length == 3)
+
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("doc_a", "doc_b")
+    val q = GroupStream.groupsToSink(stream, outDir)
+    try {
+      chunks.foreach { c =>
+        mem.addData(c: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val expected = Dedup.connectedGroups(pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = GroupStream.sinkGroups(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected,
+      s"streamed ${got.size} vs batch ${expected.size} docs; " +
+        s"diff=${(got.toSet diff expected.toSet).take(5)}")
+    // the corpus must actually exercise merges: some component spans
+    // more than one doc (otherwise the pin is vacuous)
+    assert(expected.values.toSet.size < expected.size)
+
+    // idempotent replay: re-running the middle batch's foreachBatch
+    // body overwrites its own batch_id dir — mapping unchanged
+    val replay = chunks(1).toSeq.toDF("doc_a", "doc_b")
+    GroupStream.groupBatch(replay, 1L, outDir)
+    val afterReplay = GroupStream.sinkGroups(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(afterReplay == expected)
+  }
+}
