@@ -138,6 +138,7 @@ object VectorFunctions {
   private val shinglesName = "graft_shingles"
   private val hyperName = "graft_hyperplanes"
   private val winnowName = "graft_winnow"
+  private val normalizeName = "graft_normalize"
 
   private def literalInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -167,6 +168,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       winnowName, exprs => WinnowFingerprints(exprs.head,
         literalInt(exprs(1), "k"), literalInt(exprs(2), "w")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      normalizeName, exprs => NormalizeText(exprs.head), "built-in")
   }
 
   /** Column-level APIs (require [[ensureRegistered]] on the session
@@ -190,6 +193,8 @@ object VectorFunctions {
     call_function(hyperName, v,
       org.apache.spark.sql.functions.lit(nTables),
       org.apache.spark.sql.functions.lit(bitsPerTable))
+
+  def normalizeText(text: Column): Column = call_function(normalizeName, text)
 
   def winnowFps(text: Column, k: Int, w: Int): Column =
     call_function(winnowName, text,

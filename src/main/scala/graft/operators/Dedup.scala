@@ -55,15 +55,18 @@ object Dedup {
     * byte-exact dedup misses but MinHash is overkill for. In real
     * corpora this is the second gate of the dedup cascade (exact →
     * normalized → MinHash), each stage cheaper per-pair than the
-    * next. Map-only normalization (codegen'd regexps), then the same
-    * one-shuffle digest groupBy as [[exact]] — text never crosses
-    * the wire, only 16-byte digests.
+    * next. Map-only normalization — one codegen pass per doc
+    * ([[graft.functions.NormalizeText]]; byte-identical to the
+    * two-regex chain the oracle spells out, without the per-doc
+    * java.util.regex machinery), then the same one-shuffle digest
+    * groupBy as [[exact]] — text never crosses the wire, only
+    * 16-byte digests.
     */
   def exactNormalized(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
-        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", ""), " +", " "))).as("norm_hash"))
+        md5(graft.functions.VectorFunctions.normalizeText(col("text")))
+          .as("norm_hash"))
       .groupBy("norm_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")

@@ -242,31 +242,41 @@ object TextAnalysis {
     * soup (boilerplate, garbled OCR, spam); the standard cheap
     * quality signal before anything model-based.
     *
-    * Shape: token frequencies are one shuffle with map-side combine
-    * (vocabulary-sized); the corpus total is a 1-row agg broadcast by
-    * the cross join (scalar-subquery pattern); scoring joins tokens
-    * to the frequency table — vocabulary-sized build side, stream the
-    * corpus through it. Scores round to 6 decimals so double-sum
-    * order never shows.
+    * Shape: everything downstream of the tokenizer runs on DISTINCT
+    * (doc, word) pairs, never token instances. The explode feeds one
+    * (doc_id, w)-keyed partial aggregate — repeated words collapse
+    * map-side, so the only corpus-sized thing that crosses the wire
+    * is per-doc-distinct pairs (the previous form shuffled EVERY
+    * token instance through the scoring join and again through the
+    * per-doc aggregate — 3-4× the rows on natural text, 25 s at sf10
+    * vs ~8 s for this shape). Word frequencies cascade from the same
+    * pair table (vocabulary-sized second aggregate); the corpus
+    * total is a 1-row agg broadcast by the cross join
+    * (scalar-subquery pattern — a billion-row raw vocab must never
+    * funnel through one task, see text_tfidf); scoring joins pairs
+    * to the frequency table and the per-doc mean re-weights by the
+    * in-doc count (Σ c·log p / Σ c ≡ the instance average). Scores
+    * round to 6 decimals so double-sum order never shows.
     */
   def unigramLogProb(documents: DataFrame): DataFrame = {
-    val toks = documents
+    // lazy localCheckpoint: the pair table feeds BOTH the frequency
+    // build and the scoring join — without it the tokenize+combine
+    // chain runs twice (blocks spill to disk under pressure, so this
+    // is safe at the 8 g default heap)
+    val pairs = documents
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
-    val freqs = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-    // corpus total = Σ cnt as a 1-ROW aggregate broadcast against the
-    // vocabulary table (the scalar-subquery pattern text_bigram_logprob /
-    // text_tfidf / text_bm25 already use). The resulting
-    // BroadcastNestedLoopJoin has a 1-row build side — O(1) per vocab row —
-    // whereas the previous unpartitioned-window form funneled the ENTIRE
-    // vocabulary through one task: raw whitespace vocab on 100 TB of web
-    // text is billions of rows, a genuine single-executor scale-killer.
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
+      .localCheckpoint(false)
+    val freqs = pairs.groupBy("w").agg(sum("c_dw").as("cnt"))
     val freqsWithTotal =
       freqs.crossJoin(broadcast(freqs.agg(sum("cnt").as("n_total"))))
-    toks.join(freqsWithTotal, "w")
+    pairs.join(freqsWithTotal, "w")
       .groupBy("doc_id")
-      .agg(round(avg(log(col("cnt").cast("double") / col("n_total"))), 6).as("avg_logp"),
-        count(lit(1)).as("n_toks"))
+      .agg(round(
+        sum(col("c_dw") * log(col("cnt").cast("double") / col("n_total"))) /
+          sum("c_dw"), 6).as("avg_logp"),
+        sum("c_dw").as("n_toks"))
       .orderBy("doc_id")
   }
 
@@ -646,7 +656,20 @@ object TextAnalysis {
     * profile must match the fast path's bit-for-bit.
     */
   def languageIdRelational(documents: DataFrame, profileSize: Int = 300,
-                           trainModulo: Int = 8, scoreModulo: Int = 8): DataFrame = {
+                           trainModulo: Int = 8, scoreModulo: Int = 8): DataFrame =
+    languageIdRelationalScores(documents, profileSize, trainModulo, scoreModulo)
+      .orderBy("doc_id")
+
+  /** The unordered prediction frame behind [[languageIdRelational]] —
+    * train + score + argmax in one place, so the registry can memoize
+    * it through [[graft.Materialized]] and serve BOTH the per-doc key
+    * and the confusion-matrix rollup ([[langConfusionOf]]) from one
+    * build (each key rebuilding the profile + scoring join cost ~15 s
+    * at sf10, twice per suite).
+    */
+  private[graft] def languageIdRelationalScores(
+      documents: DataFrame, profileSize: Int = 300,
+      trainModulo: Int = 8, scoreModulo: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
@@ -684,7 +707,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("true_lang"),
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
         coalesce(col("score"), lit(0L)).as("score"))
-      .orderBy("doc_id")
   }
 
   /** Character trigrams from an already-materialized text column `t`
@@ -1074,26 +1096,40 @@ object TextAnalysis {
     * breakdown feeds mixture reweighting alongside
     * [[mixWeights]]/[[dsirWeights]].
     *
-    * Shape at 100 TB: each n produces grams by in-row array ops
-    * (map-only), then one (source, n, gram)-keyed partial aggregate —
-    * map-side combine collapses repeats before the shuffle, and
-    * count(DISTINCT gram) rides the same grouped shuffle (Spark
-    * plans it as a two-phase expand-aggregate on the already-keyed
-    * rows). No join, no window, no global sort.
+    * Shape at 100 TB: ONE tokenize pass emits every n's grams from a
+    * single nested transform (the union-of-three form re-split the
+    * text once per n — 3× the tokenize CPU for identical rows), and
+    * the distinct count is a TWO-LEVEL aggregate: per-(source, n,
+    * gram) counts first (map-side combine collapses repeats before
+    * the only corpus-sized shuffle), then sum/count per (source, n)
+    * — partial-aggregated to ~|sources|·maxN rows per map task
+    * before the second, trivial exchange. The previous
+    * `count(DISTINCT gram)` form planned an Expand that DOUBLED
+    * every gram row ahead of that same shuffle (one copy per
+    * aggregate leg — measured as the suite's slowest key at sf10,
+    * 32.8 s warm); the cascaded form carries each distinct gram
+    * exactly once and reads identically in the oracle. No join, no
+    * window, no global sort.
     */
   def ngramDiversity(documents: DataFrame, maxN: Int = 3): DataFrame = {
-    val toks = documents
+    val gramType = "array<struct<n:int,gram:string>>"
+    val grams = documents
       .select(col("source"), split(col("text"), " ", -1).as("ws0"))
       .select(col("source"), filter(col("ws0"), w => length(w) > 0).as("ws"))
-    val grams = (1 to maxN).map { n =>
-      toks.filter(size(col("ws")) >= n)
-        .select(col("source"), lit(n).as("n"),
-          explode(transform(sequence(lit(0), size(col("ws")) - n),
-            i => array_join(slice(col("ws"), i + 1, lit(n)), " "))).as("gram"))
-    }.reduce(_.unionByName(_))
+      .select(col("source"),
+        explode(flatten(transform(sequence(lit(1), lit(maxN)), n =>
+          when(size(col("ws")) >= n,
+            transform(sequence(lit(0), size(col("ws")) - n),
+              i => struct(n.cast("int").as("n"),
+                array_join(slice(col("ws"), i + 1, n), " ").as("gram"))))
+            // empty array, NOT null: flatten() returns null (and the
+            // explode then drops the whole document) if ANY leg is null
+            .otherwise(array().cast(gramType))))).as("g"))
+      .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
     grams
+      .groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
       .groupBy("source", "n")
-      .agg(count(lit(1)).as("n_total"), countDistinct("gram").as("n_distinct"))
+      .agg(sum("c").as("n_total"), count(lit(1)).as("n_distinct"))
       .select(col("source"), col("n"), col("n_total"), col("n_distinct"),
         round(col("n_distinct").cast("double") / col("n_total"), 6).as("diversity"))
       .orderBy("source", "n")
@@ -1134,7 +1170,14 @@ object TextAnalysis {
     * holdout.
     */
   def langConfusionMatrix(documents: DataFrame): DataFrame =
-    languageIdRelational(documents)
+    langConfusionOf(languageIdRelationalScores(documents))
+
+  /** The rollup of [[langConfusionMatrix]] over an already-built
+    * prediction frame — what the registry runs against the shared
+    * [[graft.Materialized]] memo so the classifier builds once.
+    */
+  private[graft] def langConfusionOf(scores: DataFrame): DataFrame =
+    scores
       .groupBy("true_lang", "pred_lang")
       .agg(count(lit(1)).as("n"),
         max(when(col("true_lang") === col("pred_lang"), 1L).otherwise(0L)).as("correct"))

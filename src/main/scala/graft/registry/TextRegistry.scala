@@ -19,6 +19,13 @@ private[graft] trait TextRegistry extends RegistryShared {
   private def bigramScoresShared(s: SparkSession, d: String): DataFrame =
     Materialized.of(s, d, "bigram_doc_logprob")(
       TextAnalysis.bigramLogProbScores(Tables.documents(s, d)))
+  // same contract for the n-gram language classifier: the prediction
+  // frame (train + profile + scoring join + argmax) is the memo unit
+  // shared by the per-doc key and the confusion-matrix rollup —
+  // before the split each key rebuilt it (~15 s at sf10, twice)
+  private def langRelShared(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "langid_rel")(
+      TextAnalysis.languageIdRelationalScores(Tables.documents(s, d)))
 
   protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
@@ -29,7 +36,7 @@ private[graft] trait TextRegistry extends RegistryShared {
     "text_vocab_overlap" -> ((s, d) => TextAnalysis.sourceVocabOverlap(Tables.documents(s, d))),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "text_lang_confusion" -> ((s, d) =>
-      TextAnalysis.langConfusionMatrix(Tables.documents(s, d))),
+      TextAnalysis.langConfusionOf(langRelShared(s, d))),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(Tables.documents(s, d))),
     "text_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
     "text_lang_source_mix" -> ((s, d) => TextAnalysis.langSourceMix(Tables.documents(s, d))),
@@ -47,7 +54,8 @@ private[graft] trait TextRegistry extends RegistryShared {
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "text_quality_by_source" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d))),
     "text_lang_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
-    "text_lang_id_rel" -> ((s, d) => TextAnalysis.languageIdRelational(Tables.documents(s, d))),
+    "text_lang_id_rel" -> ((s, d) =>
+      langRelShared(s, d).orderBy(org.apache.spark.sql.functions.col("doc_id"))),
     "text_top_words" -> ((s, d) => TextAnalysis.topWords(Tables.documents(s, d))),
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, d))),
     "text_heavy_tokens" -> ((s, d) => TextAnalysis.heavyHitterTokens(Tables.documents(s, d))),

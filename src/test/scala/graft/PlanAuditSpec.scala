@@ -163,6 +163,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q_rank_profile must never window on fewer than (pri, bin) keys: $specs")
   }
 
+  test("text_ngram_diversity plans a cascaded distinct — no Expand ahead of the gram shuffle") {
+    // Round-13 reshape pin: count(DISTINCT gram) planned an Expand
+    // that DOUBLED every gram row before the only corpus-sized
+    // shuffle (one copy per aggregate leg — the suite's slowest key
+    // at sf10, 32.8 s warm). The two-level form (count per (source,
+    // n, gram), then sum/count per (source, n)) carries each distinct
+    // gram exactly once; a reappearing Expand means someone folded
+    // the rollup back into a single countDistinct aggregate.
+    val plan = SparkEntry.queries("text_ngram_diversity")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"text_ngram_diversity must keep the cascaded two-level distinct:\n$plan")
+  }
+
   test("ngramPairCounts plans no broadcast at any scale — co-partitioned shuffle joins only") {
     // Round-11 regression pin: left to post-Generate size estimates
     // the planner broadcast the corpus-sized exploded-shingle frame

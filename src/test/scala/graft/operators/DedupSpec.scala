@@ -16,6 +16,25 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("NormalizeText is byte-identical to the regex chain it replaces") {
+    // crafted edges: unicode uppercase whose lower is non-ascii
+    // (stripped), Kelvin sign (lowers to ascii k, kept), digits,
+    // leading/trailing/multiple spaces, tabs/newlines (stripped, NOT
+    // space), empty and all-stripped strings, multi-byte sequences
+    val edge = Seq("", "   ", "\u212A elvin", "\u00C9clair TEST  42",
+      "a\tb\nc", "MiXeD  CaSe   07 ", " !@# $%^ ", "\u4F60\u597D world",
+      "a!b", "A  B\u0301  C").zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val corpus = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .unionByName(edge.toDF("doc_id", "text"))
+    val both = corpus.select(
+      graft.functions.VectorFunctions.normalizeText(col("text")).as("fast"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+    assert(both.count() > 30)
+  }
+
   test("exactStats counts dupes") {
     val d = docs(1L -> "t", 2L -> "t", 3L -> "u", 4L -> "t")
     val r = Dedup.exactStats(d).collect().head
