@@ -68,7 +68,19 @@ object GraftSession {
       // as TIMESTAMP (session tz pinned to UTC above), matching the
       // DuckDB oracle's epoch_us(CAST(ts AS TIMESTAMP)).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // 16 MB, not the 128 MB default: input splits bound the MAP-side
+      // parallelism, and this suite's per-byte CPU is dominated by
+      // text/dedup work (tokenize, n-grams, digests), not scan I/O. At
+      // the 128 MB default the sf10 documents table (150 MB across 16
+      // files) bin-packs into TWO splits — jstack during
+      // text_unigram_logprob showed 31 of 32 workers parked, the whole
+      // text family's decade curve was scan-parallelism-limited
+      // (round-13 finding). 16 MB keeps one task per ingest file here
+      // and ~16 MB tasks on fact tables (96 splits for the 1.5 GB sf10
+      // lineitem — three waves on 32 cores, per-task overhead still
+      // noise). On a real cluster size this to cores×waves against the
+      // CPU-heaviest operator's bytes/sec, not against I/O.
+      .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
       .config("spark.driver.host", "127.0.0.1")
       // custom planner strategy (native as-of join) + SQL functions
       .config("spark.sql.extensions", "graft.GraftExtensions")

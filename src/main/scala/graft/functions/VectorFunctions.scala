@@ -139,6 +139,7 @@ object VectorFunctions {
   private val hyperName = "graft_hyperplanes"
   private val winnowName = "graft_winnow"
   private val normalizeName = "graft_normalize"
+  private val ngramsName = "graft_ngrams"
 
   private def literalInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -170,6 +171,9 @@ object VectorFunctions {
         literalInt(exprs(1), "k"), literalInt(exprs(2), "w")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       normalizeName, exprs => NormalizeText(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ngramsName, exprs => WordNgrams(exprs.head,
+        literalInt(exprs(1), "maxN")), "built-in")
   }
 
   /** Column-level APIs (require [[ensureRegistered]] on the session
@@ -195,6 +199,9 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(bitsPerTable))
 
   def normalizeText(text: Column): Column = call_function(normalizeName, text)
+
+  def wordNgrams(text: Column, maxN: Int): Column =
+    call_function(ngramsName, text, org.apache.spark.sql.functions.lit(maxN))
 
   def winnowFps(text: Column, k: Int, w: Int): Column =
     call_function(winnowName, text,

@@ -62,7 +62,8 @@ object Dedup {
     * groupBy as [[exact]] — text never crosses the wire, only
     * 16-byte digests.
     */
-  def exactNormalized(documents: DataFrame): DataFrame =
+  def exactNormalized(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(documents.sparkSession)
     documents
       .select(col("doc_id"),
         md5(graft.functions.VectorFunctions.normalizeText(col("text")))
@@ -70,6 +71,7 @@ object Dedup {
       .groupBy("norm_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
+  }
 
   /** Exact dedup counts — total vs distinct (the "how much would
     * dedup save" report).

@@ -262,10 +262,21 @@ object TextAnalysis {
     // lazy localCheckpoint: the pair table feeds BOTH the frequency
     // build and the scoring join — without it the tokenize+combine
     // chain runs twice (blocks spill to disk under pressure, so this
-    // is safe at the 8 g default heap)
+    // is safe at the 8 g default heap). The explicit-width repartition
+    // BEFORE the groupBy is load-bearing twice over: (a) the pair rows
+    // are byte-small, so a plain groupBy exchange gets AQE-coalesced
+    // to a handful of tasks and the 11.6M-group final aggregate runs
+    // near-serial (jstack at sf10 — 10+ s in one task's findOrInsert);
+    // a user repartition with explicit width is AQE-exempt, and
+    // hash(doc_id) SATISFIES the (doc_id, w) clustering, so the
+    // aggregate runs exchange-free at full width. (b) The checkpoint
+    // freezes this partitioning, and the final per-doc aggregate after
+    // the frequency join reuses it with no further exchange.
+    val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
     val pairs = documents
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
+      .repartition(nPart, col("doc_id"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
       .localCheckpoint(false)
     val freqs = pairs.groupBy("w").agg(sum("c_dw").as("cnt"))
@@ -1096,35 +1107,27 @@ object TextAnalysis {
     * breakdown feeds mixture reweighting alongside
     * [[mixWeights]]/[[dsirWeights]].
     *
-    * Shape at 100 TB: ONE tokenize pass emits every n's grams from a
-    * single nested transform (the union-of-three form re-split the
-    * text once per n — 3× the tokenize CPU for identical rows), and
-    * the distinct count is a TWO-LEVEL aggregate: per-(source, n,
-    * gram) counts first (map-side combine collapses repeats before
-    * the only corpus-sized shuffle), then sum/count per (source, n)
-    * — partial-aggregated to ~|sources|·maxN rows per map task
-    * before the second, trivial exchange. The previous
-    * `count(DISTINCT gram)` form planned an Expand that DOUBLED
-    * every gram row ahead of that same shuffle (one copy per
-    * aggregate leg — measured as the suite's slowest key at sf10,
-    * 32.8 s warm); the cascaded form carries each distinct gram
-    * exactly once and reads identically in the oracle. No join, no
-    * window, no global sort.
+    * Shape at 100 TB: ONE codegen'd pass per row emits every n's
+    * grams ([[graft.functions.WordNgrams]] — the HOF spelling
+    * (transform→slice→array_join per n) evaluates interpreted,
+    * Slice.nullSafeEval + a collection copy per ELEMENT; jstack at
+    * sf10 put all worker time there), and the distinct count is a
+    * TWO-LEVEL aggregate: per-(source, n, gram) counts first
+    * (map-side combine collapses repeats before the only corpus-
+    * sized shuffle), then sum/count per (source, n) — partial-
+    * aggregated to ~|sources|·maxN rows per map task before the
+    * second, trivial exchange. The previous `count(DISTINCT gram)`
+    * form planned an Expand that DOUBLED every gram row ahead of
+    * that same shuffle (one copy per aggregate leg — the suite's
+    * slowest key at sf10, 32.8 s warm); the cascaded form carries
+    * each distinct gram exactly once and reads identically in the
+    * oracle. No join, no window, no global sort.
     */
   def ngramDiversity(documents: DataFrame, maxN: Int = 3): DataFrame = {
-    val gramType = "array<struct<n:int,gram:string>>"
+    graft.functions.VectorFunctions.ensureRegistered(documents.sparkSession)
     val grams = documents
-      .select(col("source"), split(col("text"), " ", -1).as("ws0"))
-      .select(col("source"), filter(col("ws0"), w => length(w) > 0).as("ws"))
       .select(col("source"),
-        explode(flatten(transform(sequence(lit(1), lit(maxN)), n =>
-          when(size(col("ws")) >= n,
-            transform(sequence(lit(0), size(col("ws")) - n),
-              i => struct(n.cast("int").as("n"),
-                array_join(slice(col("ws"), i + 1, n), " ").as("gram"))))
-            // empty array, NOT null: flatten() returns null (and the
-            // explode then drops the whole document) if ANY leg is null
-            .otherwise(array().cast(gramType))))).as("g"))
+        explode(graft.functions.VectorFunctions.wordNgrams(col("text"), maxN)).as("g"))
       .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
     grams
       .groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))

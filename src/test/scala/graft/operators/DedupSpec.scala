@@ -17,6 +17,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("NormalizeText is byte-identical to the regex chain it replaces") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     // crafted edges: unicode uppercase whose lower is non-ascii
     // (stripped), Kelvin sign (lowers to ascii k, kept), digits,
     // leading/trailing/multiple spaces, tabs/newlines (stripped, NOT
