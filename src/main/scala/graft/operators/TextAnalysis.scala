@@ -249,7 +249,8 @@ object TextAnalysis {
     * is per-doc-distinct pairs (the previous form shuffled EVERY
     * token instance through the scoring join and again through the
     * per-doc aggregate — 3-4× the rows on natural text, 25 s at sf10
-    * vs ~8 s for this shape). Word frequencies cascade from the same
+    * vs 13.5 s for this shape; the remainder is the 16-ingest-file
+    * tokenize width, not the plan). Word frequencies cascade from the same
     * pair table (vocabulary-sized second aggregate); the corpus
     * total is a 1-row agg broadcast by the cross join
     * (scalar-subquery pattern — a billion-row raw vocab must never
