@@ -68,19 +68,27 @@ object GraftSession {
       // as TIMESTAMP (session tz pinned to UTC above), matching the
       // DuckDB oracle's epoch_us(CAST(ts AS TIMESTAMP)).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // 16 MB, not the 128 MB default: input splits bound the MAP-side
-      // parallelism, and this suite's per-byte CPU is dominated by
-      // text/dedup work (tokenize, n-grams, digests), not scan I/O. At
-      // the 128 MB default the sf10 documents table (150 MB across 16
-      // files) bin-packs into TWO splits — jstack during
-      // text_unigram_logprob showed 31 of 32 workers parked, the whole
-      // text family's decade curve was scan-parallelism-limited
-      // (round-13 finding). 16 MB keeps one task per ingest file here
-      // and ~16 MB tasks on fact tables (96 splits for the 1.5 GB sf10
-      // lineitem — three waves on 32 cores, per-task overhead still
-      // noise). On a real cluster size this to cores×waves against the
-      // CPU-heaviest operator's bytes/sec, not against I/O.
-      .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+      // Split sizing is workload-dependent, so it is an env knob
+      // (SPARK_GRAFT_MAX_PARTITION_BYTES, bytes) with the stock 128 MB
+      // default. Round 13 pinned 16 MB globally to widen CPU-heavy text
+      // scans, but that global knob taxed seven sub-second scan-bound
+      // keys into drift waivers and lowered the winnow pair build's
+      // combine ratio into a decade waiver. Round 14 re-measured on the
+      // regenerated corpus: Spark's own minPartitionNum fallback
+      // (spark.sql.files.minPartitionNum → defaultParallelism) already
+      // caps the effective split at totalBytes/cores, so every sf10
+      // fact/document scan lands cores-wide at the 128 MB conf
+      // (graft.ScanProbe: documents/lineitem/orders/events all 32
+      // partitions) and the measured keys are equal-or-faster than at
+      // 16 MB (unigram_logprob 17.8 s vs 20.7 s, winnow_pairs 10 s vs
+      // 15.9 s isolated at sf10). CPU-bound stages that need a
+      // SPECIFIC clustering width keep their explicit AQE-exempt
+      // repartitions (the unigramLogProb precedent). On a real cluster,
+      // size the env knob to cores×waves against the CPU-heaviest
+      // operator's bytes/sec, not against I/O.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+          (128L * 1024 * 1024).toString))
       .config("spark.driver.host", "127.0.0.1")
       // custom planner strategy (native as-of join) + SQL functions
       .config("spark.sql.extensions", "graft.GraftExtensions")

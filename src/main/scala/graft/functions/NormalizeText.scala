@@ -22,8 +22,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * ≥ 0x80, so a byte-level filter keeps exactly the regex's chars;
   * collapse-then-trim ≡ "emit one space between kept runs, never
   * leading/trailing", which the scan does with one pending-space flag.
+  *
+  * COLLATION ASSUMPTION (asserted, not just documented): the
+  * byte-identity argument holds for the default UTF8_BINARY collation
+  * only — `lower()` under a non-UTF8_BINARY collation (or a future
+  * Spark changing the default lowercase path) takes collation-aware
+  * case mapping that this expression does not reproduce, so the fast
+  * path would silently diverge from the oracle spelling.
+  * [[checkInputDataTypes]] rejects any non-default string collation at
+  * ANALYSIS time — a collation change fails loudly instead of via
+  * oracle drift (round-13 ADVICE).
   */
 case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s if s == StringType => // the UTF8_BINARY (default-collation) StringType
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_normalize requires a UTF8_BINARY-collated string (its byte-level " +
+            s"scan is equivalence-argued against lower()'s default-collation path " +
+            s"only); got $other")
+    }
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_normalize"

@@ -140,6 +140,7 @@ object VectorFunctions {
   private val winnowName = "graft_winnow"
   private val normalizeName = "graft_normalize"
   private val ngramsName = "graft_ngrams"
+  private val charEntropyName = "graft_char_entropy"
 
   private def literalInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -174,6 +175,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ngramsName, exprs => WordNgrams(exprs.head,
         literalInt(exprs(1), "maxN")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      charEntropyName, exprs => CharEntropyOf(exprs.head), "built-in")
   }
 
   /** Column-level APIs (require [[ensureRegistered]] on the session
@@ -207,4 +210,6 @@ object VectorFunctions {
     call_function(winnowName, text,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
+
+  def charEntropy(text: Column): Column = call_function(charEntropyName, text)
 }

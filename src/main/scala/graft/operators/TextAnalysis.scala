@@ -259,27 +259,43 @@ object TextAnalysis {
     * in-doc count (Σ c·log p / Σ c ≡ the instance average). Scores
     * round to 6 decimals so double-sum order never shows.
     */
-  def unigramLogProb(documents: DataFrame): DataFrame = {
+  def unigramLogProb(documents: DataFrame): DataFrame =
     // lazy localCheckpoint: the pair table feeds BOTH the frequency
     // build and the scoring join — without it the tokenize+combine
     // chain runs twice (blocks spill to disk under pressure, so this
-    // is safe at the 8 g default heap). The explicit-width repartition
-    // BEFORE the groupBy is load-bearing twice over: (a) the pair rows
-    // are byte-small, so a plain groupBy exchange gets AQE-coalesced
-    // to a handful of tasks and the 11.6M-group final aggregate runs
-    // near-serial (jstack at sf10 — 10+ s in one task's findOrInsert);
-    // a user repartition with explicit width is AQE-exempt, and
-    // hash(doc_id) SATISFIES the (doc_id, w) clustering, so the
-    // aggregate runs exchange-free at full width. (b) The checkpoint
-    // freezes this partitioning, and the final per-doc aggregate after
-    // the frequency join reuses it with no further exchange.
+    // is safe at the 8 g default heap). The registry instead routes
+    // the pair table through [[graft.Materialized]] (the round-13
+    // ADVICE: this per-query checkpoint stacked one more session-
+    // lifetime executor-block pin onto the suite-context heap floor;
+    // as a memo it is built once and bounded, and on the production
+    // sink face it lives in parquet, off-heap entirely).
+    unigramLogProbFrom(unigramPairs(documents).localCheckpoint(false))
+
+  /** The (doc_id, word, count) pair table behind [[unigramLogProb]] —
+    * the memo unit. The explicit-width repartition BEFORE the groupBy
+    * is load-bearing twice over: (a) the pair rows are byte-small, so
+    * a plain groupBy exchange gets AQE-coalesced to a handful of tasks
+    * and the 11.6M-group final aggregate runs near-serial (jstack at
+    * sf10 — 10+ s in one task's findOrInsert); a user repartition with
+    * explicit width is AQE-exempt, and hash(doc_id) SATISFIES the
+    * (doc_id, w) clustering, so the aggregate runs exchange-free at
+    * full width. (b) A checkpoint/memo of this frame freezes the
+    * partitioning, and [[unigramLogProbFrom]]'s final per-doc
+    * aggregate reuses it with no further exchange.
+    */
+  private[graft] def unigramPairs(documents: DataFrame): DataFrame = {
     val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
-    val pairs = documents
+    documents
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
       .repartition(nPart, col("doc_id"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
-      .localCheckpoint(false)
+  }
+
+  /** Frequency build + scoring over a (possibly memoized) pair table
+    * from [[unigramPairs]].
+    */
+  private[graft] def unigramLogProbFrom(pairs: DataFrame): DataFrame = {
     val freqs = pairs.groupBy("w").agg(sum("c_dw").as("cnt"))
     val freqsWithTotal =
       freqs.crossJoin(broadcast(freqs.agg(sum("cnt").as("n_total"))))
@@ -1082,24 +1098,26 @@ object TextAnalysis {
     * detector (base64 blobs and key-mash score high, templated
     * repetition scores low; natural prose sits in a narrow band).
     *
-    * Shape at 100 TB: characters explode only INTO a partial
-    * aggregate — map-side combine collapses each doc's characters to
-    * ≤ |alphabet| (≈100) count rows before the (doc_id, ch) shuffle,
-    * so shuffled bytes are alphabet-bounded per doc, never
-    * text-sized (same two-level-agg shape as `text_repetition`'s
-    * word counts). The entropy fold is a second tiny aggregate.
+    * Shape at 100 TB: ONE codegen'd pass per row computes the char
+    * histogram and entropy fold in place
+    * ([[graft.functions.CharEntropyOf]]) — the whole key is map-only
+    * plus the presentation sort. The previous relational spelling
+    * (explode(sequence(1, length)) + substring(text, i, 1)) paid an
+    * O(i) UTF-8 walk PER CHARACTER — quadratic per doc, 15.7 s warm
+    * at sf10 and 9.8×/decade (round-13 verdict); the oracle keeps
+    * that spelling, the expression's scaladoc carries the
+    * equivalence argument.
     */
-  def charEntropy(documents: DataFrame): DataFrame =
+  def charEntropy(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(documents.sparkSession)
     documents
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"), length(col("text")).as("n_chars"),
-        explode(sequence(lit(1), length(col("text")))).as("i"))
-      .select(col("doc_id"), col("n_chars"), expr("substring(text, i, 1)").as("ch"))
-      .groupBy("doc_id", "n_chars", "ch").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_chars")
-      .agg(round(-sum((col("c").cast("double") / col("n_chars")) *
-        log(col("c").cast("double") / col("n_chars"))), 6).as("entropy"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.charEntropy(col("text")).as("he"))
+      .select(col("doc_id"), col("he.n_chars").as("n_chars"),
+        round(col("he.entropy"), 6).as("entropy"))
       .orderBy("doc_id")
+  }
 
   /** n-gram diversity by source: distinct-n / total-n for n = 1..3
     * (the "distinct-n" generation-diversity metric applied to a

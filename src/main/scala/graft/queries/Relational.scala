@@ -1078,6 +1078,52 @@ object Relational {
       .limit(k)
   }
 
+  /** [[copurchaseLift]] with a basket-size cap — the 100×-safe face
+    * of the suite's one adjudicated pair-volume floor. The uncapped
+    * key's cost is Σ C(basket, 2): linear in RESULT volume, but a
+    * corpus whose basket sizes grow with scale (marketplace carts,
+    * session item lists) turns that into a quadratic term. Dropping
+    * baskets larger than `maxBasket` BEFORE the self-join bounds the
+    * pair volume at Σ_kept C(min(basket, cap), 2) ≤ |orders|·C(cap, 2)
+    * — linear in order count at any scale — the same drop-the-flood
+    * idiom as every df-capped dedup join (an over-cap basket is a
+    * wholesale/bot order whose C(n,2) pairs swamp the lift statistic
+    * with one customer's co-occurrences anyway; association mining
+    * conventionally prunes them). The capped universe is
+    * self-consistent: n_orders and per-part counts are measured over
+    * KEPT orders, so lift stays a probability ratio within the
+    * analyzed population. The uncapped [[copurchaseLift]] stays as
+    * the exact audit.
+    */
+  def copurchaseLiftCapped(lineitem: DataFrame, maxBasket: Int = 5,
+                           minPairs: Int = 2, k: Int = 200): DataFrame = {
+    val par = lineitem.sparkSession.sparkContext.defaultParallelism
+    val po0 = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .repartition(par, col("okey"))
+      .dropDuplicates("okey", "part")
+    // basket sizes ride the same okey clustering — no extra exchange
+    val kept = po0.groupBy("okey").agg(count(lit(1)).as("basket"))
+      .filter(col("basket") <= maxBasket)
+      .select("okey")
+    val po = po0.join(kept.hint("shuffle_hash"), Seq("okey"))
+    val nOrders = po.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+    val partCnt = po.groupBy("part").agg(count(lit(1)).as("n_p"))
+    val pairCnt = po.select(col("okey"), col("part").as("part_a"))
+      .join(po.select(col("okey"), col("part").as("part_b")).hint("shuffle_hash"), Seq("okey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+    pairCnt.filter(col("n_ab") >= minPairs)
+      .join(partCnt.select(col("part").as("part_a"), col("n_p").as("n_a")), Seq("part_a"))
+      .join(partCnt.select(col("part").as("part_b"), col("n_p").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round((col("n_ab").cast("double") / col("n_orders")) /
+          ((col("n_a").cast("double") / col("n_orders")) *
+            (col("n_b").cast("double") / col("n_orders"))), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Snapshot diff: the added / deleted / changed rows between the
     * customer snapshot and the post-changelog state
     * ([[applyChangeSet]]) — the audit report for any CDC/merge

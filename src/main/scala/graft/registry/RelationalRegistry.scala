@@ -55,6 +55,7 @@ private[graft] trait RelationalRegistry {
     "q_merge_on_read" -> ((s, d) => Relational.mergeOnReadView(Tables.customer(s, d))),
     "q_snapshot_diff" -> ((s, d) => Relational.snapshotDiff(Tables.customer(s, d))),
     "q_copurchase_lift" -> ((s, d) => Relational.copurchaseLift(Tables.lineitem(s, d))),
+    "q_copurchase_lift_capped" -> ((s, d) => Relational.copurchaseLiftCapped(Tables.lineitem(s, d))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_window_nav" -> ((s, d) => Relational.orderNavigation(Tables.orders(s, d))),
     "q_lateral_topn" -> ((s, d) =>
@@ -608,6 +609,24 @@ private[graft] trait RelationalRegistry {
         |WHERE status <> 'unchanged' ORDER BY key""".stripMargin,
     "q_copurchase_lift" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |no AS (SELECT count(DISTINCT okey) AS n_orders FROM po),
+        |pc AS (SELECT part, count(*) AS n_p FROM po GROUP BY 1),
+        |pr AS (SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_ab
+        |       FROM po a JOIN po b USING (okey) WHERE a.part < b.part GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab,
+        |       round((CAST(n_ab AS DOUBLE) / n_orders) /
+        |             ((CAST(ca.n_p AS DOUBLE) / n_orders) *
+        |              (CAST(cb.n_p AS DOUBLE) / n_orders)), 6) AS lift
+        |FROM pr JOIN pc ca ON pr.part_a = ca.part
+        |        JOIN pc cb ON pr.part_b = cb.part
+        |CROSS JOIN no
+        |WHERE n_ab >= 2
+        |ORDER BY n_ab DESC, part_a, part_b LIMIT 200""".stripMargin,
+    // the basket-capped twin: baskets > 5 dropped BEFORE the pair join
+    "q_copurchase_lift_capped" ->
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |kept AS (SELECT okey FROM po0 GROUP BY okey HAVING count(*) <= 5),
+        |po AS (SELECT po0.okey, po0.part FROM po0 JOIN kept USING (okey)),
         |no AS (SELECT count(DISTINCT okey) AS n_orders FROM po),
         |pc AS (SELECT part, count(*) AS n_p FROM po GROUP BY 1),
         |pr AS (SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_ab

@@ -70,7 +70,13 @@ private[graft] trait TextRegistry extends RegistryShared {
     "text_dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
     "text_hash_sample" -> ((s, d) => TextAnalysis.hashSample(Tables.documents(s, d))),
     "text_topk_by_source" -> ((s, d) => TextAnalysis.topKBySource(Tables.documents(s, d))),
-    "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    // pair table memoized (round-13 ADVICE: the per-query lazy
+    // checkpoint stacked a session-lifetime heap pin per CALL in suite
+    // context; the memo builds it once, and the sink face keeps it in
+    // parquet instead of executor blocks)
+    "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProbFrom(
+      Materialized.of(s, d, "unigram_pairs")(
+        TextAnalysis.unigramPairs(Tables.documents(s, d))))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25Search(Tables.documents(s, d))),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),

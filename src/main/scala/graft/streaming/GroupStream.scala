@@ -170,9 +170,81 @@ object GroupStream {
     * semantics as [[Dedup.connectedGroups]]. One corpus-sized groupBy
     * at read time (bucket the changelog by doc_id in production to
     * make it shuffle-free); roots only decrease, so min(root) is the
-    * latest value without any batch_id tie-breaking.
+    * latest value without any batch_id tie-breaking. Before the first
+    * micro-batch commits, the changelog directory does not exist —
+    * same guard as [[readStateOr]], empty frame instead of an
+    * AnalysisException.
     */
-  def sinkGroups(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/_state/roots")
-      .groupBy("doc_id").agg(min("root").as("group_id"))
+  def sinkGroups(spark: SparkSession, outDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_state/roots")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("group_id", LongType))))
+    else
+      spark.read.parquet(p.toString)
+        .groupBy("doc_id").agg(min("root").as("group_id"))
+  }
+
+  /** Changelog compaction — the maintenance operation the object
+    * scaladoc prescribes, made executable: every batch dir STRICTLY
+    * BELOW the newest one collapses to `min(root)` per doc in a
+    * single baseline dir `batch_id=<maxId-1>`. Correctness rides the
+    * same monotonicity as every read: roots only ever decrease, so
+    * min-over-prior-rows IS the state as of the start of batch
+    * `maxId` — [[readStateOr]] for any future batch and
+    * [[sinkGroups]] read identical values before and after (the
+    * replay spec pins this). The newest dir is NEVER touched: it is
+    * the only batch Structured Streaming can replay after a crash
+    * (foreachBatch commits lag the sink write), and its replay reads
+    * `batch_id < maxId` — exactly the compacted baseline.
+    *
+    * Run while the stream is stopped (or between micro-batches — the
+    * read face tolerates it, but concurrent compaction + batch write
+    * would race on the directory listing). Commit discipline is
+    * rename-last with idempotent recovery (the [[graft.Materialized]]
+    * sink idiom): write the baseline to a tmp dir OUTSIDE the
+    * partitioned tree, delete the old dirs, rename tmp into place; a
+    * crash between delete and rename is healed by the recovery step
+    * at the next compact call (committed tmp + missing target →
+    * finish the rename).
+    */
+  def compact(spark: SparkSession, outDir: String): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(s"$outDir/_state/roots")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$outDir/_state/roots_compact_tmp")
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    def batchIds: Seq[Long] = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") => n.drop("batch_id=".length).toLong }
+    // recovery: a prior compact crashed between delete and rename —
+    // the committed tmp holds the baseline; finish the rename
+    val ids0 = batchIds
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS")) && ids0.nonEmpty) {
+      val target = new org.apache.hadoop.fs.Path(rootPath, s"batch_id=${ids0.max - 1}")
+      if (!fs.exists(target)) { fs.rename(tmpPath, target); return }
+    }
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // stale uncommitted tmp
+    val ids = batchIds
+    if (ids.size <= 2) return // one baseline + newest: nothing to gain
+    val maxId = ids.max
+    val baseline = spark.read
+      .schema(rootSchema.add(StructField("batch_id", LongType)))
+      .parquet(rootPath.toString)
+      .filter(col("batch_id") < maxId)
+      .groupBy("doc_id").agg(min("root").as("root"))
+    baseline.write.mode("overwrite").parquet(tmpPath.toString)
+    // delete the target id FIRST: the recovery predicate above is
+    // "target missing ∧ tmp committed → finish the rename", which is
+    // only sound if no other old dir can vanish before the target
+    // does (a leftover old dir after recovery is harmless — its rows
+    // are redundant under min(), and the next compact sweeps it)
+    ids.filter(_ < maxId).sortBy(id => (id != maxId - 1, id)).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"batch_id=$id"), true)
+    }
+    fs.rename(tmpPath, new org.apache.hadoop.fs.Path(rootPath, s"batch_id=${maxId - 1}"))
+    ()
+  }
 }

@@ -133,6 +133,42 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: codegen one-pass equals the relational spelling it replaced") {
+    // differential spec (the NormalizeText precedent): the quadratic
+    // explode+substring chain stays as the reference here and in the
+    // DuckDB oracle; the shipped CharEntropyOf must match it row-for-
+    // row on real corpus text AND on adversarial shapes — multi-byte
+    // UTF-8 (2/3/4-byte chars), single-distinct-char docs (the -0.0
+    // edge), and an alphabet wider than ASCII.
+    def relational(documents: org.apache.spark.sql.DataFrame) =
+      documents
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n_chars"),
+          explode(sequence(lit(1), length(col("text")))).as("i"))
+        .select(col("doc_id"), col("n_chars"), expr("substring(text, i, 1)").as("ch"))
+        .groupBy("doc_id", "n_chars", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_chars")
+        .agg(round(-sum((col("c").cast("double") / col("n_chars")) *
+          log(col("c").cast("double") / col("n_chars"))), 6).as("entropy"))
+        .orderBy("doc_id")
+    val edge = Seq(
+      (9001L, "aaaa"),                       // one distinct char: entropy 0 (−0.0 edge)
+      (9002L, "日本語テキストと café naïve — ünïcödé 🙂🙂 mixed"),
+      (9003L, "ab"), (9004L, "x"),
+      (9005L, "αβγαβγ ΔΔ θθθ"))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .unionByName(edge)
+    val want = relational(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val got = TextAnalysis.charEntropy(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    val diffs = want.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"mismatches: ${diffs.take(5)}")
+    assert(want(9001L)._2 == 0.0 || want(9001L)._2 == -0.0)
+  }
+
   test("unigramLogProb: common-word docs score higher than rare-word docs") {
     val d = Seq(
       (1L, "the the the the"),       // only common tokens

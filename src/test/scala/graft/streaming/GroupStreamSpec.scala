@@ -59,5 +59,52 @@ class GroupStreamSpec extends SparkSpec {
     val afterReplay = GroupStream.sinkGroups(spark, outDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(afterReplay == expected)
+
+    // --- compaction (round-13 ADVICE: make the documented operating
+    // procedure executable). Collapse all-but-newest batch dirs to the
+    // min(root) baseline: mapping must be IDENTICAL, dir count must
+    // shrink to baseline + newest, and the stream must keep working —
+    // both a replay of the newest batch (reads state < maxId = exactly
+    // the baseline) and a brand-new batch on top.
+    val rootsDir = java.nio.file.Paths.get(outDir, "_state", "roots")
+    def batchDirs = java.nio.file.Files.list(rootsDir).toArray.map(_.toString)
+      .filter(_.contains("batch_id=")).sorted.toSeq
+    assert(batchDirs.size == 3, batchDirs.toString)
+    GroupStream.compact(spark, outDir)
+    assert(batchDirs.size == 2, batchDirs.toString)
+    val afterCompact = GroupStream.sinkGroups(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(afterCompact == expected, "compaction changed the mapping")
+    // replay of the newest (only replayable) batch post-compaction
+    GroupStream.groupBatch(chunks(2).toSeq.toDF("doc_a", "doc_b"), 2L, outDir)
+    assert(GroupStream.sinkGroups(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == expected)
+    // a new batch on top of the compacted changelog: re-sending ALL
+    // pairs must change nothing (idempotent state), and a genuinely
+    // new edge must merge two existing components
+    GroupStream.groupBatch(pairsDf, 3L, outDir)
+    assert(GroupStream.sinkGroups(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == expected)
+    val groupsBySize = expected.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    val twoRoots = groupsBySize.keys.toSeq.sorted.take(2)
+    if (twoRoots.size == 2) {
+      GroupStream.groupBatch(
+        Seq((groupsBySize(twoRoots.head), groupsBySize(twoRoots(1))))
+          .toDF("doc_a", "doc_b"), 4L, outDir)
+      val merged = GroupStream.sinkGroups(spark, outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val wantRoot = math.min(twoRoots.head, twoRoots(1))
+      assert(expected.collect { case (d, g) if twoRoots.contains(g) => d }
+        .forall(d => merged(d) == wantRoot))
+    }
+  }
+
+  test("sinkGroups before any committed batch returns an empty frame, not an error") {
+    val fresh = java.nio.file.Files.createTempDirectory("group_stream_empty_").toString
+    val df = GroupStream.sinkGroups(spark, fresh)
+    assert(df.columns.toSeq == Seq("doc_id", "group_id"))
+    assert(df.count() == 0)
+    // compact on a nonexistent changelog is a no-op, not an error
+    GroupStream.compact(spark, fresh)
   }
 }
