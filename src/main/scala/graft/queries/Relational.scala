@@ -1101,16 +1101,33 @@ object Relational {
     val po0 = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .repartition(par, col("okey"))
       .dropDuplicates("okey", "part")
-    // basket sizes ride the same okey clustering — no extra exchange
-    val kept = po0.groupBy("okey").agg(count(lit(1)).as("basket"))
-      .filter(col("basket") <= maxBasket)
-      .select("okey")
-    val po = po0.join(kept.hint("shuffle_hash"), Seq("okey"))
-    val nOrders = po.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
-    val partCnt = po.groupBy("part").agg(count(lit(1)).as("n_p"))
-    val pairCnt = po.select(col("okey"), col("part").as("part_a"))
-      .join(po.select(col("okey"), col("part").as("part_b")).hint("shuffle_hash"), Seq("okey"))
-      .filter(col("part_a") < col("part_b"))
+    // The cap changes the OPTIMAL PLAN, not just the volume: once a
+    // basket fits in ≤ maxBasket elements, the self-join disappears —
+    // baskets aggregate to arrays on the okey clustering
+    // (exchange-free after the repartition) and each array emits its
+    // own C(|basket|, 2) pairs map-only into the pair-count shuffle.
+    // No okey-keyed join at all, so none of the uncapped key's
+    // per-task hash builds (which OOM the 8 g default heap when a
+    // basket-filter join fuses into the same stage) and no window
+    // sort. The per-row pair HOF runs interpreted, but over ≤ cap
+    // elements per row — bounded by the same C(cap, 2) the plan is
+    // named for. collect_list order is nondeterministic; least/
+    // greatest normalizes each pair, so the emitted SET is exact.
+    // lazy checkpoint: three consumers (order count, part counts, pair
+    // explode) would each re-run the dedup + array agg above the
+    // reused exchange; blocks spill, and with the join gone there are
+    // no concurrent hash builds competing for execution memory
+    val baskets = po0.groupBy("okey").agg(collect_list("part").as("ps"))
+      .filter(size(col("ps")) <= maxBasket)
+      .localCheckpoint(false)
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val partCnt = baskets.select(explode(col("ps")).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_p"))
+    val pairCnt = baskets.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> " +
+          "struct(least(x, y) AS part_a, greatest(x, y) AS part_b))))")).as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
     pairCnt.filter(col("n_ab") >= minPairs)
       .join(partCnt.select(col("part").as("part_a"), col("n_p").as("n_a")), Seq("part_a"))

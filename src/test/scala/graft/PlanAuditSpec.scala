@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_triangles",           // three 1-row aggregates (edges/triangles/wedges) meeting in scalar cross joins
     "ev_decayed_score",          // event stream × 1-row broadcast corpus-watermark scalar — map-side decay term
     "q_copurchase_lift",         // pair/part aggregates × 1-row broadcast order-universe scalar
+    "q_copurchase_lift_capped",  // same 1-row order-universe scalar over the basket-capped population
     "ev_hour_of_week",           // 168-row hour table × 1-row broadcast total — share denominator
     "ev_power_users",            // per-user aggregate × 1-row broadcast (p90, total) scalar — map-side filter
     "sim_l2_topk",               // corpus streams × broadcast(nQueries=10 vectors) — same bound as sim_bruteforce_topk
