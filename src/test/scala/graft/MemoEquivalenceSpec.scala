@@ -41,6 +41,7 @@ class MemoEquivalenceSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     check("text_bigram_logprob", operators.TextAnalysis.bigramLogProb(docs))
     check("text_ppl_by_source", operators.TextAnalysis.pplBySource(docs))
+    check("text_unigram_logprob", operators.TextAnalysis.unigramLogProb(docs))
   }
 
   test("similarity family memo paths equal their direct computations") {
