@@ -55,7 +55,11 @@ private[graft] trait RelationalRegistry {
     "q_merge_on_read" -> ((s, d) => Relational.mergeOnReadView(Tables.customer(s, d))),
     "q_snapshot_diff" -> ((s, d) => Relational.snapshotDiff(Tables.customer(s, d))),
     "q_copurchase_lift" -> ((s, d) => Relational.copurchaseLift(Tables.lineitem(s, d))),
-    "q_copurchase_lift_capped" -> ((s, d) => Relational.copurchaseLiftCapped(Tables.lineitem(s, d))),
+    // basket table memoized: a per-call lazy checkpoint would pin a
+    // fresh block copy per bench iteration (round-13 ADVICE pattern)
+    "q_copurchase_lift_capped" -> ((s, d) => Relational.copurchaseLiftCappedFrom(
+      Materialized.of(s, d, "copurchase_baskets")(
+        Relational.cappedBaskets(Tables.lineitem(s, d))))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_window_nav" -> ((s, d) => Relational.orderNavigation(Tables.orders(s, d))),
     "q_lateral_topn" -> ((s, d) =>

@@ -44,6 +44,11 @@ class MemoEquivalenceSpec extends SparkSpec {
     check("text_unigram_logprob", operators.TextAnalysis.unigramLogProb(docs))
   }
 
+  test("relational family memo paths equal their direct computations") {
+    check("q_copurchase_lift_capped",
+      queries.Relational.copurchaseLiftCapped(Tables.lineitem(spark, sf0001)))
+  }
+
   test("similarity family memo paths equal their direct computations") {
     val emb = Tables.embeddings(spark, sf0001)
     check("sim_cosine_neardup",
