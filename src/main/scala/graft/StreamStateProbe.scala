@@ -78,6 +78,14 @@ object StreamStateProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val chunks = if (args.length > 1) args(1).toInt else 8
+    // optional 3rd arg "sink": probe ONLY the sink-backed twins
+    // (curateToSink / groupsToSink + the compaction re-verify). The
+    // state-store twins' bounds are corpus-shape-invariant (users /
+    // hours / buckets), so their sf0.01-sf1 evidence transfers; the
+    // SINK twins' costs (changelog growth, per-batch map-only scans,
+    // compaction) are the ones worth re-proving at a real decade
+    // without paying a 10M-event replay through all 21 probes.
+    val sinkOnly = args.length > 2 && args(2) == "sink"
     val spark = GraftSession.configure(SparkSession.builder(),
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -88,6 +96,14 @@ object StreamStateProbe {
     def check(cond: Boolean, msg: => String): Unit =
       if (!cond) failures ::= msg
 
+    val docsDf = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "lang", "text")
+    val docRows = docsDf
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+
+    val twinsBody: String = if (sinkOnly) "" else {
     // 1. sessionGaps: keyed state is exactly one entry per user
     val sessRows = EventOps.withTsUs(events)
       .select("user_id", "ts_us").as[EventStreams.SessEvent]
@@ -295,12 +311,6 @@ object StreamStateProbe {
     // (band_idx, band_bits) buckets (capped content inside each) —
     // the exact key count is computable in batch from the same
     // banding expressions, so the bound is an equality, not a ≤
-    val docsDf = Tables.documents(spark, sfDir)
-      .select("doc_id", "source", "lang", "text")
-    val docRows = docsDf
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
-      .sortBy(_._1).toSeq
-    graft.functions.VectorFunctions.ensureRegistered(spark)
     val nBuckets = {
       val bandBits = 16
       val bandStructs = (0 until 4).map { bIdx =>
@@ -333,6 +343,30 @@ object StreamStateProbe {
         .writeStream.format("memory").outputMode("update"))
     check(pHh.rows.last == 1,
       s"streamingHeavyHitters state ${pHh.rows.last} != 1 global summary row")
+
+    val twins = Seq(
+      ("sessionGaps", pSess, s""""bound_users":$nUsers"""),
+      ("errorRateHourly", pEr, s""""bound_hours":$nHours"""),
+      ("semanticDup", pSem, s""""bound_buckets":$bucketBound"""),
+      ("semanticDupInt8", pSem8,
+        f""""bound_buckets":$bucketBound,"recall_vs_full":$recall%.4f,"precision_vs_full":$precision%.4f"""),
+      ("perUserQuota", pQuota, s""""bound_users":$nUsers"""),
+      ("transitionEdges", pTrans, s""""bound_users":$nUsers"""),
+      ("streamingAttribution", pAttr, s""""bound_users":$nUsers"""),
+      ("strictFunnelHits", pFun, s""""bound_users":$nUsers"""),
+      ("runningLabelCentroids", pCent, s""""bound_labels":$nLabels"""),
+      ("hourlyCounts", pHc, s""""bound_hour_types":$nHourTypes"""),
+      ("dedupEvents", pDd, s""""bound_ids":$nIds"""),
+      ("newVsReturningFlags", pNvr, s""""bound_users":$nUsers"""),
+      ("runningUserTotalsTws", pTot, s""""bound_users":$nUsers"""),
+      ("streamingTopKByType", pTopk, s""""bound_types":$nTypes"""),
+      ("streamingNearDupFlags", pNd, s""""bound_buckets":$nBuckets"""),
+      ("streamingHeavyHitters", pHh, """"bound_summaries":1"""))
+    twins.map { case (n, p, bound) =>
+      s""""$n":{"batches":${p.rows.size},"rows_final":${p.rows.last},""" +
+        s""""rows_peak":${p.rows.max},"mem_peak_bytes":${p.mem.max},$bound}"""
+    }.mkString(",") + ","
+    } // twinsBody
 
     // 16. curateToSink: the ingest-to-sink funnel keeps NO state-store
     // state at all — corpus-growing dedup state lives in the parquet
@@ -437,28 +471,24 @@ object StreamStateProbe {
     check(grpDirs == grpBatches,
       s"groupsToSink changelog has $grpDirs batch_id dirs != $grpBatches batches")
 
-    val twins = Seq(
-      ("sessionGaps", pSess, s""""bound_users":$nUsers"""),
-      ("errorRateHourly", pEr, s""""bound_hours":$nHours"""),
-      ("semanticDup", pSem, s""""bound_buckets":$bucketBound"""),
-      ("semanticDupInt8", pSem8,
-        f""""bound_buckets":$bucketBound,"recall_vs_full":$recall%.4f,"precision_vs_full":$precision%.4f"""),
-      ("perUserQuota", pQuota, s""""bound_users":$nUsers"""),
-      ("transitionEdges", pTrans, s""""bound_users":$nUsers"""),
-      ("streamingAttribution", pAttr, s""""bound_users":$nUsers"""),
-      ("strictFunnelHits", pFun, s""""bound_users":$nUsers"""),
-      ("runningLabelCentroids", pCent, s""""bound_labels":$nLabels"""),
-      ("hourlyCounts", pHc, s""""bound_hour_types":$nHourTypes"""),
-      ("dedupEvents", pDd, s""""bound_ids":$nIds"""),
-      ("newVsReturningFlags", pNvr, s""""bound_users":$nUsers"""),
-      ("runningUserTotalsTws", pTot, s""""bound_users":$nUsers"""),
-      ("streamingTopKByType", pTopk, s""""bound_types":$nTypes"""),
-      ("streamingNearDupFlags", pNd, s""""bound_buckets":$nBuckets"""),
-      ("streamingHeavyHitters", pHh, """"bound_summaries":1"""))
-    val body = twins.map { case (n, p, bound) =>
-      s""""$n":{"batches":${p.rows.size},"rows_final":${p.rows.last},""" +
-        s""""rows_peak":${p.rows.max},"mem_peak_bytes":${p.mem.max},$bound}"""
-    }.mkString(",")
+    // 17b. compaction at scale (round 14): collapse the changelog and
+    // re-verify — the mapping must be IDENTICAL, the dir count must
+    // drop to baseline + newest, and the row count to ≤ docs + newest
+    // batch's rows (min(root) per doc baseline).
+    graft.streaming.GroupStream.compact(spark, grpDir)
+    val grpGotC = graft.streaming.GroupStream.sinkGroups(spark, grpDir)
+    val grpDiffC = (grpGotC.unionByName(grpExp).distinct().count() - grpExp.count()) +
+      math.abs(grpGotC.count() - grpExp.count())
+    check(grpDiffC == 0,
+      s"groupsToSink mapping diverges from batch CC by $grpDiffC rows AFTER compaction")
+    val grpDirsC = Option(new java.io.File(s"$grpDir/_state/roots").listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    check(grpDirsC <= 2 || grpBatches <= 2,
+      s"compaction left $grpDirsC batch_id dirs (want baseline + newest)")
+    val grpLogRowsC = spark.read.parquet(s"$grpDir/_state/roots").count()
+    check(grpLogRowsC <= grpLogRows,
+      s"compaction grew the changelog: $grpLogRows -> $grpLogRowsC rows")
+
     val curBody =
       s""""curateToSink":{"batches":$curBatches,"state_store_rows":$curStoreRows,""" +
         s""""sink_digest_rows":$curDig,"expected_digest_rows":$expDig,""" +
@@ -467,8 +497,10 @@ object StreamStateProbe {
       s""""groupsToSink":{"batches":$grpBatches,"state_store_rows":$grpStoreRows,""" +
         s""""changelog_rows":$grpLogRows,"distinct_docs":$grpDocs,""" +
         s""""max_rows_per_doc":$grpMaxPerDoc,"batch_dirs":$grpDirs,""" +
-        s""""mapping_diff_vs_batch_cc":$grpDiff}"""
-    println(s"""{"metric":"stream_state","sf":"$sfDir","chunks":$chunks,$body,$curBody,$grpBody}""")
+        s""""mapping_diff_vs_batch_cc":$grpDiff,""" +
+        s""""compacted_rows":$grpLogRowsC,"compacted_dirs":$grpDirsC,""" +
+        s""""mapping_diff_after_compact":$grpDiffC}"""
+    println(s"""{"metric":"stream_state","sf":"$sfDir","chunks":$chunks,$twinsBody$curBody,$grpBody}""")
     failures.foreach(f => println(s"BOUND VIOLATED: $f"))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
