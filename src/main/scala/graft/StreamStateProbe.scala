@@ -417,6 +417,37 @@ object StreamStateProbe {
     check(curDirs == curBatches,
       s"curateToSink digest state has $curDirs batch_id dirs != $curBatches batches")
 
+    // 16b. curate-state compaction (round 15): collapse digests/bands/
+    // manifest_delta to baseline + newest and re-verify every read
+    // face. The per-batch cost a production stream pays is ONE full
+    // scan of each state table (the map-only probe side), so the
+    // timed full-scan of digests+bands pre/post compact IS the
+    // per-batch scan cost delta the verdict asked to measure.
+    def timedStateScan(): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val n = spark.read.parquet(s"$curDir/_state/digests").count() +
+        spark.read.parquet(s"$curDir/_state/bands").count()
+      (n, (System.nanoTime() - t0) / 1000000L)
+    }
+    val curManPre = graft.streaming.CurateStream.sinkManifest(spark, curDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (curScanRowsPre, curScanMsPre) = timedStateScan()
+    graft.streaming.CurateStream.compact(spark, curDir)
+    val (curScanRowsPost, curScanMsPost) = timedStateScan()
+    check(curScanRowsPost == curScanRowsPre,
+      s"curate compaction changed state row count: $curScanRowsPre -> $curScanRowsPost")
+    check(graft.streaming.CurateStream.sinkDocs(spark, curDir).count() == curDocs,
+      "curate compaction changed the accepted-doc count")
+    val curManPost = graft.streaming.CurateStream.sinkManifest(spark, curDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    check(curManPost == curManPre, "curate compaction changed the shard manifest")
+    val curDirsC = Seq("_state/digests", "_state/bands", "manifest_delta").map { t =>
+      Option(new java.io.File(s"$curDir/$t").listFiles())
+        .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    }
+    check(curDirsC.forall(d => d <= 2 || curBatches <= 2),
+      s"curate compaction left $curDirsC batch_id dirs (want baseline + newest)")
+
     // 17. groupsToSink (incremental CC): like curateToSink, ZERO
     // state-store rows — the doc→root changelog lives in the parquet
     // sink, partitioned by batch_id. Bounds:
@@ -492,7 +523,10 @@ object StreamStateProbe {
     val curBody =
       s""""curateToSink":{"batches":$curBatches,"state_store_rows":$curStoreRows,""" +
         s""""sink_digest_rows":$curDig,"expected_digest_rows":$expDig,""" +
-        s""""sink_band_rows":$curBands,"sink_docs":$curDocs,"batch_dirs":$curDirs}"""
+        s""""sink_band_rows":$curBands,"sink_docs":$curDocs,"batch_dirs":$curDirs,""" +
+        s""""state_scan_ms_pre_compact":$curScanMsPre,""" +
+        s""""state_scan_ms_post_compact":$curScanMsPost,""" +
+        s""""compacted_dirs":${curDirsC.max}}"""
     val grpBody =
       s""""groupsToSink":{"batches":$grpBatches,"state_store_rows":$grpStoreRows,""" +
         s""""changelog_rows":$grpLogRows,"distinct_docs":$grpDocs,""" +

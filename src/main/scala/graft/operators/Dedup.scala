@@ -1162,8 +1162,13 @@ object Dedup {
     * xxhash64(shingle) longs, never shingle text (the round-13
     * verdict's #2 sf10 key, 21.3 s, shuffled raw 5-word strings for a
     * report that only needs counts; df counts are encoding-invariant
-    * and a 64-bit digest collision needs ~|vocab|²/2⁶⁵ ≈ 10⁻⁵ odds at
-    * a 10⁸ vocabulary — the oracle keeps the string spelling).
+    * and a 64-bit digest collision — birthday bound |vocab|²/2⁶⁵,
+    * ≈ 3·10⁻⁴ at a 10⁸ vocabulary — merges two shingles' df rows.
+    * Failure mode if one ever lands: THIS key's oracle gate mismatches
+    * on a histogram count (the DuckDB oracle keeps string identity),
+    * so an otherwise-undiagnosable `dedup_shingle_df_hist` hash
+    * mismatch should suspect digest collision first — an acceptable
+    * trade against shuffling corpus-scale shingle text).
     */
   def shingleDfHistogram(documents: DataFrame, shingleK: Int = 5): DataFrame = {
     val df = explodedShingles(documents, shingleK)

@@ -92,6 +92,11 @@ object CurateStream {
   private val digestStateSchema = StructType(Seq(
     StructField("digest", StringType)))
 
+  private val manifestDeltaSchema = StructType(Seq(
+    StructField("shard_id", LongType),
+    StructField("n_docs", LongType),
+    StructField("n_chars", LongType)))
+
   /** State as of the START of `batchId`: every prior batch's rows,
     * and ONLY prior batches' — a replayed/restarted batch must not
     * read its own (or a later failed attempt's) earlier state write,
@@ -107,6 +112,7 @@ object CurateStream {
     // dedup disabled, duplicates admitted, no error anywhere. Missing
     // path → empty frame (the only legitimate first-batch case); any
     // other analysis error propagates and fails the batch loudly.
+    StateCompaction.assertReadable(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
@@ -226,11 +232,49 @@ object CurateStream {
   /** The current shard manifest: an nShards-row sum over the per-batch
     * deltas — reading it never rescans the corpus.
     */
-  def sinkManifest(spark: SparkSession, outDir: String): DataFrame =
+  def sinkManifest(spark: SparkSession, outDir: String): DataFrame = {
+    StateCompaction.assertReadable(spark, s"$outDir/manifest_delta")
     spark.read.parquet(s"$outDir/manifest_delta")
       .groupBy("shard_id")
       .agg(sum("n_docs").as("n_docs"), sum("n_chars").as("n_chars"))
       .orderBy("shard_id")
+  }
+
+  /** Compact the three per-batch state changelogs — the maintenance
+    * operation the object scaladoc prescribes ("compact periodically,
+    * as any streaming-state table"), made executable with the same
+    * crash-safe protocol as [[GroupStream.compact]]
+    * ([[StateCompaction]]: target id recorded with the committed tmp,
+    * in-progress marker fencing every read/write face, checked
+    * renames). All-but-newest `batch_id=<id>` dirs collapse to one
+    * baseline dir; the newest is never touched (it is the only batch
+    * Structured Streaming can replay, and its replay reads
+    * `batch_id < maxId` — exactly the baseline). Each table's reduce
+    * is subsumption-sound:
+    *   - `_state/digests`: set semantics — `distinct` over prior dirs
+    *     is the same seen-set (a digest row's only meaning is
+    *     membership);
+    *   - `_state/bands`: one deterministic row per (doc_id, band_idx)
+    *     — docs enter exactly one batch, so the union is already
+    *     duplicate-free and the dropDuplicates is defensive;
+    *   - `manifest_delta`: sums over an abelian group — per-shard
+    *     partial sums replace the deltas they cover.
+    * Run with the stream stopped (or between micro-batches) and no
+    * concurrent readers; a crashed compact is healed by the next call,
+    * and until then every state face throws instead of silently
+    * reading a half-deleted changelog. The `docs/` sink itself is data,
+    * not state, and is never compacted.
+    */
+  def compact(spark: SparkSession, outDir: String): Unit = {
+    StateCompaction.compactTable(spark, s"$outDir/_state/digests",
+      digestStateSchema, _.distinct())
+    StateCompaction.compactTable(spark, s"$outDir/_state/bands",
+      bandStateSchema, _.dropDuplicates("doc_id", "band_idx"))
+    StateCompaction.compactTable(spark, s"$outDir/manifest_delta",
+      manifestDeltaSchema,
+      _.groupBy("shard_id").agg(sum("n_docs").as("n_docs"),
+        sum("n_chars").as("n_chars")))
+  }
 
   /** Batch-side manifest twin: the same shard arithmetic over an
     * arbitrary document frame — what the replay spec compares the

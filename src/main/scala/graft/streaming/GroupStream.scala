@@ -76,6 +76,7 @@ object GroupStream {
     */
   private def readStateOr(spark: SparkSession, path: String,
                           batchId: Long): DataFrame = {
+    StateCompaction.assertReadable(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
@@ -176,6 +177,7 @@ object GroupStream {
     * AnalysisException.
     */
   def sinkGroups(spark: SparkSession, outDir: String): DataFrame = {
+    StateCompaction.assertReadable(spark, s"$outDir/_state/roots")
     val p = new org.apache.hadoop.fs.Path(s"$outDir/_state/roots")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
@@ -200,51 +202,17 @@ object GroupStream {
     * (foreachBatch commits lag the sink write), and its replay reads
     * `batch_id < maxId` — exactly the compacted baseline.
     *
-    * Run while the stream is stopped (or between micro-batches — the
-    * read face tolerates it, but concurrent compaction + batch write
-    * would race on the directory listing). Commit discipline is
-    * rename-last with idempotent recovery (the [[graft.Materialized]]
-    * sink idiom): write the baseline to a tmp dir OUTSIDE the
-    * partitioned tree, delete the old dirs, rename tmp into place; a
-    * crash between delete and rename is healed by the recovery step
-    * at the next compact call (committed tmp + missing target →
-    * finish the rename).
+    * Run while the stream is stopped (or between micro-batches) with
+    * NO concurrent readers: a read landing inside the delete-to-rename
+    * window would see only the newest dir, so the window is fenced by
+    * an in-progress marker that makes every read/write face throw
+    * instead ([[StateCompaction.assertReadable]]). Commit discipline,
+    * crash recovery (target id recorded with the committed tmp, rename
+    * results checked) and the full case analysis live in
+    * [[StateCompaction]] — min(root) per doc is subsumption-sound
+    * because roots only ever decrease.
     */
-  def compact(spark: SparkSession, outDir: String): Unit = {
-    val rootPath = new org.apache.hadoop.fs.Path(s"$outDir/_state/roots")
-    val tmpPath = new org.apache.hadoop.fs.Path(s"$outDir/_state/roots_compact_tmp")
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return
-    def batchIds: Seq[Long] = fs.listStatus(rootPath).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("batch_id=") => n.drop("batch_id=".length).toLong }
-    // recovery: a prior compact crashed between delete and rename —
-    // the committed tmp holds the baseline; finish the rename
-    val ids0 = batchIds
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS")) && ids0.nonEmpty) {
-      val target = new org.apache.hadoop.fs.Path(rootPath, s"batch_id=${ids0.max - 1}")
-      if (!fs.exists(target)) { fs.rename(tmpPath, target); return }
-    }
-    if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // stale uncommitted tmp
-    val ids = batchIds
-    if (ids.size <= 2) return // one baseline + newest: nothing to gain
-    val maxId = ids.max
-    val baseline = spark.read
-      .schema(rootSchema.add(StructField("batch_id", LongType)))
-      .parquet(rootPath.toString)
-      .filter(col("batch_id") < maxId)
-      .groupBy("doc_id").agg(min("root").as("root"))
-    baseline.write.mode("overwrite").parquet(tmpPath.toString)
-    // delete the target id FIRST: the recovery predicate above is
-    // "target missing ∧ tmp committed → finish the rename", which is
-    // only sound if no other old dir can vanish before the target
-    // does (a leftover old dir after recovery is harmless — its rows
-    // are redundant under min(), and the next compact sweeps it)
-    ids.filter(_ < maxId).sortBy(id => (id != maxId - 1, id)).foreach { id =>
-      fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"batch_id=$id"), true)
-    }
-    fs.rename(tmpPath, new org.apache.hadoop.fs.Path(rootPath, s"batch_id=${maxId - 1}"))
-    ()
-  }
+  def compact(spark: SparkSession, outDir: String): Unit =
+    StateCompaction.compactTable(spark, s"$outDir/_state/roots", rootSchema,
+      _.groupBy("doc_id").agg(min("root").as("root")))
 }
