@@ -79,10 +79,23 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  /** Left-anti join: customers with no orders at all. */
+  /** Left-anti join: customers with no orders at all. The exclusion
+    * side is a FACT table (every order's custkey), so the join is
+    * pinned shuffle-hash: left to itself Spark broadcasts the key
+    * column while its size estimate stays under the threshold, and a
+    * fact-side broadcast is exactly the plan that dies at scale — the
+    * driver serially builds a hashed relation of every order key (the
+    * round-14 verdict's superlinear q_anti_join decade term: 15M keys
+    * at sf10, 10× the sf1 build, on one thread) and every executor
+    * holds a copy. Shuffle-hash splits the build across partitions —
+    * both sides ship only the key (+name) columns — and scales
+    * linearly with no sort ([[graft.operators.Dedup]] band-join
+    * precedent).
+    */
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
-      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders.select("o_custkey").hint("shuffle_hash"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
@@ -1456,12 +1469,24 @@ object Relational {
     * share divides two counts, and bucketing floors the same IEEE
     * double in both engines.
     *
-    * Shape at 100 TB: one (part, supplier) partial aggregate, a
-    * part-keyed max, and a ≤10-row histogram rollup — no window over
-    * fact rows (max-share-per-part is an aggregate, not a rank).
+    * Shape at 100 TB: ONE exchange of two-long rows. (part, supplier)
+    * pairs are near-unique in lineitem (TPC-H references each partsupp
+    * a handful of times), so a plain groupBy's partial aggregate
+    * reduces ~nothing and the naive plan pays two full fact-sized
+    * shuffles (pair agg, then part agg) with four hash-map builds —
+    * the round-14 verdict's 11.65×/decade key. The explicit-width
+    * repartition on l_partkey (the [[graft.operators.TextAnalysis]]
+    * unigram idiom: AQE-exempt, and hash(l_partkey) SATISFIES both the
+    * (l_partkey, l_suppkey) and the l_partkey clustering) makes both
+    * aggregates exchange-free; the ≤10-row histogram rollup is the
+    * only other shuffle.
     */
   def singleSourceRisk(lineitem: DataFrame): DataFrame = {
-    val ps = lineitem.groupBy("l_partkey", "l_suppkey")
+    val nPart = lineitem.sparkSession.sessionState.conf.numShufflePartitions
+    val ps = lineitem
+      .select("l_partkey", "l_suppkey")
+      .repartition(nPart, col("l_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
       .agg(count(lit(1)).as("n_ps"))
     val perPart = ps.groupBy("l_partkey")
       .agg(sum("n_ps").as("n_p"), max("n_ps").as("n_top"))
