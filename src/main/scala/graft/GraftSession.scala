@@ -27,7 +27,15 @@ object GraftSession {
     val withSink = sys.env.get("SPARK_GRAFT_MATERIALIZED_PATH")
       .filter(_.nonEmpty)
       .map(p => b.config(Materialized.SinkConfKey, p)).getOrElse(b)
-    withSink.master(s"local[$cores]")
+    // Hybrid memo face: with BOTH env vars set, memos stay checkpoint-
+    // backed but any memo at/above this many bytes is promoted to the
+    // parquet sink and its blocks released (Materialized.SpillConfKey)
+    // — the middle memory contract between memo (24 g sf10 floor) and
+    // sink (8 g floor, per-read parquet tax).
+    val withSpill = sys.env.get("SPARK_GRAFT_MATERIALIZED_SPILL_BYTES")
+      .filter(_.nonEmpty)
+      .map(v => withSink.config(Materialized.SpillConfKey, v)).getOrElse(withSink)
+    withSpill.master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -50,7 +50,7 @@ object Materialized {
 
   private final class Cell(@volatile private var build: () => DataFrame) {
     lazy val df: DataFrame = {
-      val built = build().localCheckpoint(true)
+      val built = build()
       build = null // release the builder closure (captured frames/lambdas)
       built
     }
@@ -65,14 +65,31 @@ object Materialized {
     */
   val SinkConfKey = "spark.graft.materialized.path"
 
+  /** Spark conf key: byte threshold for the HYBRID face. When BOTH
+    * this (> 0) and [[SinkConfKey]] are set, [[of]] keeps each memo
+    * as a process-local checkpoint but PROMOTES any memo whose
+    * measured block footprint reaches the threshold to its parquet
+    * sink table, releasing the blocks — small memos keep executor-
+    * block read speed, big ones stop pinning the heap. This is the
+    * middle memory contract between the all-blocks memo face (fastest,
+    * biggest heap floor) and the all-parquet sink face (8 g floor,
+    * per-read parquet tax). With only [[SinkConfKey]] set the sink
+    * face is unchanged: everything routes to parquet.
+    */
+  val SpillConfKey = "spark.graft.materialized.spillBytes"
+
   def of(spark: SparkSession, dir: String, kind: String)
         (build: => DataFrame): DataFrame = {
     val sinkBase = spark.conf.get(SinkConfKey, "")
-    if (sinkBase.nonEmpty) return asTable(spark, dir, kind, sinkBase)(build)
+    val spillBytes =
+      try spark.conf.get(SpillConfKey, "0").toLong catch { case _: NumberFormatException => 0L }
+    if (sinkBase.nonEmpty && spillBytes <= 0L)
+      return asTable(spark, dir, kind, sinkBase)(build)
     val uuid = org.apache.spark.sql.GraftSqlShim.sessionUUID(spark)
     val key = s"$uuid|$dir|$kind"
     registerEviction(spark, uuid)
-    val cell = cache.computeIfAbsent(key, _ => new Cell(() => build))
+    def builder() = memoBuild(spark, dir, kind, sinkBase, spillBytes, () => build)
+    val cell = cache.computeIfAbsent(key, _ => new Cell(() => builder()))
     val df = cell.df
     if (df.sparkSession.sparkContext.isStopped) {
       // Defensive: sessionUUID keys make a cross-session stale hit
@@ -82,8 +99,32 @@ object Materialized {
       // surfaces Spark's own stopped-context error to this caller
       // instead of handing out a frame whose blocks are gone.
       cache.remove(key, cell)
-      cache.computeIfAbsent(key, _ => new Cell(() => build)).df
+      cache.computeIfAbsent(key, _ => new Cell(() => builder())).df
     } else df
+  }
+
+  /** Build one memo on the checkpoint (or hybrid) face. Plain memo
+    * face: eager localCheckpoint, as always. Hybrid face (sink base +
+    * spill threshold): a sink table already on disk — written by a
+    * prior process or a prior promotion — is served directly with no
+    * build at all; otherwise the memo is built as a checkpoint,
+    * measured, and promoted to the sink iff it reached the threshold
+    * (the write streams from the checkpoint blocks, not a recompute,
+    * and the blocks are released right after).
+    */
+  private def memoBuild(spark: SparkSession, dir: String, kind: String,
+                        sinkBase: String, spillBytes: Long,
+                        build: () => DataFrame): DataFrame = {
+    if (sinkBase.nonEmpty && sinkTableExists(spark, dir, kind, sinkBase))
+      return asTable(spark, dir, kind, sinkBase)(sys.error(
+        s"unreachable: sink table for $kind exists, build must not run"))
+    val built = build().localCheckpoint(true)
+    if (sinkBase.nonEmpty &&
+        org.apache.spark.sql.GraftSqlShim.checkpointBytes(built).exists(_ >= spillBytes)) {
+      val served = asTable(spark, dir, kind, sinkBase)(built)
+      org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(built)
+      served
+    } else built
   }
 
   /** The memo's PRODUCTION face: materialize the intermediate as a
@@ -131,12 +172,25 @@ object Materialized {
     */
   def asTable(spark: SparkSession, dir: String, kind: String, base: String)
              (build: => DataFrame): DataFrame = {
-    val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
-    val digest = org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
-    val path = s"${base.stripSuffix("/")}/${kind}__${safeDir}__$digest"
+    val path = sinkPath(dir, kind, base)
     val cell = sinks.computeIfAbsent(path, p => new SinkCell(p, () => build))
     cell.ensureWritten(spark)
     spark.read.parquet(path)
+  }
+
+  private def sinkPath(dir: String, kind: String, base: String): String = {
+    val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
+    val digest = org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
+    s"${base.stripSuffix("/")}/${kind}__${safeDir}__$digest"
+  }
+
+  /** True iff the sink already holds a COMMITTED table for this memo
+    * (`_SUCCESS` present) — the hybrid face's no-build fast path.
+    */
+  private def sinkTableExists(spark: SparkSession, dir: String,
+                              kind: String, base: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(sinkPath(dir, kind, base), "_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
   }
 
   private val sinks = new ConcurrentHashMap[String, SinkCell]()

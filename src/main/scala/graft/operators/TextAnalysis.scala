@@ -1147,7 +1147,14 @@ object TextAnalysis {
     val grams = documents
       .select(col("source"),
         explode(graft.functions.VectorFunctions.wordNgrams(col("text"), maxN)).as("g"))
-      .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      // the report only needs COUNTS per distinct gram, so the
+      // corpus-sized shuffle carries xxhash64(gram) longs, never gram
+      // text (the [[graft.operators.Dedup.shingleDfHistogram]]
+      // digest-key precedent — same birthday-bound collision odds and
+      // the same failure mode: a collision surfaces as an oracle
+      // mismatch on this key's diversity counts, since the DuckDB
+      // oracle keeps string identity)
+      .select(col("source"), col("g.n").as("n"), xxhash64(col("g.gram")).as("gram"))
     grams
       .groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
       .groupBy("source", "n")

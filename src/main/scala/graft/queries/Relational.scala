@@ -303,37 +303,43 @@ object Relational {
       .orderBy("rnk")
   }
 
-  /** One-pass column profile (the deterministic `describe`): row
-    * count, non-null count, exact distinct count, lexicographic
-    * min/max of the canonical string form, per profiled column. The
-    * unpivot-first shape (`stack` → narrow (col_name, value) rows →
-    * ONE grouped aggregation) deliberately avoids the multi-column
-    * `countDistinct` plan, which Expand-multiplies every input row by
-    * the number of distinct aggregates; here the expansion factor is
-    * the same ×|cols| but rows are 2 narrow strings and the distinct
-    * agg is a single two-phase groupBy. At 100 TB swap the exact
-    * distinct for `approx_count_distinct` (the [[Dedup.exactStatsApprox]]
-    * pattern) — exact is kept here so DuckDB can hash-pin the op.
-    * String min/max is lexicographic on engine-identical renderings
-    * (ints, x.y doubles, timestamps) — pinned by the oracle.
+  /** Column profile (the deterministic `describe`): row count,
+    * non-null count, exact distinct count, lexicographic min/max of
+    * the canonical string form, per profiled column. One LEG PER
+    * COLUMN, unioned (the [[columnProfileApprox]] shape, kept exact):
+    * each leg groups on the NATIVE value — 8-byte hash keys, one
+    * pruned column per scan, and the partial aggregate combines on
+    * the file's natural clustering — then casts each GROUP to string
+    * once for the final fold. Value-identical to casting per row
+    * because the cast is injective per column (bigint/double/date →
+    * canonical string; min/max over the distinct strings = min/max
+    * over all strings), which the oracle's row-level-cast spelling
+    * pins end-to-end. The previous stack-then-group form cast all
+    * four columns of every row to string FIRST — 4×rows string
+    * renderings feeding one string-keyed hash agg, the suite's
+    * biggest 8 g-heap spiller (round-14 sink face: 32.5 s vs 13.1 s
+    * at 48 g; the per-leg form profiles each column in its own
+    * bounded aggregate). Two-level per leg (group → fold), never
+    * count+countDistinct side by side — that plans an Expand that
+    * doubles the fact rows. At 100 TB swap the exact distinct for
+    * `approx_count_distinct` ([[columnProfileApprox]]).
     */
   def columnProfile(lineitem: DataFrame): DataFrame = {
-    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
-    lineitem
-      .select(expr(s"stack(${cols.length}, " +
-        cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
-        ") AS (col_name, v)"))
-      // two-level aggregation instead of countDistinct-next-to-count:
-      // mixing distinct and plain aggregates makes Catalyst Expand
-      // every row once per aggregate class (measured 4.9 s at sf0.1);
-      // collapsing to distinct (col_name, value) pairs first gets
-      // map-side combine on the heavy dedup and no Expand (0.9 s)
-      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
-      .groupBy("col_name")
-      .agg(sum("cnt").as("n_rows"),
-        sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
-        count(col("v")).as("n_distinct"),
-        min("v").as("min_v"), max("v").as("max_v"))
+    def leg(c: String): DataFrame =
+      lineitem
+        .groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+        .select(col("k").cast("string").as("v"), col("cnt"))
+        .agg(sum("cnt").as("n_rows"),
+          sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
+          count(col("v")).as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      .map(leg).reduce(_.unionAll(_))
+      // ungrouped agg emits one row even on empty input; the stacked
+      // form (and the oracle) emit zero — drop the empty-leg rows
+      .filter(col("n_rows") > 0)
       .orderBy("col_name")
   }
 

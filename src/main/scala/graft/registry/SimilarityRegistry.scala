@@ -21,10 +21,21 @@ private[graft] trait SimilarityRegistry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.2,
         nTables = 4, bitsPerTable = 8))
 
+  // CC closure over the shared pair table, memoized like the dedup
+  // family's groups_* kinds (DedupRegistry precedent): without this,
+  // every consumer call re-runs the iterative Hash-Min — on the sink
+  // face that re-reads the pair PARQUET and re-checkpoints the edge
+  // table per call (the round-14 verdict's sim_semantic_groups sink
+  // tax, +4.7 s/iteration at sf10); as a memo the closure is built
+  // once per corpus snapshot and served from blocks (memo face) or
+  // its own parquet table (sink face).
+  private def semanticGroupsShared(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "groups_cosine_lsh")(
+      Similarity.semanticGroupsOfPairs(cosinePairsShared(s, d)))
+
   protected def simQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
-    "sim_semantic_groups" -> ((s, d) =>
-      Similarity.semanticGroupsOfPairs(cosinePairsShared(s, d))),
+    "sim_semantic_groups" -> ((s, d) => semanticGroupsShared(s, d)),
     "sim_l2_topk" -> ((s, d) => Similarity.l2TopK(Tables.embeddings(s, d))),
     "sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(Tables.embeddings(s, d))),
     "sim_top_component" -> ((s, d) => Similarity.topComponent(Tables.embeddings(s, d))),

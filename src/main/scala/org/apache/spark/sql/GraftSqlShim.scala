@@ -22,4 +22,30 @@ object GraftSqlShim {
     */
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
+
+  /** Storage footprint (memory + disk blocks) of an eagerly
+    * localCheckpointed frame — the measured size the
+    * [[graft.Materialized]] hybrid face routes on. None when the
+    * plan is not a checkpoint-backed LogicalRDD or the blocks are not
+    * (yet) registered.
+    */
+  def checkpointBytes(df: Dataset[_]): Option[Long] =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id).map(i => i.memSize + i.diskSize)
+      case _ => None
+    }
+
+  /** Release a localCheckpointed frame's blocks. Only safe when the
+    * frame will never be read again (the checkpoint truncated its
+    * lineage, so the data is unrecoverable afterwards) — the hybrid
+    * memo face calls this after promoting a too-big memo to its
+    * parquet sink table, which is what every later read serves.
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(false); ()
+      case _ => ()
+    }
 }

@@ -162,6 +162,56 @@ class MaterializedSpec extends SparkSpec {
     }
   }
 
+  test("hybrid face: small memos stay checkpoints, big memos promote to the sink and release blocks") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hybrid").toString
+    val builds = new AtomicInteger(0)
+    spark.conf.set(Materialized.SinkConfKey, base)
+    spark.conf.set(Materialized.SpillConfKey, (64L * 1024).toString) // 64 KB
+    try {
+      // SMALL memo (a handful of rows): below the threshold → served
+      // as a checkpoint, nothing written to the sink
+      val small = Materialized.of(spark, sf0001, "spec_hybrid_small") {
+        builds.incrementAndGet()
+        Tables.documents(spark, sf0001).select("doc_id").limit(5)
+      }
+      assert(small.count() === 5)
+      assert(GraftSqlShim.checkpointBytes(small).isDefined,
+        "below-threshold memo must stay a checkpoint")
+      assert(!new java.io.File(base).listFiles()
+        .exists(_.getName.startsWith("spec_hybrid_small")),
+        "below-threshold memo must not write a sink table")
+      // BIG memo (full text column, well over 64 KB): promoted — sink
+      // table committed, served frame is a parquet read (no blocks)
+      val big = Materialized.of(spark, sf0001, "spec_hybrid_big") {
+        builds.incrementAndGet()
+        Tables.documents(spark, sf0001).select("doc_id", "text")
+      }
+      val nBig = big.count()
+      assert(nBig > 5)
+      assert(GraftSqlShim.checkpointBytes(big).isEmpty,
+        "promoted memo must be served from parquet, not blocks")
+      val sinkDir = new java.io.File(base).listFiles()
+        .find(_.getName.startsWith("spec_hybrid_big"))
+      assert(sinkDir.isDefined, "above-threshold memo must commit a sink table")
+      assert(new java.io.File(sinkDir.get, "_SUCCESS").exists())
+      // a NEW session (fresh memo cells) finds the committed table and
+      // serves it WITHOUT building
+      val s2 = spark.newSession()
+      s2.conf.set(Materialized.SinkConfKey, base)
+      s2.conf.set(Materialized.SpillConfKey, (64L * 1024).toString)
+      val again = Materialized.of(s2, sf0001, "spec_hybrid_big") {
+        builds.incrementAndGet()
+        sys.error("must not rebuild: committed sink table exists")
+      }
+      assert(again.count() === nBig)
+      assert(builds.get() === 2, "hybrid fast path must skip the build")
+    } finally {
+      spark.conf.unset(Materialized.SinkConfKey)
+      spark.conf.unset(Materialized.SpillConfKey)
+      Materialized.clearSinks()
+    }
+  }
+
   test("stop/recreate lifecycle: dead-session entries evict, new session rebuilds") {
     val uuid1 = GraftSqlShim.sessionUUID(spark)
     Materialized.of(spark, sf0001, "spec_memo_lifecycle") {
