@@ -1155,7 +1155,15 @@ object TextAnalysis {
       // mismatch on this key's diversity counts, since the DuckDB
       // oracle keeps string identity)
       .select(col("source"), col("g.n").as("n"), xxhash64(col("g.gram")).as("gram"))
+    // explicit-width repartition (the unigramPairs idiom): the digest
+    // rows are byte-small, so AQE coalesces a plain groupBy exchange
+    // into a few fat tasks whose per-task hash maps spill at the 8 g
+    // heap; a user repartition is AQE-exempt and satisfies the
+    // (source, n, gram) clustering, so the heavy aggregate runs
+    // exchange-free at full width
+    val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
     grams
+      .repartition(nPart, col("source"), col("n"), col("gram"))
       .groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
       .groupBy("source", "n")
       .agg(sum("c").as("n_total"), count(lit(1)).as("n_distinct"))
