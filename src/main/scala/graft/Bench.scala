@@ -121,7 +121,15 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runRound(names: Seq[String]): Double = {
       val r0 = System.nanoTime()
-      runs += names.flatMap { name =>
+      // Key order is SHUFFLED per round (deterministically, in the
+      // round index) so neighbor heap/page-cache effects land on
+      // different keys each round and min-over-iters strips the
+      // suite-context inflation — round 15's decade gate saw a key
+      // inflate 47% purely from run order, forcing manual worktree
+      // bisects to adjudicate. Memo builds still amortize exactly as
+      // before (they key on (dir, kind), not on position).
+      val order = new scala.util.Random(0xC0FFEEL + runs.length).shuffle(names)
+      runs += order.flatMap { name =>
         val t0 = System.nanoTime()
         try {
           qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -133,6 +141,62 @@ object Bench {
         }
       }
       (System.nanoTime() - r0) / 1e9
+    }
+
+    // Fresh-JVM isolated pass (SPARK_GRAFT_BENCH_ISOLATE_TOP=N, default
+    // off): after the suite rounds, re-time the N most expensive keys
+    // one per SUBPROCESS JVM — same heap, same module flags, same
+    // classpath as this forked run JVM — and fold the isolated minimum
+    // into queries_min. In-suite numbers inherit whatever heap/page
+    // state the previous keys left behind; round 15's decade gate saw
+    // two keys inflate 1.5-2x in-suite while plan-identical isolated
+    // runs were flat, forcing manual worktree bisects. A fresh JVM per
+    // key is the same evidence the bisects produced, made part of the
+    // artifact: queries_min becomes min(in-suite, isolated) and the
+    // isolated map is emitted alongside for transparency. Only one
+    // Spark is WORKING at a time (this JVM is idle while the child
+    // runs), so the numbers aren't cross-inflated.
+    val isolateTop = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_TOP", "0").toInt
+    val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def runIsolated(): Unit = if (isolateTop > 0 && runs.nonEmpty) {
+      val byMin = allNames.map(n => n -> runs.toSeq.flatMap(_.toMap.get(n)))
+        .filter(_._2.nonEmpty).map { case (n, xs) => n -> xs.min }
+      val top = byMin.sortBy(-_._2).take(isolateTop)
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+      }
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_REPS", "2").toInt
+      for ((name, suiteMin) <- top) {
+        // fit check: JVM+session startup ~25 s plus reps runs at the
+        // suite price (an upper bound — isolation only shrinks it)
+        if (elapsedS + suiteMin * reps + 40 < budgetS) {
+          val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+            "-cp", sys.props("java.class.path"),
+            "graft.RunQuery", name, sfDir, reps.toString)
+          try {
+            val pb = new ProcessBuilder(cmd: _*)
+            pb.redirectErrorStream(true)
+            val p = pb.start()
+            val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8").mkString
+            val rc = p.waitFor()
+            val times = "time=([0-9.]+)s".r
+              .findAllMatchIn(out).map(_.group(1).toDouble).toSeq
+            if (rc == 0 && times.nonEmpty) {
+              isolated(name) = times.min
+              System.err.println(
+                f"[bench] isolated $name min=${times.min}%.2f s (suite $suiteMin%.2f s) at $elapsedS%.1f s")
+            } else System.err.println(
+              s"[bench] isolated $name failed rc=$rc: ${out.linesIterator.take(3).mkString(" | ")}")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] isolated $name spawn failed: ${e.getMessage}")
+          }
+        } else System.err.println(
+          f"[bench] isolated $name skipped (won't fit at $elapsedS%.1f s of $budgetS%.0f s)")
+      }
     }
 
     // True median: for an even sample count average the middle pair —
@@ -159,11 +223,16 @@ object Bench {
       val byName = allNames.map(n => n -> runs.toSeq.flatMap(_.toMap.get(n)))
         .filter(_._2.nonEmpty)
       val med = byName.map { case (n, xs) => n -> median(xs) }
-      val mins = byName.map { case (n, xs) => n -> xs.min }
+      // queries_min folds the fresh-JVM isolated pass in (when run):
+      // min(in-suite, isolated) is the key's honest warm cost, free of
+      // run-order heap/page-state inflation
+      val mins = byName.map { case (n, xs) =>
+        n -> isolated.get(n).fold(xs.min)(math.min(xs.min, _)) }
       val total = med.map(_._2).sum
       val totalMin = mins.map(_._2).sum
+      val isoJson = jsonMap(isolated.toSeq)
       val full =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"total_min":$totalMin%.3f,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"isolated":$isoJson,"total_min":$totalMin%.3f,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_full.json"),
           (full + "\n").getBytes("UTF-8"))
@@ -196,14 +265,24 @@ object Bench {
     // (iters_completed: 1, no warm evidence). Prebuilding here makes
     // every TIMED round warm: the driver's 420 s box fits ≥3 rounds
     // and min/median are build-free by construction.
+    // The prebuild is BUDGET-BOUNDED: if the bench-SF memo builds hang
+    // or balloon, an unbounded loop could eat the whole driver box and
+    // bank NO artifact at all — worse than the cold round it replaces.
+    // Past half the budget, remaining prebuilds are skipped (timed
+    // round 1 then pays those builds cold, which the min/median over
+    // later rounds absorbs).
     val prebuildS = {
       val t0 = System.nanoTime()
+      var skipped = 0
       headline.foreach { name =>
-        try qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        if (elapsedS > budgetS * 0.5) skipped += 1
+        else try qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] prebuild $name failed: ${e.getMessage}")
         }
       }
+      if (skipped > 0)
+        System.err.println(s"[bench] prebuild skipped $skipped keys (past half budget)")
       (System.nanoTime() - t0) / 1e9
     }
     System.err.println(f"[bench] headline prebuild done at $elapsedS%.1f s ($prebuildS%.1f s)")
@@ -273,6 +352,14 @@ object Bench {
       }
       if (j < fullIters)
         System.err.println(f"[bench] stopping full rounds at $j/$fullIters (est $fullEst%.1f s won't fit at $elapsedS%.1f s)")
+    }
+    // Phase 4.5: fresh-JVM isolated pass over the top-N most expensive
+    // keys (off unless SPARK_GRAFT_BENCH_ISOLATE_TOP > 0). Runs before
+    // the filler headline rounds so it gets budget priority — it is
+    // gate evidence; extra headline rounds are not.
+    if (isolateTop > 0) {
+      runIsolated()
+      emit(last = false)
     }
     // Phase 5: more headline rounds until the box closes.
     while (i < iters && elapsedS + lastHeadS * 1.2 < budgetS * 0.95) {

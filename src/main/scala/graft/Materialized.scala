@@ -81,8 +81,19 @@ object Materialized {
   def of(spark: SparkSession, dir: String, kind: String)
         (build: => DataFrame): DataFrame = {
     val sinkBase = spark.conf.get(SinkConfKey, "")
-    val spillBytes =
-      try spark.conf.get(SpillConfKey, "0").toLong catch { case _: NumberFormatException => 0L }
+    // Fail fast on an unparsable or negative threshold: silently
+    // coercing e.g. '8g' to 0 would flip the session from the intended
+    // hybrid face to the full sink face — a silent change of the
+    // documented memory/performance contract.
+    val spillBytes = {
+      val raw = spark.conf.get(SpillConfKey, "0").trim
+      val parsed = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$SpillConfKey must be a plain byte count (got '$raw'); " +
+          "suffixed forms like '8g' are not parsed — spell out the bytes"))
+      if (parsed < 0) throw new IllegalArgumentException(
+        s"$SpillConfKey must be >= 0 (got $parsed); 0 disables the hybrid face")
+      parsed
+    }
     if (sinkBase.nonEmpty && spillBytes <= 0L)
       return asTable(spark, dir, kind, sinkBase)(build)
     val uuid = org.apache.spark.sql.GraftSqlShim.sessionUUID(spark)

@@ -140,7 +140,8 @@ object CurateStream {
   def curateToSink(docs: DataFrame, outDir: String,
                    shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
                    threshold: Double = 0.5, nShards: Int = 16,
-                   checkpointDir: Option[String] = None): StreamingQuery =
+                   checkpointDir: Option[String] = None,
+                   compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       // DURABLE checkpoint, co-located with the sink by default: with
@@ -152,9 +153,23 @@ object CurateStream {
       // batch ids are durable across restarts.
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"$outDir/_checkpoint"))
+      // compactEvery > 0 opts into CADENCED state compaction — without
+      // it a 100 TB ingest accumulates one changelog dir per
+      // micro-batch until an operator remembers to run compact() by
+      // hand. Both hooks run INSIDE foreachBatch, i.e. between
+      // micro-batches with no concurrent readers — exactly compact()'s
+      // documented window: heal() first (a crash inside a previous
+      // in-batch compaction replays this batch, and recovery must land
+      // before the state reads), the compaction itself after the
+      // batch's own writes, so the just-written dir is the untouched
+      // newest and a replay of THIS batch still reads
+      // `batch_id < batchId` — the compacted baseline.
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (compactEvery > 0) heal(batch.sparkSession, outDir)
         curateBatch(batch, batchId, outDir, shingleK, numHashes, bands,
           threshold, nShards)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, outDir)
       }
       .start()
 
@@ -265,6 +280,18 @@ object CurateStream {
     * reading a half-deleted changelog. The `docs/` sink itself is data,
     * not state, and is never compacted.
     */
+  /** Recovery-only sweep over the three state tables — finishes or
+    * discards any crashed compaction attempt without starting a new
+    * one. The cadenced stream calls this at the top of every
+    * micro-batch; cheap (a few existence checks) when there is nothing
+    * to heal.
+    */
+  def heal(spark: SparkSession, outDir: String): Unit = {
+    StateCompaction.recoverTable(spark, s"$outDir/_state/digests")
+    StateCompaction.recoverTable(spark, s"$outDir/_state/bands")
+    StateCompaction.recoverTable(spark, s"$outDir/manifest_delta")
+  }
+
   def compact(spark: SparkSession, outDir: String): Unit = {
     StateCompaction.compactTable(spark, s"$outDir/_state/digests",
       digestStateSchema, _.distinct())

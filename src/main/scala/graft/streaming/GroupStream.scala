@@ -92,13 +92,22 @@ object GroupStream {
     * doc_b). See object scaladoc for the state contract.
     */
   def groupsToSink(pairs: DataFrame, outDir: String,
-                   checkpointDir: Option[String] = None): StreamingQuery =
+                   checkpointDir: Option[String] = None,
+                   compactEvery: Int = 0): StreamingQuery =
     pairs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"$outDir/_checkpoint"))
+      // compactEvery > 0 opts into CADENCED changelog compaction (see
+      // [[CurateStream.curateToSink]] for the window/crash analysis:
+      // recovery before the state reads, compaction after the batch's
+      // writes — both between micro-batches by construction).
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (compactEvery > 0)
+          StateCompaction.recoverTable(batch.sparkSession, s"$outDir/_state/roots")
         groupBatch(batch, batchId, outDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, outDir)
       }
       .start()
 

@@ -21,8 +21,9 @@ import org.apache.spark.sql.types._
   *   1. write the reduced baseline to `<table>_compact_tmp` (parquet's
   *      own `_SUCCESS` marks the data complete);
   *   2. record the intended target id in `<tmp>/_TARGET` — THE commit
-  *      point. Recovery finishes the rename from this record no matter
-  *      which batch ids exist later;
+  *      point, published by atomic rename from a side file so it
+  *      exists complete or not at all. Recovery finishes the rename
+  *      from this record no matter which batch ids exist later;
   *   3. create `<table>_compact_inprogress` — from here until step 5,
   *      every state read/write face ([[assertReadable]]) fails loudly
   *      instead of reading a half-deleted changelog;
@@ -67,16 +68,34 @@ object StateCompaction {
       .collect { case n if n.startsWith("batch_id=") =>
         n.drop("batch_id=".length).toLong }
 
+  /** `_TARGET` is THE commit point, so its own write must be atomic:
+    * a crash mid-`create+write` would otherwise leave `_SUCCESS` next
+    * to an empty/truncated `_TARGET`, and recovery would either throw
+    * forever (compaction permanently stuck) or — worse, for a
+    * truncated-but-parseable id — mis-target the rename and leave
+    * subsumed dirs alive to double-count sum-semantics tables. Write
+    * the id to a side file and rename it into place; rename is atomic
+    * on local FS and HDFS, so `_TARGET` either exists complete or not
+    * at all. [[readTargetOpt]] still validates the parse defensively
+    * (a None demotes the tmp to uncommitted garbage in [[recover]]).
+    */
   private def writeTarget(fs: FileSystem, tmp: Path, id: Long): Unit = {
-    val out = fs.create(targetFile(tmp), true)
+    val side = new Path(tmp, "_TARGET.tmp")
+    val out = fs.create(side, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(side, targetFile(tmp)))
+      throw new java.io.IOException(
+        s"compaction commit-point rename failed: $side -> ${targetFile(tmp)}")
   }
 
-  private def readTarget(fs: FileSystem, tmp: Path): Long = {
-    val in = fs.open(targetFile(tmp))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-    finally in.close()
-  }
+  private def readTargetOpt(fs: FileSystem, tmp: Path): Option[Long] =
+    try {
+      val in = fs.open(targetFile(tmp))
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      raw.toLongOption
+    } catch { case _: java.io.IOException => None }
 
   /** Fail loudly if `tablePath` has an unfinished compaction: between
     * the marker and the final rename the changelog is missing every
@@ -86,11 +105,40 @@ object StateCompaction {
     */
   def assertReadable(spark: SparkSession, tablePath: String): Unit = {
     val table = new Path(tablePath)
-    if (fsOf(spark, table).exists(markerPath(table)))
+    val fs = fsOf(spark, table)
+    if (fs.exists(markerPath(table))) {
+      // Marker WITHOUT a tmp dir means the final rename completed and
+      // the crash hit in the one-step window before marker removal —
+      // the table is whole (the same safe case recover() handles).
+      // Clear it here so a healthy table never halts its stream
+      // waiting for an operator to run compact() manually; any state
+      // with tmp still present is genuinely unfinished and throws.
+      if (!fs.exists(tmpDir(table))) {
+        fs.delete(markerPath(table), false)
+        return
+      }
       throw new IllegalStateException(
         s"state table $tablePath has an unfinished compaction " +
           "(in-progress marker present); run the owning compact() to " +
           "recover before any state read or write")
+    }
+  }
+
+  /** Recovery-only entry: finish or discard a prior crashed compaction
+    * of `tablePath` without starting a new one. The cadence-triggered
+    * sinks ([[CurateStream]]/[[GroupStream]] with `compactEvery > 0`)
+    * call this at the top of every micro-batch, so a crash inside an
+    * in-batch compaction heals automatically when the batch replays —
+    * the stream never halts on [[assertReadable]] waiting for an
+    * operator to run compact() by hand. Same concurrency contract as
+    * [[compactTable]] (it runs inside foreachBatch, i.e. between
+    * micro-batches with no concurrent readers).
+    */
+  def recoverTable(spark: SparkSession, tablePath: String): Unit = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    if (fs.exists(table) || fs.exists(tmpDir(table)) || fs.exists(markerPath(table)))
+      recover(fs, table)
   }
 
   /** Compact `tablePath`'s `batch_id=<id>` dirs below the newest into
@@ -139,10 +187,15 @@ object StateCompaction {
   private def recover(fs: FileSystem, table: Path): Unit = {
     val tmp = tmpDir(table)
     val mark = markerPath(table)
-    val committed =
-      fs.exists(new Path(tmp, "_SUCCESS")) && fs.exists(targetFile(tmp))
-    if (committed) {
-      val target = readTarget(fs, tmp)
+    // committed = data complete (_SUCCESS) AND commit point present
+    // AND parseable. _TARGET is rename-published so a present-but-
+    // unparsable one cannot come from this protocol — treat it as
+    // uncommitted garbage (delete tmp) rather than throwing forever.
+    val targetOpt =
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) readTargetOpt(fs, tmp)
+      else None
+    if (targetOpt.isDefined) {
+      val target = targetOpt.get
       batchIds(fs, table).filter(_ <= target).foreach { id =>
         fs.delete(new Path(table, s"batch_id=$id"), true)
       }

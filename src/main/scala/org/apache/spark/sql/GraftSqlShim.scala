@@ -25,15 +25,29 @@ object GraftSqlShim {
 
   /** Storage footprint (memory + disk blocks) of an eagerly
     * localCheckpointed frame — the measured size the
-    * [[graft.Materialized]] hybrid face routes on. None when the
-    * plan is not a checkpoint-backed LogicalRDD or the blocks are not
-    * (yet) registered.
+    * [[graft.Materialized]] hybrid face routes on. Queries the block
+    * manager MASTER synchronously per block rather than
+    * `getRDDStorageInfo` (which is populated asynchronously via the
+    * listener bus, so right after an eager checkpoint the RDD could be
+    * absent or under-reported and an above-threshold memo would
+    * nondeterministically skip promotion — the exact heap floor the
+    * hybrid face exists to bound). Block puts report to the master
+    * inline (`tellMaster`), so by the time the eager checkpoint action
+    * returns every block is registered. Replicated copies are
+    * deduplicated (max per block, then summed). None when the plan is
+    * not a checkpoint-backed LogicalRDD or no block is registered.
     */
   def checkpointBytes(df: Dataset[_]): Option[Long] =
     df.queryExecution.analyzed match {
       case l: execution.LogicalRDD =>
-        df.sparkSession.sparkContext.getRDDStorageInfo
-          .find(_.id == l.rdd.id).map(i => i.memSize + i.diskSize)
+        val master = org.apache.spark.SparkEnv.get.blockManager.master
+        val sizes = l.rdd.partitions.indices.flatMap { i =>
+          val statuses = master.getBlockStatus(
+            org.apache.spark.storage.RDDBlockId(l.rdd.id, i),
+            askStorageEndpoints = true)
+          statuses.values.map(s => s.memSize + s.diskSize).maxOption
+        }
+        if (sizes.isEmpty) None else Some(sizes.sum)
       case _ => None
     }
 

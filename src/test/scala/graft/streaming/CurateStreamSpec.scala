@@ -131,4 +131,51 @@ class CurateStreamSpec extends SparkSpec {
     assert(CurateStream.sinkDocs(spark, outDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet == expIds + novelId)
   }
+
+  test("cadenced compaction (compactEvery) bounds all three state changelogs mid-stream with survivors and manifest unchanged") {
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("curate_stream_cadence_").toString
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "lang", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // n >= 17 guarantees ceil-division yields exactly 5 chunks, so the
+    // cadence fires twice (after batches 1 and 3)
+    assert(docs.length >= 17, s"need >=17 docs for 5 batches, got ${docs.length}")
+    val chunks = docs.grouped((docs.length + 4) / 5).toSeq
+    assert(chunks.length == 5)
+
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = CurateStream.curateToSink(
+      mem.toDF().toDF("doc_id", "source", "lang", "text"), outDir,
+      compactEvery = 2)
+    try {
+      chunks.foreach { c =>
+        mem.addData(c: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // after-batch-3 compaction collapsed dirs 0..2 into baseline
+    // batch_id=2; five ingested batches leave baseline + two newer
+    // dirs in EVERY state table — never one dir per batch
+    def stateDirs(sub: String) = java.nio.file.Files
+      .list(java.nio.file.Paths.get(outDir, sub.split("/"): _*))
+      .toArray.map(_.toString).filter(_.contains("batch_id=")).sorted.toSeq
+    Seq("_state/digests", "_state/bands", "manifest_delta").foreach { t =>
+      assert(stateDirs(t).size == 3, s"$t not cadence-bounded: ${stateDirs(t)}")
+    }
+    val expected = expectedSurvivors(Tables.documents(spark, sf0001))
+    val expIds = expected.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotIds = CurateStream.sinkDocs(spark, outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expIds,
+      s"cadenced stream drifted: stream-only=${(gotIds -- expIds).take(5)} " +
+        s"batch-only=${(expIds -- gotIds).take(5)}")
+    assert(CurateStream.sinkManifest(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == CurateStream.manifestOf(expected)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
 }

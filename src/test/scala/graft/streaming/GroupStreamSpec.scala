@@ -99,6 +99,45 @@ class GroupStreamSpec extends SparkSpec {
     }
   }
 
+  test("cadenced compaction (compactEvery) bounds the changelog mid-stream with no mapping drift and no manual compact call") {
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("group_stream_cadence_").toString
+    val pairsDf = Dedup.minhashNearDupsMd5(Tables.documents(spark, sf0001))
+      .select("doc_a", "doc_b")
+    val pairs = pairsDf
+      .orderBy(md5(concat_ws(":", col("doc_a"), col("doc_b"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // n >= 17 guarantees ceil-division yields exactly 5 chunks, so the
+    // cadence fires twice (after batches 1 and 3)
+    assert(pairs.length >= 17, s"need >=17 pairs for 5 batches, got ${pairs.length}")
+    val chunks = pairs.grouped((pairs.length + 4) / 5).toSeq
+    assert(chunks.length == 5)
+
+    val mem = MemoryStream[(Long, Long)]
+    val q = GroupStream.groupsToSink(
+      mem.toDF().toDF("doc_a", "doc_b"), outDir, compactEvery = 2)
+    try {
+      chunks.foreach { c =>
+        mem.addData(c: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // compactEvery=2 fires after batches 1 and 3 (after-3 collapses
+    // 0..2 into baseline batch_id=2), so five ingested batches leave
+    // at most baseline + two newer dirs — never one dir per batch
+    val rootsDir = java.nio.file.Paths.get(outDir, "_state", "roots")
+    val batchDirs = java.nio.file.Files.list(rootsDir).toArray.map(_.toString)
+      .filter(_.contains("batch_id=")).sorted.toSeq
+    assert(batchDirs.size == 3, s"expected cadence to bound dirs, got $batchDirs")
+    val expected = Dedup.connectedGroups(pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = GroupStream.sinkGroups(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected,
+      s"cadenced stream drifted: ${(got.toSet diff expected.toSet).take(5)}")
+  }
+
   test("sinkGroups before any committed batch returns an empty frame, not an error") {
     val fresh = java.nio.file.Files.createTempDirectory("group_stream_empty_").toString
     val df = GroupStream.sinkGroups(spark, fresh)

@@ -95,16 +95,63 @@ class StateCompactionSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"${table}_compact_inprogress")))
   }
 
-  test("marker without a committed tmp (crash after rename, before marker removal) is cleared; uncommitted tmp is discarded") {
+  test("marker without a committed tmp (crash after rename, before marker removal) self-heals on the read face; uncommitted tmp is discarded") {
     val (table, expected) = freshTable()
+    fs.create(new Path(s"${table}_compact_inprogress"), true).close()
+    // marker-without-tmp means the rename FINISHED — the table is
+    // whole, so the read face clears the orphan marker itself instead
+    // of halting a healthy stream (round-15 ADVICE)
+    StateCompaction.assertReadable(spark, table)
+    assert(!fs.exists(new Path(s"${table}_compact_inprogress")))
+    assert(currentState(table) == expected)
+    // an uncommitted tmp (no _TARGET) from a crash mid-write DOES
+    // fence reads (state genuinely mid-compaction), and compact
+    // discards it
+    fs.mkdirs(new Path(s"${table}_compact_tmp/partial"))
     fs.create(new Path(s"${table}_compact_inprogress"), true).close()
     intercept[IllegalStateException](
       StateCompaction.assertReadable(spark, table))
-    // an uncommitted tmp (no _TARGET) from a crash mid-write
-    fs.mkdirs(new Path(s"${table}_compact_tmp/partial"))
     StateCompaction.compactTable(spark, table, schema, reduce)
     StateCompaction.assertReadable(spark, table)
     assert(currentState(table) == expected)
     assert(!fs.exists(new Path(s"${table}_compact_tmp")))
+  }
+
+  test("unparsable _TARGET next to _SUCCESS is demoted to uncommitted garbage, never a stuck loop") {
+    val (table, expected) = freshTable()
+    // cannot arise from the protocol itself post-round-16 (the commit
+    // point is rename-published), so this simulates external
+    // corruption: data-complete tmp, garbage commit record
+    val tmp = s"${table}_compact_tmp"
+    reduce(spark.read.schema(schema.add(StructField("batch_id", LongType)))
+        .parquet(table).filter(col("batch_id") < 2).select("doc_id", "root"))
+      .write.mode("overwrite").parquet(tmp)
+    val out = fs.create(new Path(tmp, "_TARGET"), true)
+    out.write("not-a-long".getBytes("UTF-8")); out.close()
+    // recovery must DISCARD the tmp (no trustworthy target) and leave
+    // the untouched table compactable — not throw forever
+    StateCompaction.compactTable(spark, table, schema, reduce)
+    StateCompaction.assertReadable(spark, table)
+    assert(currentState(table) == expected)
+    assert(!fs.exists(new Path(s"${table}_compact_tmp")))
+    assert(!fs.exists(new Path(s"${table}_compact_inprogress")))
+  }
+
+  test("recoverTable finishes a crashed attempt without starting a new compaction") {
+    val (table, expected) = freshTable()
+    simulateCrashBeforeRename(table)
+    StateCompaction.recoverTable(spark, table)
+    StateCompaction.assertReadable(spark, table)
+    assert(currentState(table) == expected)
+    assert(!fs.exists(new Path(s"${table}_compact_tmp")))
+    assert(!fs.exists(new Path(s"${table}_compact_inprogress")))
+    // recovery left baseline(=1) + newest(=2): exactly 2 dirs — proof
+    // it did NOT run a fresh compaction on top
+    val dirs = fs.listStatus(new Path(table)).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=1", "batch_id=2"), dirs.toString)
+    // no-op on a table with nothing to heal
+    StateCompaction.recoverTable(spark, table)
+    assert(currentState(table) == expected)
   }
 }
