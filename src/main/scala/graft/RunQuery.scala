@@ -33,6 +33,10 @@ object RunQuery {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     val useCount = sys.env.get("SPARK_GRAFT_RUNQUERY_ACTION").contains("count")
+    // SPARK_GRAFT_RUNQUERY_EXPLAIN=1: dump the formatted physical plan
+    // once before the timed reps (plan inspection without a spec)
+    if (sys.env.get("SPARK_GRAFT_RUNQUERY_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)

@@ -42,10 +42,25 @@ object TpchShapes {
     * Scale: both joins on l_partkey carry only the SMALL/size-filtered
     * slice; the min-cost join key is the same p_partkey the candidate
     * set is already hashed on, so AQE reuses the partitioning.
+    *
+    * The part filter is pushed BELOW the cost aggregation (round-16:
+    * the verdict's fattest non-adjudicated decade ratio, 8.5×/decade —
+    * the old shape shuffled the ENTIRE fact on (l_partkey, l_suppkey)
+    * to price parts the SMALL/size filter was about to discard; the
+    * semi join runs map-side while the candidate key set fits a
+    * broadcast, and past that AQE's shuffle fallback still beats
+    * aggregating 50× the rows). Pure pushdown: per-(part, supplier)
+    * minima of surviving parts are untouched, so every result row is
+    * identical — the shared DuckDB oracle pins it.
     */
   def minCostSupplier(part: DataFrame, supplier: DataFrame, nation: DataFrame,
                       region: DataFrame, lineitem: DataFrame): DataFrame = {
+    val candParts = part
+      .filter(col("p_type") === "SMALL" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand"))
     val cost = lineitem
+      .join(candParts.select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
     val euro = supplier
@@ -53,8 +68,7 @@ object TpchShapes {
       .join(broadcast(region.filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
-    val cand = part
-      .filter(col("p_type") === "SMALL" && col("p_size") <= 10)
+    val cand = candParts
       .join(cost, col("p_partkey") === col("l_partkey"))
       .join(euro, col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"), col("cost"))
