@@ -848,18 +848,39 @@ object Relational {
     * `l_quantity` is integer-valued, so per-part averages are exact
     * in double arithmetic regardless of accumulation order — the
     * filter is engine-independent without rounding tricks.
+    *
+    * Join-strategy hint, chosen from the fact scan's OWN size stats
+    * (the cost-based step Spark's static planner skips without CBO
+    * column stats): the decorrelated per-partkey aggregate output is
+    * keyed by partkey, so its hash relation grows linearly with SF —
+    * under the broadcast threshold the static planner broadcasts it,
+    * which is the winning plan while the build side is genuinely
+    * small (measured sf1: 1.0 s broadcast vs 1.9 s shuffled) but
+    * scales as a full driver-built 2M-entry relation at sf10
+    * (measured: 9.3 s broadcast vs 8.0 s shuffled, and the gap widens
+    * with SF). A `SHUFFLE_HASH` hint on the subquery's fact alias
+    * flips only the decorrelated join; the correlated-subquery text —
+    * the thing this key exists to exercise — is unchanged, and both
+    * faces stay pinned by the shared DuckDB oracle.
     */
   def belowHalfAvgQuantityRevenueSql(part: DataFrame, lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
     part.createOrReplaceTempView("part")
     lineitem.createOrReplaceTempView("lineitem")
+    // scan-stat threshold: past ~1 GB of fact bytes the aggregate's
+    // broadcast build dominates the join it feeds (driver build + one
+    // copy per executor at cluster scale); below it the broadcast
+    // saves the probe-side shuffle outright
+    val factBytes = lineitem.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hint =
+      if (factBytes > (1L << 30)) "/*+ SHUFFLE_HASH(l2) */ " else ""
     spark.sql(
-      """SELECT p_brand, count(*) AS n_lines,
-        |       round(sum(l_extendedprice), 2) AS total_price
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
-        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+      s"""SELECT p_brand, count(*) AS n_lines,
+         |       round(sum(l_extendedprice), 2) AS total_price
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_quantity < (SELECT ${hint}0.5 * avg(l2.l_quantity)
+         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   }
 
   /** DataFrame twin of [[belowHalfAvgQuantityRevenueSql]] — the
