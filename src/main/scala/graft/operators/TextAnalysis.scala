@@ -1162,8 +1162,19 @@ object TextAnalysis {
     // (source, n, gram) clustering, so the heavy aggregate runs
     // exchange-free at full width
     val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
+    // width scales with the corpus (1 MB of compressed document bytes
+    // per base partition, capped at 8× the session width): the
+    // exchange-free aggregate holds one hash map per RUNNING task, so
+    // at a fixed concurrency more-but-smaller partitions divide the
+    // resident map bytes by the width factor — the difference between
+    // riding out a pressured 8 g heap and a GC storm when the suite's
+    // neighbors have filled the old gen. Small SFs keep the session
+    // width (no extra scheduling overhead on sub-second runs).
+    val docBytes = documents.queryExecution.optimizedPlan.stats.sizeInBytes
+    val width = (nPart.toLong * math.min(8L,
+      math.max(1L, (docBytes / (nPart.toLong << 20)).toLong))).toInt
     grams
-      .repartition(nPart, col("source"), col("n"), col("gram"))
+      .repartition(width, col("source"), col("n"), col("gram"))
       .groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
       .groupBy("source", "n")
       .agg(sum("c").as("n_total"), count(lit(1)).as("n_distinct"))
