@@ -448,6 +448,49 @@ object StreamStateProbe {
     check(curDirsC.forall(d => d <= 2 || curBatches <= 2),
       s"curate compaction left $curDirsC batch_id dirs (want baseline + newest)")
 
+    // 16c. CADENCED curate compaction (round 16): the same ingest run
+    // with compactEvery set — nothing calls compact() by hand; the
+    // foreachBatch hook must bound the changelog ON ITS OWN (the
+    // round-15 verdict's "a 100 TB ingest accumulates one batch dir
+    // per micro-batch until an operator remembers" gap). Bounds:
+    //   - batch_id dirs ≤ baseline + compactEvery (the residual
+    //     window since the last cadence firing), and strictly fewer
+    //     than one-per-batch when the run spans a firing;
+    //   - every read face identical to the uncadenced run's: digest
+    //     count, accepted docs, shard manifest.
+    val cadEvery = 3
+    val cadDir = java.nio.file.Files.createTempDirectory("probe_curate_cad").toString
+    val cadBatches = {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val memC = MemoryStream[(Long, String, String, String)]
+      val qc = graft.streaming.CurateStream.curateToSink(
+        memC.toDF().toDF("doc_id", "source", "lang", "text"), cadDir,
+        compactEvery = cadEvery)
+      try {
+        docRows.grouped(math.max(1, docRows.length / chunks + 1)).foreach { chunk =>
+          memC.addData(chunk: _*)
+          qc.processAllAvailable()
+        }
+        qc.recentProgress.toSeq.count(_.numInputRows > 0)
+      } finally qc.stop()
+    }
+    val cadDirs = Seq("_state/digests", "_state/bands", "manifest_delta").map { t =>
+      Option(new java.io.File(s"$cadDir/$t").listFiles())
+        .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    }
+    check(cadDirs.forall(_ <= 1 + cadEvery),
+      s"cadenced curate left $cadDirs batch_id dirs (> baseline + $cadEvery)")
+    check(cadBatches <= cadEvery || cadDirs.forall(_ < cadBatches),
+      s"cadenced curate never compacted: $cadDirs dirs over $cadBatches batches")
+    check(spark.read.parquet(s"$cadDir/_state/digests").count() == expDig,
+      "cadenced curate digest count diverges from the uncadenced run")
+    check(graft.streaming.CurateStream.sinkDocs(spark, cadDir).count() == curDocs,
+      "cadenced curate accepted-doc count diverges from the uncadenced run")
+    val cadMan = graft.streaming.CurateStream.sinkManifest(spark, cadDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    check(cadMan == curManPre,
+      "cadenced curate shard manifest diverges from the uncadenced run")
+
     // 17. groupsToSink (incremental CC): like curateToSink, ZERO
     // state-store rows — the doc→root changelog lives in the parquet
     // sink, partitioned by batch_id. Bounds:
@@ -520,20 +563,53 @@ object StreamStateProbe {
     check(grpLogRowsC <= grpLogRows,
       s"compaction grew the changelog: $grpLogRows -> $grpLogRowsC rows")
 
+    // 17c. CADENCED changelog compaction for the CC sink — same
+    // contract as 16c: the foreachBatch hook alone must bound the
+    // changelog, and the final mapping must still equal batch CC.
+    val gcadDir = java.nio.file.Files.createTempDirectory("probe_groups_cad").toString
+    val gcadBatches = {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val memG = MemoryStream[(Long, Long)]
+      val qg = graft.streaming.GroupStream.groupsToSink(
+        memG.toDF().toDF("doc_a", "doc_b"), gcadDir, compactEvery = cadEvery)
+      try {
+        grpPairs.grouped(math.max(1, grpPairs.length / chunks + 1)).foreach { chunk =>
+          memG.addData(chunk: _*)
+          qg.processAllAvailable()
+        }
+        qg.recentProgress.toSeq.count(_.numInputRows > 0)
+      } finally qg.stop()
+    }
+    val gcadDirs = Option(new java.io.File(s"$gcadDir/_state/roots").listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    check(gcadDirs <= 1 + cadEvery,
+      s"cadenced groups left $gcadDirs batch_id dirs (> baseline + $cadEvery)")
+    check(gcadBatches <= cadEvery || gcadDirs < gcadBatches,
+      s"cadenced groups never compacted: $gcadDirs dirs over $gcadBatches batches")
+    val gcadGot = graft.streaming.GroupStream.sinkGroups(spark, gcadDir)
+    val gcadDiff = (gcadGot.unionByName(grpExp).distinct().count() - grpExp.count()) +
+      math.abs(gcadGot.count() - grpExp.count())
+    check(gcadDiff == 0,
+      s"cadenced groups mapping diverges from batch CC by $gcadDiff rows")
+
     val curBody =
       s""""curateToSink":{"batches":$curBatches,"state_store_rows":$curStoreRows,""" +
         s""""sink_digest_rows":$curDig,"expected_digest_rows":$expDig,""" +
         s""""sink_band_rows":$curBands,"sink_docs":$curDocs,"batch_dirs":$curDirs,""" +
         s""""state_scan_ms_pre_compact":$curScanMsPre,""" +
         s""""state_scan_ms_post_compact":$curScanMsPost,""" +
-        s""""compacted_dirs":${curDirsC.max}}"""
+        s""""compacted_dirs":${curDirsC.max},""" +
+        s""""cadence_every":$cadEvery,"cadence_batches":$cadBatches,""" +
+        s""""cadence_dirs":${cadDirs.max}}"""
     val grpBody =
       s""""groupsToSink":{"batches":$grpBatches,"state_store_rows":$grpStoreRows,""" +
         s""""changelog_rows":$grpLogRows,"distinct_docs":$grpDocs,""" +
         s""""max_rows_per_doc":$grpMaxPerDoc,"batch_dirs":$grpDirs,""" +
         s""""mapping_diff_vs_batch_cc":$grpDiff,""" +
         s""""compacted_rows":$grpLogRowsC,"compacted_dirs":$grpDirsC,""" +
-        s""""mapping_diff_after_compact":$grpDiffC}"""
+        s""""mapping_diff_after_compact":$grpDiffC,""" +
+        s""""cadence_every":$cadEvery,"cadence_batches":$gcadBatches,""" +
+        s""""cadence_dirs":$gcadDirs,"cadence_mapping_diff":$gcadDiff}"""
     println(s"""{"metric":"stream_state","sf":"$sfDir","chunks":$chunks,$twinsBody$curBody,$grpBody}""")
     failures.foreach(f => println(s"BOUND VIOLATED: $f"))
     spark.stop()
