@@ -1130,18 +1130,34 @@ object Dedup {
     * ranks acquisition value before mix weighting (complement of
     * [[crossSourceNearDups]]: that scores pairwise mirroring at
     * document level, this scores corpus-level content novelty).
-    * Distinct (source, shingle) rows are the only fact-sized shuffle
-    * (shingle-keyed, like the jaccard join); the spread count and
-    * rollup are vocabulary-sized.
+    *
+    * Shape at 100 TB: `source` rides the shingle explode directly
+    * (documents already carries it — the former doc_id re-attach join
+    * moved the exploded fact through an extra hash join for a column
+    * the scan had), and the ONLY fact-sized exchange carries
+    * (source, xxhash64(shingle)) — novelty counts are
+    * encoding-invariant, so the raw 5-word shingle text never
+    * shuffles (same digest trade as [[shingleDfHistogram]], same
+    * birthday bound |vocab|²/2⁶⁵; a collision merges two shingles'
+    * spread rows and would surface as an oracle count mismatch on
+    * THIS key — suspect digest collision first). One repartition on
+    * the digest serves all three keyed steps: the (source, shh)
+    * distinct clusters by shh ⊇ subset, the per-shingle spread count
+    * is a whole-partition window over the same clustering (no second
+    * exchange, no self-join), and the per-source rollup partial-aggs
+    * map-side to a sources-sized final exchange.
     */
   def ngramNovelty(documents: DataFrame, shingleK: Int = 5): DataFrame = {
-    val srcSh = explodedShingles(documents, shingleK)
+    graft.functions.VectorFunctions.ensureRegistered(documents.sparkSession)
+    val srcSh = documents
+      .select(col("source"),
+        explode(graft.functions.VectorFunctions.wordShingles(col("text"), shingleK)).as("sh"))
       .filter(col("sh").isNotNull)
-      .select(col("doc_id"), col("sh"))
-      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select("source", "sh").distinct()
-    val spread = srcSh.groupBy("sh").agg(count(lit(1)).as("n_sources"))
-    srcSh.join(spread, Seq("sh"))
+      .select(col("source"), xxhash64(col("sh")).as("shh"))
+    val dist = srcSh.repartition(col("shh")).dropDuplicates("source", "shh")
+    dist
+      .withColumn("n_sources", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shh")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_unique"))

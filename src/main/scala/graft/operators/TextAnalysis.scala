@@ -606,8 +606,10 @@ object TextAnalysis {
     * model crosses to the driver once; 100 TB of documents never do).
     *
     * Classify (map-only): one typed pass per document scoring its
-    * trigrams against every language profile — a few thousand hash
-    * lookups per doc, no join/shuffle. Score = Σ (profileSize+1-rank)
+    * trigrams against all language profiles at once — one packed-long
+    * LongMap probe per text position into a trigram → per-language
+    * weight-vector table built once per task, no join/shuffle, no
+    * per-position allocation. Score = Σ (profileSize+1-rank)
     * over matching grams; argmax with (score desc, lang asc)
     * tiebreak so output is deterministic; docs matching nothing get
     * "und". (Earlier join+groupBy+window formulation did the same in
@@ -641,15 +643,37 @@ object TextAnalysis {
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val prof = bc.value
+        // Per-task scoring table: trigram → dense per-language weight
+        // vector, keyed by the 3 UTF-16 chars packed into 48 bits
+        // (16-bit shifts are collision-free, so packed equality ≡
+        // string equality for length-3 grams). One LongMap probe per
+        // text position replaces |langs| string-keyed Map lookups AND
+        // the per-position substring allocation — identical scores:
+        // a probe miss contributes the same 0 to every language that
+        // getOrElse(g, 0L) did.
+        val table = new scala.collection.mutable.LongMap[Array[Long]](prof.length * 512)
+        var j0 = 0
+        while (j0 < prof.length) {
+          prof(j0)._2.foreach { case (g, wt) =>
+            val key = (g.charAt(0).toLong << 32) | (g.charAt(1).toLong << 16) | g.charAt(2).toLong
+            val arr = table.getOrElseUpdate(key, new Array[Long](prof.length))
+            arr(j0) += wt
+          }
+          j0 += 1
+        }
         it.map { case (id, trueLang, t) =>
           val scores = new Array[Long](prof.length)
+          val n = t.length
+          var key = 0L
           var i = 0
-          while (i + 3 <= t.length) {
-            val g = t.substring(i, i + 3)
-            var j = 0
-            while (j < prof.length) {
-              scores(j) += prof(j)._2.getOrElse(g, 0L)
-              j += 1
+          while (i < n) {
+            key = ((key << 16) | t.charAt(i).toLong) & 0xFFFFFFFFFFFFL
+            if (i >= 2) {
+              val arr = table.getOrNull(key)
+              if (arr != null) {
+                var j = 0
+                while (j < arr.length) { scores(j) += arr(j); j += 1 }
+              }
             }
             i += 1
           }
@@ -1692,13 +1716,19 @@ object TextAnalysis {
     val ws = documents
       .select(filter(split(lower(col("text")), " ", -1), w => length(w) > 0).as("ws"))
       .filter(size(col("ws")) >= 2)
-    val shifted = (1 to window).map { d =>
-      ws.select(explode(zip_with(col("ws"),
-          slice(col("ws"), lit(d + 1), greatest(size(col("ws")) - d, lit(0))),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-        .filter(col("p.b").isNotNull)
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-    }.reduce(_ union _)
+    // One scan/tokenize for ALL window distances: the per-distance
+    // (w_i, w_{i+d}) struct arrays concat before a single explode, so
+    // the corpus is split exactly once (the former union of d branches
+    // re-read and re-tokenized the documents per distance — 2× the
+    // scan+split work at window=2 for an identical pair multiset).
+    val shifted = ws.select(explode(concat(
+        (1 to window).map { d =>
+          zip_with(col("ws"),
+            slice(col("ws"), lit(d + 1), greatest(size(col("ws")) - d, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b")))
+        }: _*)).as("p"))
+      .filter(col("p.b").isNotNull)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
     val cab = shifted.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
     val caL = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
     val cbR = cab.groupBy("b").agg(sum("c_ab").as("c_b"))
