@@ -231,8 +231,16 @@ object Bench {
       val total = med.map(_._2).sum
       val totalMin = mins.map(_._2).sum
       val isoJson = jsonMap(isolated.toSeq)
+      // Banking guard (round-16 q_except incident: a single warm sample
+      // produced a spurious 13.2x decade flag): keys whose minimum rests
+      // on ONE in-suite sample and no isolated pass are listed so the
+      // decade gate can refuse to bank them. Additive field in the full
+      // JSON only — the compact driver line is unchanged.
+      val lowSampleJson = byName
+        .collect { case (n, xs) if xs.length < 2 && !isolated.contains(n) => "\"" + n + "\"" }
+        .mkString("[", ",", "]")
       val full =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"isolated":$isoJson,"total_min":$totalMin%.3f,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"isolated":$isoJson,"low_sample_keys":$lowSampleJson,"total_min":$totalMin%.3f,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"iters_completed":$itersCompleted}"""
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_full.json"),
           (full + "\n").getBytes("UTF-8"))
@@ -369,6 +377,14 @@ object Bench {
       emit(last = false)
     }
     val json = emit(last = true)
+    // surface the banking guard loudly: a min resting on one in-suite
+    // sample is not bankable evidence (see low_sample_keys in the full
+    // JSON; the decade gate refuses artifacts that carry any)
+    val oneSample = allNames.map(n => n -> runs.toSeq.flatMap(_.toMap.get(n)))
+      .collect { case (n, xs) if xs.nonEmpty && xs.length < 2 && !isolated.contains(n) => n }
+    if (oneSample.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${oneSample.length} key(s) have a " +
+        s"single warm sample (not bankable as minima): ${oneSample.take(8).mkString(",")}...")
     spark.stop()
     // Emit the parseable line LAST so no later output (Spark shutdown
     // logs, sbt's "[success]") can push it out of the tail window.

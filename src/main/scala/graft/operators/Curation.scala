@@ -56,6 +56,13 @@ object Curation {
                      evalModulo: Int = 50, shingleK: Int = 8): DataFrame = {
     val d0 = documents.select(col("doc_id"), col("source"), col("lang"), col("text"))
     val ntok = size(split(col("text"), " ", -1)).cast("long")
+    // The funnel ROWS only need (count, Σ tokens) of each stage's
+    // survivors — tokenize the corpus ONCE into a narrow per-doc count
+    // table (a few MB of longs, same lazy-checkpoint treatment as the
+    // survivor-ID sets) instead of re-splitting the full text per stage
+    // row: the sf10 plan held one tokenize scan per funnel row, 7 total.
+    // The stage OPERATORS still read the text they filter, unchanged.
+    val meta = d0.select(col("doc_id"), ntok.as("n_tok")).localCheckpoint(false)
 
     val keep1 = TextAnalysis.gopherRules(d0).filter(col("keep"))
       .select("doc_id").localCheckpoint(false)
@@ -88,17 +95,22 @@ object Curation {
     val ids5 = ids4.join(keep5, Seq("doc_id"), "left_semi").localCheckpoint(false)
     val d5 = d2.join(ids5, Seq("doc_id"), "left_semi")
 
-    def docRow(idx: Int, name: String, d: DataFrame): DataFrame =
-      d.observe(s"curate_s${idx}_$name", count(lit(1)).as("n_rows"))
+    // Funnel rows aggregate the narrow `meta` table semi-joined with the
+    // stage's survivor IDs — identical counts/sums to aggregating the
+    // full-text stage frame, without its tokenize scan.
+    def docRow(idx: Int, name: String, m: DataFrame): DataFrame =
+      m.observe(s"curate_s${idx}_$name", count(lit(1)).as("n_rows"))
         .agg(count(lit(1)).as("n_units"),
-          coalesce(sum(ntok), lit(0L)).as("n_tokens"))
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
         .select(lit(idx).cast("int").as("stage_idx"), lit(name).as("stage"),
           col("n_units"), col("n_units").as("n_docs"), col("n_tokens"))
+    def metaOf(ids: DataFrame): DataFrame =
+      meta.join(ids, Seq("doc_id"), "left_semi")
 
     // the two layout stages: units are packs / shards, docs+tokens are
     // the final surviving corpus (unchanged by layout)
-    val d5Totals = d5.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(ntok), lit(0L)).as("n_tokens"))
+    val d5Totals = metaOf(ids5).agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
     val packRow = TextAnalysis.packSequences(d5, budget)
       .observe("curate_s6_pack", count(lit(1)).as("n_rows"))
       .agg(count(lit(1)).as("n_units"))
@@ -115,12 +127,12 @@ object Curation {
       .select(lit(7).cast("int").as("stage_idx"), lit("shard").as("stage"),
         col("n_units"), col("n_docs"), col("n_tokens"))
 
-    docRow(0, "raw", d0)
-      .unionAll(docRow(1, "quality", d1))
-      .unionAll(docRow(2, "exact", d2))
-      .unionAll(docRow(3, "neardup", d3))
-      .unionAll(docRow(4, "decontam", d4))
-      .unionAll(docRow(5, "resample", d5))
+    docRow(0, "raw", meta)
+      .unionAll(docRow(1, "quality", metaOf(keep1)))
+      .unionAll(docRow(2, "exact", metaOf(keep2)))
+      .unionAll(docRow(3, "neardup", metaOf(ids3)))
+      .unionAll(docRow(4, "decontam", metaOf(ids4)))
+      .unionAll(docRow(5, "resample", metaOf(ids5)))
       .unionAll(packRow)
       .unionAll(shardRow)
       .orderBy("stage_idx")

@@ -1154,7 +1154,12 @@ object Dedup {
         explode(graft.functions.VectorFunctions.wordShingles(col("text"), shingleK)).as("sh"))
       .filter(col("sh").isNotNull)
       .select(col("source"), xxhash64(col("sh")).as("shh"))
-    val dist = srcSh.repartition(col("shh")).dropDuplicates("source", "shh")
+    // explicit width (ADVICE r16): the keyless-width form inherits
+    // spark.sql.shuffle.partitions AND stays AQE-coalescible, which can
+    // under-partition the exploded-shingle exchange at scale; thread the
+    // session width explicitly like ngramPairCounts does
+    val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
+    val dist = srcSh.repartition(nPart, col("shh")).dropDuplicates("source", "shh")
     dist
       .withColumn("n_sources", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shh")))
@@ -1566,10 +1571,18 @@ object Dedup {
           .as("fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
-    val capped = fps.join(rare, "fp")
+    // The df cut keeps nearly every fingerprint (content hashes are
+    // rare by nature), so `capped` stays fact-sized and the planner's
+    // post-filter size estimate let it BROADCAST the whole b side — a
+    // driver-built HashedRelation over every surviving (fp, doc) row
+    // (measured 7.5 s warm at sf10). Repartition once on fp (computed
+    // once, read by both sides) and hint SHUFFLE_HASH: co-partitioned
+    // self-join, per-partition build, no sorts, no fact broadcast.
+    val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
+    val capped = fps.join(rare, "fp").repartition(nPart, col("fp"))
     val a = capped.select(col("fp"), col("doc_id").as("doc_a"))
     val b = capped.select(col("fp"), col("doc_id").as("doc_b"))
-    a.join(b, "fp")
+    a.join(b.hint("shuffle_hash"), "fp")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -1610,11 +1623,23 @@ object Dedup {
       .filter(col("df") * dfDenom <= col("n_docs") && col("df") <= maxDf)
       .select(col("w"), round(log(col("n_docs").cast("double") / col("df")), 6)
         .as("wt"))
-    val weighted = tok.join(idf, "w")
+    // idf is vocabulary-sized by construction but ESTIMATED no smaller
+    // than the pair table it aggregates, so the planner left to stats
+    // picked the fact-sized (doc, token) side as the broadcast build
+    // relation — three driver-built HashedRelations over every distinct
+    // pair (the text_tfidf idf hazard; measured 8.1 s warm at sf10).
+    // Broadcast the vocab side explicitly, repartition the weighted
+    // pairs ONCE on the token (both pair-join sides and nothing else
+    // need that clustering — the one exchange is computed once and read
+    // twice), and hint SHUFFLE_HASH so the co-partitioned self-join
+    // skips sort-merge sorts; per-partition build is df-capped.
+    val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
+    val weighted = tok.join(broadcast(idf), "w")
     val docW = weighted.groupBy("doc_id").agg(sum("wt").as("w_total"))
-    val a = weighted.select(col("w"), col("doc_id").as("doc_a"), col("wt"))
-    val b = weighted.select(col("w"), col("doc_id").as("doc_b"))
-    a.join(b, "w")
+    val byW = weighted.repartition(nPart, col("w"))
+    val a = byW.select(col("w"), col("doc_id").as("doc_a"), col("wt"))
+    val b = byW.select(col("w"), col("doc_id").as("doc_b"))
+    a.join(b.hint("shuffle_hash"), "w")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(sum("wt").as("w_inter"))
       .join(docW.select(col("doc_id").as("doc_a"), col("w_total").as("wa")), "doc_a")

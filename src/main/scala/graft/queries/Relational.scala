@@ -888,13 +888,28 @@ object Relational {
     * (partial agg), equi-join back to lineitem, then the brand
     * rollup. Same results by construction; differential spec + shared
     * oracle pin it.
+    *
+    * Past the same 1 GB scan-stat threshold the SQL face uses, the
+    * decorrelated join carries the same SHUFFLE_HASH hint: both sides
+    * are already hash-partitioned on partkey, so the hint deletes the
+    * two sort-merge sorts and nothing else (measured sf10 isolated:
+    * 4.2 → 3.9 s). A single-exchange form (the [[singleSourceRisk]]
+    * repartition idiom) was measured and REJECTED: the aggregate and
+    * probe consumers need different column sets, so column pruning
+    * canonicalizes their exchanges apart (no reuse) while the forced
+    * raw-row repartition loses the aggregate's map-side partial
+    * aggregation — strictly worse at scale. Below the threshold the
+    * static broadcast plan already wins (no probe exchange at all)
+    * and is kept byte-identical.
     */
   def belowHalfAvgQuantityRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val factBytes = lineitem.queryExecution.optimizedPlan.stats.sizeInBytes
     val halfAvg = lineitem
       .groupBy(col("l_partkey").as("agg_key"))
       .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
+    val build = if (factBytes > (1L << 30)) halfAvg.hint("shuffle_hash") else halfAvg
     lineitem
-      .join(halfAvg, col("l_partkey") === col("agg_key"))
+      .join(build, col("l_partkey") === col("agg_key"))
       .filter(col("l_quantity") < col("half_avg_qty"))
       .join(part, col("p_partkey") === col("l_partkey"))
       .groupBy("p_brand")

@@ -114,7 +114,8 @@ class PlanAuditSpec extends SparkSpec {
     "ev_kaplan_meier",    // risk/survival windows over the |days|-bounded lifetime histogram
     "q_customer_acquisition", // cumulative over the per-MONTH first-order table
     "text_curate_pipeline",  // inherits text_mix_weights' |langs|-row aggregate window
-    "ev_interval_join"       // prefix-sum stitching over the ≤parts(=64)-row per-partition summary
+    "ev_interval_join",      // prefix-sum stitching over the ≤parts(=64)-row per-partition summary
+    "ev_peak_concurrency"    // carry-in prefix sum over the per-DAY boundary aggregate (≤ |calendar days| rows)
   )
 
   private def windowPartitionSpecs(

@@ -212,6 +212,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast.toSeq == rel.toSeq)
   }
 
+  test("languageId: supplementary-char profile grams are unmatchable (pre-table behavior)") {
+    // Profile grams are 3 CODE POINTS (trigramsFromChars slices a
+    // code-point array); one containing a non-BMP char has UTF-16 length
+    // > 3, and the scorer's 3-UTF-16-unit scan window could never equal
+    // it — it must contribute 0 to every language. Keying such a gram by
+    // its first 3 UTF-16 units would let doc 1's surrogate-pair windows
+    // spuriously match doc 0's profile.
+    val mathA = "𝕒" // 𝕒 U+1D552, one code point, two UTF-16 units
+    val docs = Seq(
+      (0L, "aa", mathA * 6),            // train doc (0 % 8 == 0): every trigram non-BMP
+      (8L, "cc", "abc abc abc abc"),    // BMP control profile
+      (1L, "bb", mathA * 2),            // scan windows = the 3-unit PREFIX of 𝕒𝕒𝕒
+      (2L, "cc", "abc abc"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.languageId(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("und", 0L)), s"spurious prefix match: ${out(1L)}")
+    assert(out(0L) == (("und", 0L)), s"spurious prefix match: ${out(0L)}")
+    assert(out(2L)._1 == "cc") // BMP matching unaffected
+  }
+
   test("bigramLogProb: add-1 smoothed conditional log-probs, exact on a tiny corpus") {
     val d = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
       .toDF("doc_id", "text")

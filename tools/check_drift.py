@@ -105,6 +105,15 @@ def main():
         print("DRIFT GATE ERROR: no shared keys between artifacts")
         return 1
     failed = cur.get("failed") or []
+    # Banking guard (r16 q_except incident): a scale-decade artifact whose
+    # minima include single-warm-sample keys is not bankable evidence —
+    # Bench emits low_sample_keys for exactly this; refuse the gate.
+    low = cur.get("low_sample_keys") or []
+    if decade and low:
+        print(f"DECADE GATE REFUSED: {len(low)} key(s) in the current artifact "
+              f"rest on a single warm sample (re-run with more full rounds): "
+              f"{','.join(low[:8])}...")
+        return 1
     missing = sorted(set(bq) - set(cq) - set(failed))
     regressions, waived, improved, ratios = [], [], [], []
     for k in shared:
