@@ -165,33 +165,50 @@ object TextAnalysis {
   /** Gopher-style repetition signals: per document, the duplicate-word
     * fraction, the most-frequent-word share, and the most-frequent-
     * bigram share — the standard "is this boilerplate / a scraper
-    * loop" quality gates. Shape: explode words once, then two
-    * partial-agg shuffles on the high-cardinality (doc_id[, gram])
-    * keys; bigrams come from a `lead` window over (doc_id, pos) —
-    * doc_id has corpus cardinality, so the window never concentrates
-    * (unlike a low-cardinality partition key). Text itself crosses
-    * the wire only as individual grams with map-side combine.
+    * loop" quality gates. Shape: explode words once, ONE shuffle on
+    * doc_id (the `lead` window), then exchange-free per-doc
+    * aggregates — doc_id has corpus cardinality, so the window never
+    * concentrates (unlike a low-cardinality partition key), and
+    * every downstream groupBy is clustered by that same exchange.
     */
   def repetitionSignals(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = documents
       .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-    val wordStats = words
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
-        max("c").as("top_word"))
+    // One tokenize pass serves both signals: the bigram path already
+    // pays the per-doc window sort, so unigram and bigram keys ride
+    // the SAME windowed stream as ("w", word) / ("b", bigram) rows and
+    // reduce in ONE per-doc aggregate chain — both groupBys are
+    // exchange-free (hash(doc_id) from the window satisfies their
+    // clustering). The former wordStats ⋈ bigramStats shape tokenized
+    // the corpus twice and BROADCAST the per-doc bigram aggregate — a
+    // one-row-per-document build side that grows with the corpus (the
+    // same unbounded-build hazard class as the unigram/weighted-
+    // jaccard fixes this round). A doc's last word has no successor:
+    // its "b" key is null and is filtered, so 1-word docs keep null
+    // bigram aggregates — coalesced to 0.0 exactly like the old
+    // left_outer join.
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bigramStats = words
+    val keyed = words
       .withColumn("next", lead("word", 1).over(w))
-      .filter(col("next").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("word"), col("next")).as("bigram"))
-      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), explode(array(
+        struct(lit("w").as("kind"), col("word").as("key")),
+        struct(lit("b").as("kind"),
+          when(col("next").isNotNull,
+            concat_ws(" ", col("word"), col("next"))).as("key"))))
+        .as("kk"))
+      .select(col("doc_id"), col("kk.kind").as("kind"), col("kk.key").as("key"))
+      .filter(col("key").isNotNull)
+    keyed
+      .groupBy("doc_id", "kind", "key").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
-      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram"))
-    wordStats
-      .join(bigramStats, Seq("doc_id"), "left_outer")
+      .agg(
+        sum(when(col("kind") === "w", col("c"))).as("n_words"),
+        count(when(col("kind") === "w", lit(1))).as("n_distinct"),
+        max(when(col("kind") === "w", col("c"))).as("top_word"),
+        sum(when(col("kind") === "b", col("c"))).as("n_bigrams"),
+        max(when(col("kind") === "b", col("c"))).as("top_bigram"))
       .select(
         col("doc_id"), col("n_words"),
         round((col("n_words") - col("n_distinct")).cast("double") / col("n_words"), 6)
@@ -1091,8 +1108,19 @@ object TextAnalysis {
     * query terms ever shuffle; document length and corpus stats come
     * from one token pass (reusable across queries if cached). The
     * per-term df table is query-sized; corpus stats are a 1-row
-    * aggregate cross-joined against it (bounded). Final top-k is
-    * TakeOrderedAndProject — no global sort materializes.
+    * aggregate cross-joined against it (bounded). The doc-length
+    * attach is the one corpus-sized side: past a 64 MB corpus
+    * scan-stat gate (the q17 stats idiom, scaled to the corpus
+    * table) it carries a SHUFFLE_HASH hint, because the planner's
+    * post-aggregate estimate otherwise BROADCASTS docLen — a
+    * one-row-per-document driver-built relation that grows with the
+    * corpus and hits the 8 GB cap long before 100 TB. The gate is
+    * deliberately conservative: past tens of MB of corpus the docLen
+    * exchange costs ~1% of the tokenize it rides behind, so flipping
+    * early is free insurance while flipping late is a dead job.
+    * Below the gate the static broadcast plan is kept byte-identical
+    * (the oracle SFs). Final top-k is TakeOrderedAndProject — no
+    * global sort materializes.
     */
   def bm25Search(documents: DataFrame,
                  queryTerms: Seq[String] = Seq("spark", "join", "window"),
@@ -1106,8 +1134,10 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    val docBytes = documents.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dlSide = if (docBytes > (1L << 26)) docLen.hint("shuffle_hash") else docLen
     tf.join(broadcast(df), "term")
-      .join(docLen, "doc_id")
+      .join(dlSide, "doc_id")
       .withColumn("part",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))

@@ -24,7 +24,8 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("repetitionSignals: duplicate/top-gram fractions on crafted docs") {
-    val d = Seq((1L, "a a b"), (2L, "solo")).toDF("doc_id", "text")
+    val d = Seq((1L, "a a b"), (2L, "solo"), (3L, "x  x y x y"))
+      .toDF("doc_id", "text")
     val out = TextAnalysis.repetitionSignals(d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
       .toMap
@@ -33,6 +34,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == ((3L, 0.333333, 0.666667, 0.5)))
     // doc 2: single word → no bigrams → fraction 0.0
     assert(out(2L) == ((1L, 0.0, 1.0, 0.0)))
+    // doc 3: the double space yields an empty token that is filtered
+    // BEFORE pairing, so the bigram stream pairs across the gap:
+    // words x,x,y,x,y → bigrams "x x","x y","y x","x y" → top 2/4;
+    // 5 words, 2 distinct → dup 3/5; top word "x" 3/5
+    assert(out(3L) == ((5L, 0.6, 0.6, 0.5)))
   }
 
   test("chunkDocuments: overlapping windows cover the doc; short docs emit themselves") {
